@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{CovidFixture, CovidPipeline}
+import graft.queries.{CoreQueries, Oracles}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the end-to-end covid pipeline (SURVEY.md §3 unified) on a
+    * deterministic covid-shaped stage fixture — from_json + explode +
+    * nested projection + cleanup filter + quality gate + dims + broadcast
+    * surrogate-key join + fact projection. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CovidPipeline.run(spark, CovidFixture.stage(spark), "2023-03-02").fact
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (CoreQueries.q01Agg _),
+    "q02_filter_project" -> (CoreQueries.q02FilterProject _),
+    "q03_join_broadcast" -> (CoreQueries.q03JoinBroadcast _),
+    "q04_join_large" -> (CoreQueries.q04JoinLarge _),
+    "q05_window_topk" -> (CoreQueries.q05WindowTopK _),
+    "q06_union" -> (CoreQueries.q06Union _),
+    "q07_count_gate" -> (CoreQueries.q07CountGate _),
+    "q08_anti_join" -> (CoreQueries.q08AntiJoin _),
+    "q09_semi_join" -> (CoreQueries.q09SemiJoin _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.core
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension builders (SURVEY.md §7.2 step 2).
+  *
+  * date_dim replaces the reference's procedural plpgsql day loop
+  * (`pg_init_covid19.sql:192-237`) with a declarative
+  * `sequence(...) + explode` — a Catalyst Generator, fully distributed,
+  * no driver-side loop (S8).
+  */
+object Dims {
+
+  /** F2: yyyymmdd int date key — one `date_format` replaces the reference's
+    * 6-line CASE pyramid (`pg_init_covid19.sql:149-154`). */
+  def dateKey(d: Column): Column = date_format(d, "yyyyMMdd").cast("int")
+
+  /** F7: ISO day-of-week (1=Mon..7=Sun) from Spark's dayofweek (1=Sun..7=Sat).
+    * Off-by-one trap called out in SURVEY.md §7.3 — property-tested. */
+  def isoDow(d: Column): Column = ((dayofweek(d) + lit(5)) % 7) + 1
+
+  /** Generate the date dimension for an inclusive date range.
+    * Reference semantics: `pg_init_covid19.sql:192-237` (F1-F10).
+    * Default range matches the reference's 2000-01-01..2100-12-31
+    * (36,890 rows). */
+  def dateDim(spark: SparkSession,
+              start: String = "2000-01-01",
+              end: String = "2100-12-31"): DataFrame = {
+    val days = spark.range(1).select(
+      explode(sequence(
+        to_date(lit(start)), to_date(lit(end)),
+        expr("INTERVAL 1 DAY"))).as("full_date"))
+    days.select(
+      dateKey(col("full_date")).as("date_key"),
+      col("full_date"),
+      date_format(col("full_date"), "EEEE").as("day_of_week"),
+      isoDow(col("full_date")).cast("short").as("day_number_in_week"),
+      (isoDow(col("full_date")) === 7).as("last_day_in_week_indicator"),
+      date_format(col("full_date"), "MMMM").as("month_name"),
+      month(col("full_date")).cast("short").as("month_number_in_year"),
+      (!date_format(col("full_date"), "EEEE").isin("Saturday", "Sunday"))
+        .as("weekday_flag"))
+  }
+
+  /** Region dimension from flattened covid rows: distinct region attributes +
+    * a dense surrogate key. Fixes the reference's latent duplicate bug (no
+    * DISTINCT in `pg_init_covid19.sql:132-140`, run-once by comment only) —
+    * SURVEY.md A3. Surrogate keys via row_number over a deterministic order
+    * (serial analog, reproducible across runs unlike
+    * monotonically_increasing_id). The dimension is small (hundreds of rows);
+    * the single-partition window is intentional and cheap — at 100 TB the
+    * dim stays small because it's distinct region attributes, not facts. */
+  def regionDim(flat: DataFrame): DataFrame = {
+    val distinctRegions = flat
+      .select(col("region_name"), col("country_name"), col("lat"), col("long"))
+      .distinct()
+    distinctRegions.withColumn(
+      "region_key",
+      row_number().over(Window.orderBy(col("country_name"), col("region_name")))
+        .cast("int"))
+      .select("region_key", "region_name", "country_name", "lat", "long")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Core relational operator inventory over the fixture tables
+  * (SURVEY.md §7.2 step 4). Each query has a DuckDB oracle twin in
+  * [[graft.Oracles]]; column names/aliases must match exactly.
+  *
+  * Numeric convention: aggregate sums over double columns are computed on
+  * exact DECIMAL casts then cast back to double, so results are independent
+  * of partition/summation order — required both for the DuckDB hash compare
+  * and for run-to-run determinism on a real cluster.
+  */
+object CoreQueries {
+
+  private def dec(c: String, p: Int = 18, s: Int = 2) =
+    col(c).cast(s"decimal($p,$s)")
+
+  /** A-series: grouped aggregation (star-schema intent, SURVEY.md §2.5).
+    * TPC-H Q1-shaped pricing summary. Partial aggregation (map-side combine)
+    * comes free from groupBy().agg(); only the tiny grouped state shuffles. */
+  def q01Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
+
+  /** P-series: predicate filter + positive projection. Both the filter and
+    * the 4-column ReadSchema push down to the parquet scan (verified via
+    * explain: PushedFilters + pruned ReadSchema). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49.0 &&
+        col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-02-01")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** J1 analog: broadcast-join chain fact->dim->dim (customer x nation x
+    * region; nation/region are the 25/5-row dimension analogs). Explicit
+    * broadcast: at 100 TB the customer side never shuffles. */
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("num_customers"),
+        sum(dec("c_acctbal")).cast("double").as("total_acctbal"))
+
+  /** Shuffle join: lineitem x orders on orderkey (both sides large — at
+    * scale this is the sort-merge/shuffled-hash path; AQE picks). Filter on
+    * the orders side prunes before the join. */
+  def q04JoinLarge(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("num_items"))
+
+  /** Window top-k: top 3 orders per orderstatus by totalprice (surrogate for
+    * the reference's serial-key windowing, SURVEY.md §2.6). Deterministic
+    * tie-break on orderkey. Partitioned window — scales with #groups. */
+  def q05WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Set op: UNION (distinct) of two filtered branches — the pandas
+    * pd.concat analog (SURVEY.md §2.6) plus dedup. */
+  def q06Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val big = o.filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_orderstatus")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus")
+    big.unionByName(urgent).distinct()
+  }
+
+  /** A1: filtered COUNT — the data-quality probe shape
+    * (reference `dags/ETL_covid19_spark.py:102-108`). */
+  def q07CountGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("row_cnt"))
+
+  /** J3: FK-integrity anti join — orders whose custkey has no customer row
+    * (broadcast on the dim side; empty result = FKs hold). */
+  def q08AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey")
+
+  /** Semi join: customers that placed at least one urgent order. */
+  def q09SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+}

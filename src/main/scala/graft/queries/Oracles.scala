@@ -1,0 +1,71 @@
+package graft.queries
+
+/** DuckDB oracle SQL twins for every query in the inventory (driver runs
+  * these against the same parquet tables and hash-compares; column names and
+  * value semantics must match the Spark side exactly — see CoreQueries
+  * numeric convention).
+  */
+object Oracles {
+
+  val core: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 49.0
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01'""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT r_name,
+        | COUNT(*) AS num_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q04_join_large" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS num_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_window_topk" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q06_union" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+        |UNION
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q07_count_gate" ->
+      "SELECT COUNT(*) AS row_cnt FROM lineitem WHERE l_returnflag = 'R'",
+
+    "q08_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
+  )
+}
