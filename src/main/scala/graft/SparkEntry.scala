@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{CovidFixture, CovidPipeline}
-import graft.queries.{CoreQueries, Oracles}
+import graft.queries.{CoreQueries, DateTimeQueries, Oracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -24,10 +24,15 @@ object SparkEntry {
     "q06_union" -> (CoreQueries.q06Union _),
     "q07_count_gate" -> (CoreQueries.q07CountGate _),
     "q08_anti_join" -> (CoreQueries.q08AntiJoin _),
-    "q09_semi_join" -> (CoreQueries.q09SemiJoin _)
+    "q09_semi_join" -> (CoreQueries.q09SemiJoin _),
+    "q10_date_dim" -> (DateTimeQueries.q10DateDim _),
+    "q11_json_extract" -> (DateTimeQueries.q11JsonExtract _),
+    "q12_sort_limit" -> (DateTimeQueries.q12SortLimit _),
+    "q13_hourly_agg" -> (DateTimeQueries.q13HourlyAgg _),
+    "q14_sessionize" -> (DateTimeQueries.q14Sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.core
+  def oracleSql: Map[String, String] = Oracles.core ++ DateTimeQueries.oracles
 }

@@ -34,7 +34,7 @@ object Dims {
         expr("INTERVAL 1 DAY"))).as("full_date"))
     days.select(
       dateKey(col("full_date")).as("date_key"),
-      col("full_date"),
+      date_format(col("full_date"), "yyyy-MM-dd").as("full_date"),
       date_format(col("full_date"), "EEEE").as("day_of_week"),
       isoDow(col("full_date")).cast("short").as("day_number_in_week"),
       (isoDow(col("full_date")) === 7).as("last_day_in_week_indicator"),

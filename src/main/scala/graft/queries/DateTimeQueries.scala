@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dims
+import graft.sources.Tables
+
+/** Date/scalar-function inventory (SURVEY.md §2.7 F1-F10), JSON extraction
+  * (P1/P2), global sort/limit, and the streaming-shaped batch twins over the
+  * `events` fixture (tumbling-window agg + sessionization, SURVEY.md §2.8).
+  */
+object DateTimeQueries {
+
+  /** S8 + F1-F10: the date-dimension generator as a query — declarative
+    * `sequence` + `explode` replaces the reference's plpgsql day loop
+    * (`pg_init_covid19.sql:192-237`). Two years keeps the verify dump small;
+    * the full reference range (36,890 rows) is covered by DimsSpec. */
+  def q10DateDim(spark: SparkSession, dir: String): DataFrame =
+    Dims.dateDim(spark, "2022-01-01", "2023-12-31")
+
+  /** P1/P2 over events.props: schema-applied JSON parse (from_json with an
+    * explicit schema — never inference in production paths, SURVEY.md §1.3),
+    * then grouped aggregation on the extracted field. */
+  def q11JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+
+  /** Global top-n: orderBy + limit compiles to TakeOrderedAndProject —
+    * per-partition top-n then a single tiny driver merge; no global sort
+    * shuffle at any scale. Deterministic tie-break on the key. */
+  def q12SortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .limit(10)
+
+  /** Tumbling-window aggregation (batch twin of the Structured Streaming
+    * windowed agg, SURVEY.md §2.8): hourly event counts + exact decimal sums
+    * so results are summation-order independent. */
+  def q13HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Sessionization with a 30-minute inactivity gap (batch twin of
+    * flatMapGroupsWithState sessionization): lag-gap boundary flag, then a
+    * running sum per user forms the session id. Timestamps are compared in
+    * epoch micros so the ns->us parquet truncation is explicit. Scales as a
+    * single shuffle on user_id (both windows share the partitioning). */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q10_date_dim" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+        | strftime(d, '%Y-%m-%d') AS full_date,
+        | dayname(d) AS day_of_week,
+        | CAST(isodow(d) AS SMALLINT) AS day_number_in_week,
+        | isodow(d) = 7 AS last_day_in_week_indicator,
+        | monthname(d) AS month_name,
+        | CAST(month(d) AS SMALLINT) AS month_number_in_year,
+        | dayname(d) NOT IN ('Saturday', 'Sunday') AS weekday_flag
+        |FROM (SELECT unnest(generate_series(DATE '2022-01-01', DATE '2023-12-31', INTERVAL 1 DAY))::DATE AS d)""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q12_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q13_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}

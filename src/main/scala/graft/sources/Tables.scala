@@ -26,7 +26,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as long (legacy conf)
+    * and convert to microsecond TimestampType with integer division —
+    * floor semantics identical to DuckDB's ns->us truncation, and no
+    * double-precision detour (2024 epoch-nanos exceed 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

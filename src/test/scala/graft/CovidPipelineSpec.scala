@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{CovidOps, Dims, Mart}
+import graft.pipeline.{CovidFixture, CovidPipeline}
+import graft.quality.Quality
+
+class CovidPipelineSpec extends SparkSpec {
+
+  private val ds = "2023-03-02"
+  private lazy val stage = CovidFixture.stage(spark, ds)
+  private lazy val result = CovidPipeline.run(spark, stage, ds)
+
+  test("flatten drops junk provinces including NULL (reference != semantics)") {
+    val flat = CovidOps.flatten(stage, ds)
+    // 5 countries x 48 real provinces; Unknown/Recovered/NULL all dropped.
+    assert(flat.count() === 240)
+    val names = flat.select("region_name").collect().map(_.getString(0))
+    assert(!names.contains("Unknown") && !names.contains("Recovered"))
+    assert(names.forall(_ != null))
+  }
+
+  test("flatten respects the 14-column contract order") {
+    val flat = CovidOps.flatten(stage, ds)
+    assert(flat.columns.toSeq === graft.schemas.CovidSchemas.flatContract)
+  }
+
+  test("date filter selects only the requested increment") {
+    val other = CovidOps.flatten(stage, "2023-03-03")
+    assert(other.count() === 0)
+  }
+
+  test("fact has populated surrogate keys and passes FK integrity") {
+    val fact = result.fact
+    assert(fact.count() === 240)
+    assert(fact.filter(fact("region_key").isNull).count() === 0)
+    assert(fact.filter(fact("date_key") =!= 20230302).count() === 0)
+    assert(Mart.fkOrphans(fact, result.regionDim, "region_key").count() === 0)
+  }
+
+  test("region dim is distinct with dense keys 1..N") {
+    val dim = result.regionDim
+    val n = dim.count()
+    assert(dim.select("region_name").distinct().count() === n)
+    val keys = dim.select("region_key").collect().map(_.getInt(0)).sorted
+    assert(keys.toSeq === (1 to n.toInt))
+  }
+
+  test("quality gate fails beyond tolerance") {
+    intercept[Quality.QualityCheckFailure] {
+      CovidPipeline.run(spark, stage, ds, expectedRows = 300, tolerance = 0.02)
+    }
+    // 240 vs expected 245 is within 2.05% -> fails at 2% exactly? |240-245|=5 > 0.02*245=4.9 -> fails
+    intercept[Quality.QualityCheckFailure] {
+      CovidPipeline.run(spark, stage, ds, expectedRows = 245, tolerance = 0.02)
+    }
+    // within tolerance passes: |240-244| = 4 <= 4.88
+    CovidPipeline.run(spark, stage, ds, expectedRows = 244, tolerance = 0.02)
+  }
+}

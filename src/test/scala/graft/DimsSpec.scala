@@ -1,0 +1,55 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.ops.Dims
+
+/** F2 / F7 traps (SURVEY.md §7.3): yyyymmdd key round-trip and the
+  * Postgres-isodow vs Spark-dayofweek remap, checked exhaustively against
+  * java.time as the independent calendar oracle (4 years incl. a leap year
+  * and year boundaries — every weekday x month combination occurs). */
+class DimsSpec extends SparkSpec {
+
+  private val start = LocalDate.of(2019, 12, 25)
+  private val days: Seq[LocalDate] =
+    (0 until 1500).map(start.plusDays(_)) // through Feb 2024, spans 2020 leap
+
+  test("isoDow matches java.time ISO day-of-week, exhaustively") {
+    import spark.implicits._
+    val got = days.map(_.toString).toDF("d")
+      .select(col("d"), Dims.isoDow(to_date(col("d"))).as("iso"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    days.foreach { d =>
+      assert(got(d.toString) === d.getDayOfWeek.getValue, s"isoDow mismatch for $d")
+    }
+  }
+
+  test("dateKey yyyymmdd round-trips, exhaustively") {
+    import spark.implicits._
+    val got = days.map(_.toString).toDF("d")
+      .select(col("d"), Dims.dateKey(to_date(col("d"))).as("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    days.foreach { d =>
+      val want = d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+      assert(got(d.toString) === want, s"dateKey mismatch for $d")
+    }
+  }
+
+  test("dateDim matches reference cardinality and known-date attributes") {
+    val dim = Dims.dateDim(spark).cache()
+    try {
+      assert(dim.count() === 36890L) // pg_init_covid19.sql:195-196
+      val row = dim.filter(col("date_key") === 20230302).collect().head
+      // 2023-03-02 was a Thursday
+      assert(row.getAs[String]("day_of_week") === "Thursday")
+      assert(row.getAs[Short]("day_number_in_week") === 4)
+      assert(row.getAs[Boolean]("last_day_in_week_indicator") === false)
+      assert(row.getAs[String]("month_name") === "March")
+      assert(row.getAs[Boolean]("weekday_flag") === true)
+      val sun = dim.filter(col("date_key") === 20230305).collect().head
+      assert(sun.getAs[Short]("day_number_in_week") === 7)
+      assert(sun.getAs[Boolean]("last_day_in_week_indicator") === true)
+      assert(sun.getAs[Boolean]("weekday_flag") === false)
+    } finally dim.unpersist()
+  }
+}
