@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{CovidFixture, CovidPipeline}
-import graft.queries.{CoreQueries, DateTimeQueries, Oracles}
+import graft.queries.{CoreQueries, DateTimeQueries, Oracles, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -29,10 +29,18 @@ object SparkEntry {
     "q11_json_extract" -> (DateTimeQueries.q11JsonExtract _),
     "q12_sort_limit" -> (DateTimeQueries.q12SortLimit _),
     "q13_hourly_agg" -> (DateTimeQueries.q13HourlyAgg _),
-    "q14_sessionize" -> (DateTimeQueries.q14Sessionize _)
+    "q14_sessionize" -> (DateTimeQueries.q14Sessionize _),
+    "q15_token_stats" -> (TextQueries.q15TokenStats _),
+    "q16_lang_id" -> (TextQueries.q16LangId _),
+    "q17_fingerprint" -> (TextQueries.q17Fingerprint _),
+    "q18_dedup_exact" -> (TextQueries.q18DedupExact _),
+    "q19_minhash_lsh" -> (TextQueries.q19MinhashLsh _),
+    "q20_jaccard_pairs" -> (TextQueries.q20JaccardPairs _),
+    "q21_simhash" -> (TextQueries.q21Simhash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.core ++ DateTimeQueries.oracles
+  def oracleSql: Map[String, String] =
+    Oracles.core ++ DateTimeQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact hash dedup,
+  * word-shingle MinHash signatures with LSH banding for near-duplicate
+  * candidate generation, n-gram Jaccard verification, and SimHash.
+  *
+  * Scale design: signatures/bands are computed per-row with higher-order
+  * functions (narrow, no shuffle); the only shuffle is the band-bucket
+  * self-join, which touches `docs x bands` small rows (band keys are 32-byte
+  * md5 strings, not documents). At 100 TB the candidate join is the standard
+  * LSH trick: only documents agreeing on at least one band ever meet. MinHash
+  * values are lexicographic minima of md5 hex strings — stable across
+  * engines, no platform-specific hash seeds.
+  */
+object Dedup {
+
+  /** Normalization for exact dedup: lowercase + length-capped prefix.
+    * (Cap keeps the groupBy key bounded; at scale use the full text's md5
+    * computed the same way.) */
+  def normKey(text: Column, prefixLen: Int = 120): Column =
+    md5(lower(text.substr(lit(1), lit(prefixLen))))
+
+  /** Exact dedup by key: one survivor (min id) per key + group size.
+    * A single hash-aggregate shuffle on the 32-byte key. */
+  def dedupByKey(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("kept_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-shingles (n=3): sliding window of tokens joined by single
+    * spaces; empty when the document has fewer than n tokens. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature of k permutation-analogs: signature[s] =
+    * min over shingles of md5(s || '|' || shingle). Lexicographic min of
+    * md5 hex == min of the 128-bit hash value; seeds are just prefixes, so
+    * both engines compute identical signatures. */
+  def minhashSignature(shingleCol: Column, k: Int = 12): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleCol,
+        x => md5(concat(s.cast("string"), lit("|"), x)))))
+
+  /** LSH banding: band b's key hashes rows [b*r+1, b*r+r] of the signature.
+    * Returns an array of (band, band_key) structs to explode. */
+  def lshBands(sig: Column, bands: Int = 6, r: Int = 2): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        md5(concat(element_at(sig, b * r + 1), element_at(sig, b * r + 2)))
+          .as("band_key")))
+
+  /** Candidate near-duplicate pairs: documents sharing at least one LSH
+    * band bucket. Input must have columns (doc_id, band, band_key). */
+  def candidatePairs(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("doc_id").as("doc1"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc2"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two distinct-token arrays via membership
+    * counting (order-independent, engine-portable). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(filter(da, x => array_contains(db, x))).cast("double")
+    val union = size(da).cast("double") + size(db).cast("double") - inter
+    inter / union
+  }
+
+  /** 16-bit SimHash over the token multiset, bits from md5 hex nibbles:
+    * bit j set iff sum over tokens of (+1 if digit_j(md5(token)) >= 8
+    * else -1) is positive. */
+  def simhash16(toks: Column): Column = {
+    val hashes = transform(toks, t => md5(t))
+    val bits = transform(sequence(lit(0), lit(15)), j => {
+      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(conv(h.substr(j + 1, lit(1)), 16, 10).cast("long") >= 8, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

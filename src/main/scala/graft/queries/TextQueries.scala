@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Training-data text operators over the `documents` fixture: token/quality
+  * stats, language-ID heuristic, fingerprinting, exact dedup, MinHash+LSH
+  * near-dup candidates, Jaccard verification, SimHash. All higher-order
+  * Column expressions (no UDFs); every query has a value-exact DuckDB twin.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a")
+
+  /** Synthetic marker profiles over the fixture vocabulary — the langId
+    * operator takes real character-n-gram profiles in production; the
+    * fixture's text is topic-flavored English so profiles are topical. */
+  private val profiles = Seq(
+    "qry" -> Seq("query", "scan", "filter"),
+    "str" -> Seq("stream", "batch", "window"),
+    "tab" -> Seq("table", "join", "row"))
+
+  def q15TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = TA.tokens(col("text"))
+    val n = TA.tokenCount(t)
+    val d = TA.distinctTokenCount(t)
+    val c = TA.tokenChars(t)
+    val s = TA.stopwordCount(t, stopwords)
+    val nd = n.cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      d.as("n_distinct"),
+      c.as("token_chars"),
+      s.as("n_stopwords"),
+      round(c.cast("double") / nd, 4).as("avg_token_len"),
+      round((lit(0.3) * (d.cast("double") / nd)
+        + lit(0.3) * (lit(1.0) - s.cast("double") / nd)
+        + lit(0.4) * least(lit(1.0), nd / lit(100.0))), 4).as("quality_score"))
+  }
+
+  def q16LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TA.langScores(col("text"), profiles)
+    val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
+    Tables.documents(spark, dir).select(
+      (col("doc_id") +: scoreCols :+ TA.langPredict(scores).as("predicted")): _*)
+  }
+
+  def q17Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TA.rollingHash(col("text")).as("fp"),
+      md5(col("text")).as("checksum"))
+
+  def q18DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupByKey(
+      Tables.documents(spark, dir),
+      Dedup.normKey(col("text")), col("doc_id"))
+
+  private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignature(Dedup.shingles3(TA.tokens(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.lshBands(sig)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+  }
+
+  def q19MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.candidatePairs(bandedDocs(spark, dir))
+
+  /** Near-dup verification on LSH candidates with 3-shingle Jaccard — the
+    * quantity MinHash actually estimates. (Token-set Jaccard is useless on
+    * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
+    * but near 0 on shingle sets.) */
+  def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
+    val pairs = Dedup.candidatePairs(bandedDocs(spark, dir))
+    pairs
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(Dedup.jaccard(col("t1"), col("t2")), 4).as("jacc"))
+      .filter(col("jacc") >= 0.3)
+  }
+
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Dedup.simhash16(TA.tokens(col("text"))).as("simhash"))
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  private val toksSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+
+  private def occSql(m: String) =
+    s"((len(text) - len(replace(text, '$m', ''))) // ${m.length})"
+
+  private def scoreSql(markers: Seq[String]) =
+    markers.map(occSql).mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q15_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS token_chars,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_distinct, token_chars, n_stopwords,
+         |  ROUND(CAST(token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+         |  ROUND(0.3::DOUBLE * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    + 0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE), 4) AS quality_score
+         |FROM m""".stripMargin,
+
+    "q16_lang_id" ->
+      s"""SELECT doc_id,
+         |  ${scoreSql(profiles(0)._2)} AS score_qry,
+         |  ${scoreSql(profiles(1)._2)} AS score_str,
+         |  ${scoreSql(profiles(2)._2)} AS score_tab,
+         |  CASE
+         |    WHEN ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(1)._2)}
+         |     AND ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'qry'
+         |    WHEN ${scoreSql(profiles(1)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'str'
+         |    ELSE 'tab'
+         |  END AS predicted
+         |FROM documents""".stripMargin,
+
+    "q17_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, len(text)),
+        |      i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "q18_dedup_exact" ->
+      """SELECT md5(lower(substr(text, 1, 120))) AS dedup_key,
+        |  MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q19_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    k -> list_min(list_transform(s, x -> md5(k::VARCHAR || '|' || x)))) AS g
+         |  FROM sh),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1] || g[2 * u.b + 2]) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u)
+         |SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |FROM bands a JOIN bands c
+         |  ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id""".stripMargin,
+
+    "q20_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    k -> list_min(list_transform(s, x -> md5(k::VARCHAR || '|' || x)))) AS g
+         |  FROM sh),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1] || g[2 * u.b + 2]) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |j AS (SELECT p.doc1, p.doc2,
+         |  ROUND(
+         |    CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)
+         |    / (CAST(len(list_distinct(t1.s)) AS DOUBLE) + CAST(len(list_distinct(t2.s)) AS DOUBLE)
+         |       - CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)), 4) AS jacc
+         |  FROM pairs p
+         |  JOIN sh t1 ON t1.doc_id = p.doc1
+         |  JOIN sh t2 ON t2.doc_id = p.doc2)
+         |SELECT doc1, doc2, jacc FROM j WHERE jacc >= 0.3""".stripMargin,
+
+    "q21_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toksSql, x -> md5(x)) AS hs FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(generate_series(0, 15), j ->
+         |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(hs, h ->
+         |          CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
+         |               THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+         |        (a, b) -> a + b) > 0
+         |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
+         |    (a, b) -> a + b) AS simhash
+         |FROM t""".stripMargin
+  )
+}
