@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{CovidFixture, CovidPipeline}
-import graft.queries.{CoreQueries, DateTimeQueries, Oracles, TextQueries}
+import graft.queries.{CoreQueries, DateTimeQueries, Oracles, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,11 +36,14 @@ object SparkEntry {
     "q18_dedup_exact" -> (TextQueries.q18DedupExact _),
     "q19_minhash_lsh" -> (TextQueries.q19MinhashLsh _),
     "q20_jaccard_pairs" -> (TextQueries.q20JaccardPairs _),
-    "q21_simhash" -> (TextQueries.q21Simhash _)
+    "q21_simhash" -> (TextQueries.q21Simhash _),
+    "q22_cosine_topk" -> (SimilarityQueries.q22CosineTopK _),
+    "q23_ann_srp" -> (SimilarityQueries.q23AnnSrp _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.core ++ DateTimeQueries.oracles ++ TextQueries.oracles
+    Oracles.core ++ DateTimeQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles
 }

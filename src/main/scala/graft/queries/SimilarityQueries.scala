@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` fixture: brute-force cosine
+  * top-k (baseline) and signed-random-projection LSH ANN (scale path).
+  * Cosines are bit-identical across engines (fixed-order double folds).
+  */
+object SimilarityQueries {
+
+  private val nQueries = 8
+  private val tables = 8
+  private val planesPerTable = 3
+  private val dims = 64
+  private lazy val signs = Similarity.hyperplaneSigns(tables * planesPerTable, dims)
+
+  /** Brute-force top-5 cosine neighbors for the first 8 query vectors.
+    * The query side is broadcast: the corpus never shuffles, the cross
+    * product is a narrow map, and the windowed top-k keeps only k rows per
+    * query per partition before the final tiny shuffle. */
+  def q22CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = Similarity.cosine(col("qe"), col("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), cos.as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
+  }
+
+  /** ANN via multi-table SRP-LSH (AND-then-OR amplification): per-row
+    * bucket ids for `tables` coarse tables (no shuffle), candidates =
+    * vectors sharing a bucket in ANY table, then exact cosine top-3 per
+    * query over candidates only. At scale the per-table bucket join is an
+    * equi-join on (table, bucket) that Catalyst shuffle-hashes; the
+    * brute-force cross join never happens, and table/plane counts tune the
+    * recall/candidate-volume tradeoff. */
+  def q23AnnSrp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val banded = emb
+      .select(col("vec_id"),
+        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = banded.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = Similarity.cosine(col("qe"), col("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(q), Seq("qid"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .select(col("qid"), col("neighbor_id"), cos.as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
+  }
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  /** Same left-to-right double fold as Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / sqrt((${dotSql(a, a)}) * (${dotSql(b, b)}))"
+
+  /** Bucket expression for one table, inlining the same +-1 hyperplane
+    * literals used by the Spark plan. */
+  private def bucketSql(v: String, table: Int): String =
+    signs.slice(table * planesPerTable, (table + 1) * planesPerTable)
+      .zipWithIndex.map { case (plane, j) =>
+        val arr = plane.mkString("[", ",", "]")
+        s"CASE WHEN (${dotSql(v, arr)}) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q22_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+         |c AS (SELECT q.qid, e.vec_id AS neighbor_id,
+         |  ${cosSql("q.qe", "e.embedding")} AS cs
+         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, neighbor_id, cs,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+         |  FROM c)
+         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "q23_ann_srp" ->
+      s"""WITH bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
+         |cand AS (SELECT DISTINCT qb.qid, e.vec_id AS neighbor_id
+         |  FROM tb e JOIN qb ON e.tbl = qb.tbl AND e.bucket = qb.bucket
+         |  WHERE e.vec_id <> qb.qid),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+         |c AS (SELECT cand.qid, cand.neighbor_id,
+         |  ${cosSql("q.qe", "e.embedding")} AS cs
+         |  FROM cand
+         |  JOIN q ON q.qid = cand.qid
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+         |r AS (SELECT qid, neighbor_id, cs,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+         |  FROM c)
+         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
+  )
+}
