@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the `events` fixture stream (see TESTDATA.md). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user running aggregate maintained by [[Streams.runningUserStats]]. */
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                       last_ts: java.sql.Timestamp)
+
+/** Structured Streaming operators.
+  *
+  * The reference is daily batch (SURVEY.md §2.8 — `dags/ETL_covid19_spark.py:76`
+  * pins `schedule_interval=timedelta(days=1)`), so nothing here is required for
+  * parity; these are the streaming-shaped capabilities a training-data engine
+  * needs, built the Spark-native way: every transform is `DataFrame =>
+  * DataFrame`, so the SAME code runs in batch mode (tested against the DuckDB
+  * oracle via the batch queries q13/q14) and under `readStream`/`writeStream`
+  * (tested with MemoryStream in StreamingSpec).
+  *
+  * Scale notes (100 TB/day firehose):
+  *  - watermarks bound state: without them, windowed agg state grows forever;
+  *  - state lives in the HDFS/RocksDB state store partitioned by grouping key —
+  *    the groupBy key (event_type / user_id) is the shuffle key, so key skew
+  *    (one hot user) is the thing to watch; salting the window start into the
+  *    key is the standard fix;
+  *  - `dropDuplicatesWithinWatermark` keeps only the watermark-width id set
+  *    per partition instead of all-time ids.
+  */
+object Streams {
+
+  /** Tumbling-window aggregate: count + sum(value) per (window, event_type).
+    * Watermark bounds state eviction; in batch mode the watermark is a no-op
+    * and results equal a plain groupBy — that equivalence is the spec. */
+  def tumblingAgg(events: DataFrame, window_ : String = "10 minutes",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window aggregate (window/slide): each event lands in
+    * window/slide windows. */
+  def slidingAgg(events: DataFrame, window_ : String = "10 minutes",
+                 slide: String = "5 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via the native `session_window` generator —
+    * the streaming twin of the batch lag/cumsum sessionizer (q14, which has
+    * the DuckDB oracle). Sessions close when no event arrives for `gap`. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Exactly-once by event_id within the watermark: late duplicates beyond
+    * the watermark age out of state instead of accumulating forever. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state: per-user running (count, sum, last-seen) emitted on
+    * every update — the `flatMapGroupsWithState` pattern for state machines
+    * the built-in windows can't express. State is one small case class per
+    * user key, partitioned by user_id in the state store. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(
+            UserRunning(uid, 0L, 0.0, new java.sql.Timestamp(0L)))
+          // fold this batch in event order (MemoryStream preserves addData order
+          // within a partition; sort by ts for determinism across partitions)
+          val next = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foldLeft(prev) { (s, e) =>
+              UserRunning(uid, s.n_events + 1, s.total_value + e.value,
+                if (e.ts.after(s.last_ts)) e.ts else s.last_ts)
+            }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, Streams}
+
+/** Streaming operators under MemoryStream micro-batches; correctness is
+  * "stream result == the same transform applied in batch mode" (plus the
+  * batch twins q13/q14 carry the DuckDB oracle). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch1 = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(1), 1, "click", 2.0),
+    Event(3, ts(4), 2, "view", 10.0),
+    Event(4, ts(11), 1, "click", 3.0))
+  private val batch2 = Seq(
+    Event(5, ts(12), 2, "view", 20.0),
+    Event(6, ts(25), 1, "click", 4.0),
+    Event(4, ts(11), 1, "click", 3.0)) // duplicate event_id 4
+
+  private def runComplete(stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  private def feed(batches: Seq[Event]*): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    batches.foreach(b => ms.addData(b))
+    ms.toDF()
+  }
+
+  test("tumblingAgg: stream == batch on identical rows") {
+    import spark.implicits._
+    val streamed = runComplete(Streams.tumblingAgg(feed(batch1, batch2)), "tumb")
+    val batch = Streams.tumblingAgg((batch1 ++ batch2).toDF())
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // window math: minute 0,1,4 land in [10:00,10:10); 11,12 in [10:10,10:20)
+    val n = streamed.filter(col("event_type") === "click" &&
+      col("window_start") === ts(0)).select("n_events").as[Long].head()
+    assert(n === 2L)
+  }
+
+  test("slidingAgg: each event lands in window/slide windows") {
+    import spark.implicits._
+    val streamed = runComplete(Streams.slidingAgg(feed(batch1)), "slid")
+    val batch = Streams.slidingAgg(batch1.toDF())
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // 10:00 click events appear in both the [09:55,10:05) and [10:00,10:10) windows
+    val starts = streamed.filter(col("event_type") === "click")
+      .select("window_start").as[java.sql.Timestamp].collect().toSet
+    assert(starts.contains(java.sql.Timestamp.valueOf("2024-01-01 09:55:00")))
+    assert(starts.contains(ts(0)))
+  }
+
+  test("sessionAgg: session_window closes after gap; stream == batch") {
+    import spark.implicits._
+    val streamed = runComplete(
+      Streams.sessionAgg(feed(batch1, batch2), gap = "10 minutes"), "sess")
+    val batch = Streams.sessionAgg((batch1 ++ batch2).toDF(), gap = "10 minutes")
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // user 1: events at minutes 0,1,11 + the dup at 11 chain (gaps < 10m);
+    // minute 25 starts a new session (11 + 10m gap = 21 < 25)
+    val u1 = streamed.filter(col("user_id") === 1)
+      .select("n_events").as[Long].collect().sorted
+    assert(u1.toSeq === Seq(1L, 4L))
+  }
+
+  test("dedupWithinWatermark drops the cross-batch duplicate event_id") {
+    import spark.implicits._
+    val out = Streams.dedupWithinWatermark(feed(batch1, batch2))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length)
+    assert(ids.count(_ == 4L) === 1)
+  }
+
+  test("runningUserStats accumulates state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.runningUserStats(ms.toDS())
+      .writeStream.format("memory").queryName("run")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(batch1); q.processAllAvailable()
+    ms.addData(batch2); q.processAllAvailable()
+    q.stop()
+    // last emission for user 1: 3 events in batch1 + 2 more in batch2 = 5
+    val rows = spark.table("run").filter(col("user_id") === 1)
+      .select("n_events", "total_value")
+      .as[(Long, Double)].collect()
+    assert(rows.map(_._1).max === 5L)
+    assert(rows.find(_._1 == 5L).get._2 === (1.0 + 2.0 + 3.0 + 4.0 + 3.0))
+  }
+}
