@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{CovidFixture, CovidPipeline}
-import graft.queries.{CoreQueries, DateTimeQueries, Oracles, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, DateTimeQueries, MediaQueries, Oracles, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -38,12 +38,17 @@ object SparkEntry {
     "q20_jaccard_pairs" -> (TextQueries.q20JaccardPairs _),
     "q21_simhash" -> (TextQueries.q21Simhash _),
     "q22_cosine_topk" -> (SimilarityQueries.q22CosineTopK _),
-    "q23_ann_srp" -> (SimilarityQueries.q23AnnSrp _)
+    "q23_ann_srp" -> (SimilarityQueries.q23AnnSrp _),
+    "q24_binary_meta" -> (MediaQueries.q24BinaryMeta _),
+    "q25_frame_sample" -> (MediaQueries.q25FrameSample _),
+    "q26_media_features" -> (MediaQueries.q26MediaFeatures _),
+    "q27_bpe_tokens" -> (TextQueries.q27BpeTokens _),
+    "q28_cosine_neardup" -> (SimilarityQueries.q28CosineNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.core ++ DateTimeQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++ MediaQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input row for the stub decode boundary ([[Multimodal.decodeFeatures]]). */
+case class MediaRow(media_id: Long, kind: String, blob: Array[Byte])
+
+/** Output of the stub decode: fixed-length feature vector + byte count. */
+case class MediaFeatures(media_id: Long, kind: String,
+                         n_bytes: Long, features: Array[Float])
+
+/** Multimodal (image/audio/video) columns for a training-data pipeline.
+  *
+  * Media is modeled the way a 100 TB lakehouse stores it: an opaque `binary`
+  * blob column plus a TYPED metadata struct (kind, width, height, sample_rate,
+  * n_frames) — never parsed strings. All relational work (filtering by kind,
+  * joining metadata, sampling frames) stays in Catalyst expressions on the
+  * metadata; only the decode step touches blob bytes, and it runs
+  * partition-wise so a real codec (JPEG/PCM/mp4 demux) drops in without
+  * changing the plan shape.
+  *
+  * The decode itself is a STUB: no image/audio codecs exist in this
+  * environment, so [[decodeFeatures]] derives a deterministic 16-bin byte
+  * histogram from the blob. The Spark-side contract — schema, batch shape,
+  * partition-wise execution, fixed-length Array[Float] output — is the real,
+  * tested part; swap `stubDecode` for a codec call in production.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("blob", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))), nullable = false)))
+
+  /** Deterministic media table derived from the `documents` fixture: the
+    * text bytes become the blob, metadata derives arithmetically from
+    * doc_id/n_chars so the DuckDB oracle can reproduce it exactly. */
+  def fromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("blob"),
+      struct(
+        (col("n_chars") % 640 + 64).cast("int").as("width"),
+        (col("n_chars") % 480 + 48).cast("int").as("height"),
+        when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(0))
+          .cast("int").as("sample_rate"),
+        (col("n_chars") % 240 + 16).cast("int").as("n_frames")).as("meta"))
+
+  /** Byte-level blob features — pure Catalyst expressions (codegen'd, no
+    * UDF): size, content hash, and an 8-byte prefix signature. */
+  def byteSize(blob: Column): Column = octet_length(blob)
+  def contentHash(blob: Column): Column = sha2(blob, 256)
+  def prefixSig(blob: Column, n: Int = 8): Column =
+    lower(hex(substring(blob, 1, n)))
+
+  /** Frame sampling: every `stride`-th frame index in [0, n_frames) from
+    * metadata only — `sequence` + `explode`, no blob bytes touched. The
+    * video-decode analog of LIMIT-pushdown: decide WHICH frames before any
+    * expensive decode runs. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .filter(col("meta.n_frames") > 0)
+      .select(col("media_id"), col("kind"), col("meta.n_frames").as("n_frames"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1,
+          lit(stride))).as("frame_idx"))
+
+  /** STUB decode boundary — deterministic 16-bin normalized byte histogram
+    * standing in for a codec. Runs via mapPartitions so each task amortizes
+    * per-batch setup (a real decoder's native context) across its partition,
+    * the same execution shape a JPEG/PCM decode would use. Output is a
+    * fixed-length Array[Float] feature column ready for the similarity ops
+    * (q22/q23 cosine / SRP-LSH take any Array[Float]). */
+  def decodeFeatures(media: DataFrame, bins: Int = 16): DataFrame = {
+    val enc = Encoders.product[MediaFeatures]
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        // per-partition setup happens ONCE here (real codec: init context)
+        rows.map { r =>
+          val hist = new Array[Float](bins)
+          r.blob.foreach(b => hist((b & 0xff) * bins / 256) += 1f)
+          val n = math.max(1, r.blob.length)
+          MediaFeatures(r.media_id, r.kind, r.blob.length.toLong,
+            hist.map(_ / n))
+        }
+      }(enc)
+      .toDF()
+  }
+}

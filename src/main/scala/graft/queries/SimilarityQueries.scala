@@ -70,6 +70,32 @@ object SimilarityQueries {
       .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector twin of MinHash
+    * dedup (q19/q20): SRP-LSH candidate pairs (vectors sharing a bucket in
+    * ANY table, vec_id1 < vec_id2), then exact cosine >= threshold on
+    * candidates only. At 100 TB the candidate join is an equi-join on
+    * (table, bucket) — the all-pairs cross join never materializes, and the
+    * same banded frame feeds both sides so the corpus is scanned once. */
+  def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val banded = emb
+      .select(col("vec_id"),
+        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    val cos = Similarity.cosine(col("e1"), col("e2"))
+    pairs
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), Seq("id2"))
+      .select(col("id1"), col("id2"), cos.as("cs"))
+      .filter(col("cs") >= 0.3)
+      .select(col("id1"), col("id2"), round(col("cs"), 6).as("cos"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -100,6 +126,22 @@ object SimilarityQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
          |  FROM c)
          |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "q28_cosine_neardup" ->
+      s"""WITH bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |c AS (SELECT p.id1, p.id2,
+         |  ${cosSql("e1.embedding", "e2.embedding")} AS cs
+         |  FROM pairs p
+         |  JOIN embeddings e1 ON e1.vec_id = p.id1
+         |  JOIN embeddings e2 ON e2.vec_id = p.id2)
+         |SELECT id1, id2, ROUND(cs, 6) AS cos FROM c WHERE cs >= 0.3""".stripMargin,
 
     "q23_ann_srp" ->
       s"""WITH bl AS (SELECT vec_id,

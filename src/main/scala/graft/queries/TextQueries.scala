@@ -85,6 +85,22 @@ object TextQueries {
       .filter(col("jacc") >= 0.3)
   }
 
+  /** BPE-ish subword token counting: a GPT-style pre-tokenizer regex
+    * (letter runs | digit runs | single non-alnum) counted per class —
+    * the real thing a token-budgeted corpus pipeline meters by. Pure
+    * `regexp_extract_all`/`size` Catalyst expressions; same RE2-compatible
+    * pattern inlined into the oracle. */
+  def q27BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_bpe_tokens"),
+      n("[A-Za-z]+").as("n_word_tokens"),
+      n("[0-9]+").as("n_number_tokens"),
+      n("[^A-Za-z0-9\\s]").as("n_other_tokens"))
+  }
+
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -188,6 +204,14 @@ object TextQueries {
          |  JOIN sh t1 ON t1.doc_id = p.doc1
          |  JOIN sh t2 ON t2.doc_id = p.doc2)
          |SELECT doc1, doc2, jacc FROM j WHERE jacc >= 0.3""".stripMargin,
+
+    "q27_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_other_tokens
+        |FROM documents""".stripMargin,
 
     "q21_simhash" ->
       s"""WITH t AS (SELECT doc_id,
