@@ -76,11 +76,20 @@ object Dedup {
     inter / union
   }
 
+  /** Per-token md5 hashes — materialize this as its own column before
+    * [[simhash16FromHashes]]: the 16 bit-sums each re-read the hash array,
+    * so an inlined hash expression would be recomputed 16x per row. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => md5(t))
+
   /** 16-bit SimHash over the token multiset, bits from md5 hex nibbles:
     * bit j set iff sum over tokens of (+1 if digit_j(md5(token)) >= 8
     * else -1) is positive. */
-  def simhash16(toks: Column): Column = {
-    val hashes = transform(toks, t => md5(t))
+  def simhash16(toks: Column): Column =
+    simhash16FromHashes(tokenHashes(toks))
+
+  /** SimHash from a pre-materialized token-hash column (the staged form —
+    * pass an attribute, not an expression, on hot paths). */
+  def simhash16FromHashes(hashes: Column): Column = {
     val bits = transform(sequence(lit(0), lit(15)), j => {
       val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(conv(h.substr(j + 1, lit(1)), 16, 10).cast("long") >= 8, 1L)

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product. */
+  /** Left-to-right double-precision dot product — the codegen'd native
+    * expression ([[graft.functions.VecDot]]); bit-identical to the
+    * `aggregate(zip_with(...))` higher-order form it replaced, but without
+    * the CodegenFallback interpretation tax on the candidate-pair hot path. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** The composable higher-order form (kept as the semantic reference the
+    * custom expression must match; see SimilaritySpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -23,14 +23,16 @@ object TextQueries {
     "tab" -> Seq("table", "join", "row"))
 
   def q15TokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = TA.tokens(col("text"))
+    val t = col("toks") // staged: tokenize once, 4 stats re-read the array
     val n = TA.tokenCount(t)
     val d = TA.distinctTokenCount(t)
     val c = TA.tokenChars(t)
     val s = TA.stopwordCount(t, stopwords)
     val nd = n.cast("double")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
       n.as("n_tokens"),
       d.as("n_distinct"),
       c.as("token_chars"),
@@ -59,12 +61,29 @@ object TextQueries {
       Tables.documents(spark, dir),
       Dedup.normKey(col("text")), col("doc_id"))
 
-  private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Dedup.minhashSignature(Dedup.shingles3(TA.tokens(col("text"))))
+  /** Staged minhash banding: tokens -> shingles -> signature -> bands, one
+    * projection per stage. Staging is load-bearing twice over: (a) each
+    * stage's column is referenced many times downstream (12 minhash seeds
+    * re-read the shingle array, 6 bands re-read the signature) — keeping it
+    * a materialized alias means it's computed ONCE per row instead of once
+    * per lambda element (inlined, the pipeline is O(n^2 * k) per doc and
+    * measured minutes-slow at sf0.1); CollapseProject keeps the stages
+    * because merging would duplicate non-cheap multi-referenced exprs.
+    * (b) documents is one small parquet file — a single input partition —
+    * but minhash is CPU-bound, so we spread rows across all cores first
+    * (at 100 TB the table has thousands of splits and the repartition is
+    * unnecessary but harmless: it's narrow-per-row compute either way). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.lshBands(sig)).as("bb"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shingles3(col("toks")).as("sh"))
+
+  private def bandedDocs(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), explode(Dedup.lshBands(col("sig"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-  }
 
   def q19MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.candidatePairs(bandedDocs(spark, dir))
@@ -74,8 +93,7 @@ object TextQueries {
     * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
     * but near 0 on shingle sets.) */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
+    val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedDocs(spark, dir))
     pairs
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
@@ -102,9 +120,12 @@ object TextQueries {
   }
 
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      Dedup.simhash16(TA.tokens(col("text"))).as("simhash"))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.tokenHashes(col("toks")).as("hs"))
+      .select(col("doc_id"),
+        Dedup.simhash16FromHashes(col("hs")).as("simhash"))
 
   // ---- DuckDB oracle twins ------------------------------------------------
 

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** The native codegen'd vec_dot must be BIT-identical to the higher-order
+  * `aggregate(zip_with(...))` fold it replaces — same IEEE evaluation
+  * order — on the real embeddings fixture, and callable from SQL. */
+class VecDotSpec extends SparkSpec {
+
+  test("vec_dot is bit-identical to the zip_with/aggregate fold") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val q = emb.select(col("embedding").as("qe"), col("vec_id"))
+      .filter(col("vec_id") < 4).drop("vec_id")
+    val pairs = emb.crossJoin(broadcast(q))
+    val diff = pairs.select(
+      Similarity.dot(col("qe"), col("embedding")).as("fast"),
+      Similarity.dotHof(col("qe"), col("embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref")) // exact double equality
+      .count()
+    assert(diff === 0L)
+    // and cosine built on it stays in [-1, 1]
+    val cs = pairs.select(
+      Similarity.cosine(col("qe"), col("embedding")).as("c")).as[Double].collect()
+    assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("vec_dot registers as a SQL function via GraftFunctions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(r === 32.0)
+  }
+
+  test("vec_dot of int-literal hyperplanes matches srp bucketing inputs") {
+    import spark.implicits._
+    // array<int> planes cast through array<double> — the srpBucket path
+    val d = spark.range(1).select(
+      Similarity.dot(
+        array(lit(0.5f), lit(-1.5f)),
+        array(lit(1), lit(-1))).as("d")).as[Double].head()
+    assert(d === (0.5f.toDouble * 1.0) + (-1.5f.toDouble * -1.0))
+  }
+}
