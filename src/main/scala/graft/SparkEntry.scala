@@ -43,7 +43,8 @@ object SparkEntry {
     "q25_frame_sample" -> (MediaQueries.q25FrameSample _),
     "q26_media_features" -> (MediaQueries.q26MediaFeatures _),
     "q27_bpe_tokens" -> (TextQueries.q27BpeTokens _),
-    "q28_cosine_neardup" -> (SimilarityQueries.q28CosineNearDup _)
+    "q28_cosine_neardup" -> (SimilarityQueries.q28CosineNearDup _),
+    "q29_ann_ivf" -> (SimilarityQueries.q29AnnIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

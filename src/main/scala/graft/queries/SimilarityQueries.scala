@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
@@ -96,6 +96,53 @@ object SimilarityQueries {
       .select(col("id1"), col("id2"), round(col("cs"), 6).as("cos"))
   }
 
+  private val kCentroids = 8
+  private val nProbe = 2
+
+  /** ANN via IVF (inverted-file) cells — the second scale path next to
+    * SRP-LSH. The coarse quantizer (first `kCentroids` corpus vectors; a
+    * production build would Lloyd-iterate, the plumbing is identical) is
+    * collected driver-side — an IVF index's centroid table is tiny by
+    * design — and inlined as literals, so CELL ASSIGNMENT IS A PURE NARROW
+    * MAP: no shuffle, and at 100 TB `cell` becomes the partition key the
+    * candidate join prunes on. Queries probe their `nProbe` nearest cells;
+    * exact cosine top-3 runs over candidates only. */
+  def q29AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // deterministic coarse quantizer: centroid c = corpus vector c
+    val centroids: Array[(Int, Array[Double])] = emb
+      .filter(col("vec_id") < kCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+    // per-row scored cells: array of struct(cs, cid), ranked by (cs desc,
+    // cid asc) via lexicographic sort on struct(-cs, cid)
+    def rankedCells(vec: Column) = array_sort(array(centroids.map { case (cid, ce) =>
+      struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
+    }: _*))
+
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      element_at(rankedCells(col("embedding")), 1).getField("cid").as("cell"))
+    val qprobe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(rankedCells(col("embedding")), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
+    val cos = Similarity.cosine(col("qe"), col("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"), cos.as("cs"))
+      .dropDuplicates("qid", "neighbor_id") // 2 probed cells can overlap
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -142,6 +189,30 @@ object SimilarityQueries {
          |  JOIN embeddings e1 ON e1.vec_id = p.id1
          |  JOIN embeddings e2 ON e2.vec_id = p.id2)
          |SELECT id1, id2, ROUND(cs, 6) AS cos FROM c WHERE cs >= 0.3""".stripMargin,
+
+    "q29_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kCentroids),
+         |scored AS (SELECT e.vec_id, c.cid,
+         |  ${cosSql("e.embedding", "c.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cent c),
+         |ranked AS (SELECT vec_id, cid, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+         |  WHERE vec_id < $nQueries AND rn <= $nProbe),
+         |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.qid),
+         |c AS (SELECT cand.qid, cand.neighbor_id,
+         |  ${cosSql("eq.embedding", "en.embedding")} AS cs
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.qid
+         |  JOIN embeddings en ON en.vec_id = cand.neighbor_id),
+         |r AS (SELECT qid, neighbor_id, cs,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+         |  FROM c)
+         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
 
     "q23_ann_srp" ->
       s"""WITH bl AS (SELECT vec_id,
