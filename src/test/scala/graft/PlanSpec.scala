@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.queries.{CoreQueries, SimilarityQueries}
+
+/** Physical-plan assertions — the 100 TB design properties as executable
+  * checks, not prose: filters/projections reach the parquet scan, dims
+  * broadcast, large joins avoid cartesian products, aggregates stay in
+  * whole-stage codegen. If a refactor regresses one of these, correctness
+  * tests stay green but this suite fails. */
+class PlanSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection push down to the parquet scan") {
+    val df = CoreQueries.q02FilterProject(spark, sfDir)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    val meta = s.head.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(l_quantity"),
+      s"no pushed quantity filter: ${meta("PushedFilters")}")
+    assert(meta("PushedFilters").contains("l_shipdate"))
+    // pruned ReadSchema: only the 4 projected + filtered columns, not all 16
+    val read = meta("ReadSchema")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("q03: dimension joins are broadcast hash joins, fact side unshuffled") {
+    val p = planString(CoreQueries.q03JoinBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"),
+      "dim join degraded to a shuffle join")
+  }
+
+  test("q04: large join has no cartesian product and keeps the year filter below the join") {
+    val df = CoreQueries.q04JoinLarge(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // optimized plan: filter sits on the orders relation, not above the join
+    val opt = df.queryExecution.optimizedPlan.toString
+    val joinIdx = opt.indexOf("Join")
+    val filterIdx = opt.indexOf("isnotnull(o_orderdate")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "orders-side filter was not pushed below the join")
+  }
+
+  test("q01: aggregation is partial (map-side combine) inside whole-stage codegen") {
+    val df = CoreQueries.q01Agg(spark, sfDir)
+    val p = planString(df)
+    // two HashAggregate levels = partial + final; tiny grouped state shuffles
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    // codegen spans only materialize in the final adaptive plan — execute
+    // THIS queryExecution (count() would plan a separate one), then look for
+    // the `*(n)` whole-stage-codegen markers in the final explain
+    df.collect()
+    val fin = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(fin.contains("*("), fin.take(800))
+  }
+
+  test("q22: query side broadcasts; corpus never shuffles before scoring") {
+    val p = planString(SimilarityQueries.q22CosineTopK(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // vec_dot runs native (would print as vec_dot in the projection)
+    assert(p.contains("vec_dot"))
+  }
+
+  test("entry: covid surrogate-key join broadcasts the region dimension") {
+    val p = planString(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}
