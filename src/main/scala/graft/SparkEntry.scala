@@ -44,7 +44,9 @@ object SparkEntry {
     "q26_media_features" -> (MediaQueries.q26MediaFeatures _),
     "q27_bpe_tokens" -> (TextQueries.q27BpeTokens _),
     "q28_cosine_neardup" -> (SimilarityQueries.q28CosineNearDup _),
-    "q29_ann_ivf" -> (SimilarityQueries.q29AnnIvf _)
+    "q29_ann_ivf" -> (SimilarityQueries.q29AnnIvf _),
+    "q30_salted_agg" -> (CoreQueries.q30SaltedAgg _),
+    "q31_rollup" -> (CoreQueries.q31Rollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -116,4 +116,32 @@ object CoreQueries {
       .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Skew-safe aggregation: two-stage salted sum/count over events by
+    * event_type (few hot keys x many rows — the skew shape). Exact-decimal
+    * sums make the result independent of salt/partition order, so it
+    * hash-matches the plain-GROUP-BY oracle: the skew technique with a
+    * correctness proof attached. */
+  def q30SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+      Tables.events(spark, dir),
+      keys = Seq("event_type"),
+      distributeOn = col("event_id"),
+      aggs = Seq(
+        graft.ops.Skew.SaltedSum(col("value").cast("decimal(28,10)"), "total_value"),
+        graft.ops.Skew.SaltedCount("n_events")),
+      saltBuckets = 16)
+      .select(col("event_type"),
+        col("total_value").cast("double").as("total_value"),
+        col("n_events"))
+
+  /** Rollup (grouping-sets family, §2.5 star-schema intent): subtotals per
+    * (returnflag, linestatus), per returnflag, and grand total in one pass —
+    * Catalyst expands to a single Expand + aggregate, one shuffle. */
+  def q31Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
 }

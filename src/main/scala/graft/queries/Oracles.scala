@@ -66,6 +66,19 @@ object Oracles {
     "q09_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
-        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // plain GROUP BY: the salted two-stage plan must produce identical rows
+    "q30_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
   )
 }
