@@ -46,7 +46,8 @@ object SparkEntry {
     "q28_cosine_neardup" -> (SimilarityQueries.q28CosineNearDup _),
     "q29_ann_ivf" -> (SimilarityQueries.q29AnnIvf _),
     "q30_salted_agg" -> (CoreQueries.q30SaltedAgg _),
-    "q31_rollup" -> (CoreQueries.q31Rollup _)
+    "q31_rollup" -> (CoreQueries.q31Rollup _),
+    "q32_asof_join" -> (DateTimeQueries.q32AsofJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -75,7 +75,34 @@ object DateTimeQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** As-of join: each click joined to the user's most recent prior (or
+    * same-instant) purchase — composed union+window ([[graft.ops.AsofJoin]]),
+    * verified against DuckDB's NATIVE `ASOF LEFT JOIN`. Epoch-micros output
+    * per the ns->us fixture convention. */
+  def q32AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.asofJoin(
+      clicks, purchases.withColumn("pts", col("ts")),
+      keys = Seq("user_id"), tsCol = "ts", rightVals = Seq("pts", "value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("asof_pts")).as("purchase_us"),
+        col("asof_value").as("purchase_value"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q32_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+        |  epoch_us(r.ts) AS purchase_us, r.value AS purchase_value
+        |FROM clicks l ASOF LEFT JOIN purchases r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
     "q10_date_dim" ->
       """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
         | strftime(d, '%Y-%m-%d') AS full_date,

@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.AsofJoin
+
+/** As-of join edge semantics: equal timestamps match (<=), earlier-only
+  * rows get the latest prior value, rows before any right row get NULL,
+  * and keys never cross. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asof picks latest right row at or before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a"), // before any right row -> null
+      (1L, t("2024-01-01 11:00:00"), "b"), // equal ts -> matches 11:00 right
+      (1L, t("2024-01-01 12:30:00"), "c"), // between -> 12:00 right
+      (2L, t("2024-01-01 23:00:00"), "d")  // other key: only key-2 rights
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 11:00:00"), 10.0),
+      (1L, t("2024-01-01 12:00:00"), 20.0),
+      (2L, t("2024-01-01 09:00:00"), 99.0)
+    ).toDF("user_id", "ts", "price")
+
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", Seq("price"))
+      .select($"tag", $"asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("a") === None)
+    assert(out("b") === Some(10.0))
+    assert(out("c") === Some(20.0))
+    assert(out("d") === Some(99.0))
+  }
+}
