@@ -47,7 +47,9 @@ object SparkEntry {
     "q29_ann_ivf" -> (SimilarityQueries.q29AnnIvf _),
     "q30_salted_agg" -> (CoreQueries.q30SaltedAgg _),
     "q31_rollup" -> (CoreQueries.q31Rollup _),
-    "q32_asof_join" -> (DateTimeQueries.q32AsofJoin _)
+    "q32_asof_join" -> (DateTimeQueries.q32AsofJoin _),
+    "q33_profile" -> (TextQueries.q33Profile _),
+    "q34_top_tokens" -> (TextQueries.q34TopTokens _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Data-quality gate (SURVEY.md §2.5 A1/A2).
   *
@@ -28,5 +29,21 @@ object Quality {
     if (!withinTolerance(actual.toDouble, expected.toDouble, tolerance))
       throw QualityCheckFailure(actual.toDouble, expected.toDouble, tolerance)
     actual
+  }
+
+  /** Column-level quality profile per group: row count, per-column null
+    * counts, and numeric min/max — everything a corpus intake gate alerts
+    * on, in ONE pass / one shuffle (all aggregates share the groupBy).
+    * Exact aggregates only, so the result is engine-portable (q33's DuckDB
+    * oracle hash-matches it). */
+  def profile(df: DataFrame, groupBy: Seq[String], nullChecked: Seq[String],
+              minMax: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        nullChecked.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) ++
+        minMax.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

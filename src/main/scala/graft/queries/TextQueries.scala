@@ -119,6 +119,30 @@ object TextQueries {
       n("[^A-Za-z0-9\\s]").as("n_other_tokens"))
   }
 
+  /** Corpus intake profile: per-source row count, null counts, and
+    * n_chars min/max in one pass ([[graft.quality.Quality.profile]]) —
+    * the quality gate a training-data pipeline runs on every batch. */
+  def q33Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Quality.profile(
+      Tables.documents(spark, dir),
+      groupBy = Seq("source"),
+      nullChecked = Seq("lang", "text"),
+      minMax = Seq("n_chars"))
+
+  /** Vocabulary top-k: 20 most frequent tokens with deterministic
+    * tie-break — explode + count + window. At scale the explode+groupBy is
+    * the canonical wordcount shuffle (map-side combined); the final top-k
+    * is a single tiny ordered partition of at most k * #partitions rows. */
+  def q34TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    Tables.documents(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+  }
+
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -225,6 +249,21 @@ object TextQueries {
          |  JOIN sh t1 ON t1.doc_id = p.doc1
          |  JOIN sh t2 ON t2.doc_id = p.doc2)
          |SELECT doc1, doc2, jacc FROM j WHERE jacc >= 0.3""".stripMargin,
+
+    "q33_profile" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        |  MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q34_top_tokens" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token),
+         |r AS (SELECT token, n,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rn FROM c)
+         |SELECT token, n, rn FROM r WHERE rn <= 20""".stripMargin,
 
     "q27_bpe_tokens" ->
       """SELECT doc_id,
