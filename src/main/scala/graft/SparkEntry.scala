@@ -49,7 +49,8 @@ object SparkEntry {
     "q31_rollup" -> (CoreQueries.q31Rollup _),
     "q32_asof_join" -> (DateTimeQueries.q32AsofJoin _),
     "q33_profile" -> (TextQueries.q33Profile _),
-    "q34_top_tokens" -> (TextQueries.q34TopTokens _)
+    "q34_top_tokens" -> (TextQueries.q34TopTokens _),
+    "q35_topk_custom" -> (CoreQueries.q35TopkCustom _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -135,6 +135,18 @@ object CoreQueries {
         col("total_value").cast("double").as("total_value"),
         col("n_events"))
 
+  /** Custom physical operator: top-3 orders per customer through
+    * [[graft.plans.TopK]] — bounded heaps per key (O(n log k), streaming)
+    * instead of WindowExec's full per-partition sort; hash-matches the
+    * window-row_number oracle exactly. */
+  def q35TopkCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.orders(spark, dir),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
   /** Rollup (grouping-sets family, §2.5 star-schema intent): subtotals per
     * (returnflag, linestatus), per returnflag, and grand total in one pass —
     * Catalyst expands to a single Expand + aggregate, one shuffle. */

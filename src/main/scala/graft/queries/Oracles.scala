@@ -75,6 +75,14 @@ object Oracles {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // the custom TopKPerKeyExec must equal the window row_number form
+    "q35_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
     "q31_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
