@@ -50,7 +50,9 @@ object SparkEntry {
     "q32_asof_join" -> (DateTimeQueries.q32AsofJoin _),
     "q33_profile" -> (TextQueries.q33Profile _),
     "q34_top_tokens" -> (TextQueries.q34TopTokens _),
-    "q35_topk_custom" -> (CoreQueries.q35TopkCustom _)
+    "q35_topk_custom" -> (CoreQueries.q35TopkCustom _),
+    "q36_window_funcs" -> (CoreQueries.q36WindowFuncs _),
+    "q37_set_ops" -> (CoreQueries.q37SetOps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -147,6 +147,34 @@ object CoreQueries {
       k = 3)
       .select("o_custkey", "o_orderkey", "o_totalprice")
 
+  /** Window-function breadth (§2.6): lag/lead/rank/dense_rank/running sum
+    * over one (custkey, orderkey-ordered) window — one shuffle, all
+    * functions share the frame. Deterministic: orderkey is unique. */
+  def q36WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 500)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("price_rank"),
+        sum(dec("o_totalprice")).over(run).cast("double").as("running_total"))
+  }
+
+  /** Set ops (§2.6): INTERSECT / EXCEPT between two filtered key sets —
+    * Catalyst plans both as aggregates + semi/anti joins. */
+  def q37SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val high = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0).select("o_custkey")
+    urgent.intersect(high).withColumn("set_kind", lit("both"))
+      .unionByName(urgent.except(high).withColumn("set_kind", lit("urgent_only")))
+  }
+
   /** Rollup (grouping-sets family, §2.5 star-schema intent): subtotals per
     * (returnflag, linestatus), per returnflag, and grand total in one pass —
     * Catalyst expands to a single Expand + aggregate, one shuffle. */

@@ -83,6 +83,25 @@ object Oracles {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
+    "q36_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 500
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
+    "q37_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |SELECT o_custkey, 'both' AS set_kind FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS set_kind FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM high)""".stripMargin,
+
     "q31_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.pipeline.CovidFixture
+
+/** DataSource V2 connector for the reference's extract stage (SURVEY.md §2.1
+  * S1): `spark.read.format("graft.sources.CovidReportSource")` yields the
+  * stage table `(id, date_of_data, iso_country, json_data)` with ONE INPUT
+  * PARTITION PER (date, country) — the connector shape of the reference's
+  * 5-way parallel HTTP fan-out (`dags/ETL_covid19_spark.py:83-88`): each
+  * partition's reader performs "one API call" (here: the deterministic
+  * fixture generator; a production build swaps in an HTTP client per
+  * partition, same classes).
+  *
+  * Real pushdown, both kinds:
+  *  - partition-level filter pushdown: `iso_country = 'RUS'` / `IN (...)`
+  *    prunes whole partitions — unmatched countries are never "fetched";
+  *  - column pruning: if `json_data` is not in the required schema, the
+  *    reader never builds the payload (the expensive part) at all.
+  *
+  * Options: `date` (yyyy-MM-dd), `provincesPerCountry` (default 48).
+  */
+class CovidReportSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CovidReportSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CovidReportTable(new CaseInsensitiveStringMap(properties))
+}
+
+object CovidReportSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("date_of_data", DateType, nullable = false),
+    StructField("iso_country", StringType, nullable = false),
+    StructField("json_data", StringType, nullable = false)))
+}
+
+private[sources] class CovidReportTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "covid_reports"
+  override def schema(): StructType = CovidReportSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable receives the merged properties; reader options came here
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(caseInsensitiveOptions)
+    new CovidScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class CovidScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = CovidReportSource.schema
+  private var isoFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("iso_country", _: String) => true
+      case In("iso_country", _) => true
+      case IsNotNull(_) => true // schema is non-nullable: trivially true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("iso_country", v: String) =>
+        isoFilter = Some(isoFilter.getOrElse(Set(v)).intersect(Set(v)))
+      case In("iso_country", vs) =>
+        val s = vs.collect { case v: String => v }.toSet
+        isoFilter = Some(isoFilter.map(_.intersect(s)).getOrElse(s))
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CovidScan(
+    required,
+    isoFilter,
+    options.getOrDefault("date", "2023-03-02"),
+    options.getInt("provincesPerCountry", 48))
+}
+
+private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[String]],
+                                 ds: String, provinces: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CovidReportSource(date=$ds, countries=${isoFilter.getOrElse("ALL")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+
+  /** One partition per surviving (date, country): the fan-out unit. */
+  override def planInputPartitions(): Array[InputPartition] =
+    CovidFixture.isoCountries.zipWithIndex
+      .filter { case ((iso, _), _) => isoFilter.forall(_.contains(iso)) }
+      .map { case ((iso, country), ci) =>
+        CovidInputPartition(ci, iso, country, ds, provinces): InputPartition
+      }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CovidReaderFactory(required)
+}
+
+private[sources] final case class CovidInputPartition(
+    countryIdx: Int, iso: String, country: String, ds: String,
+    provinces: Int) extends InputPartition
+
+private[sources] class CovidReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CovidInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val epochDays = java.time.LocalDate.parse(p.ds).toEpochDay.toInt
+        // build ONLY the required columns — json_data (the expensive
+        // "API call" payload) is skipped entirely when pruned away
+        val values = required.fieldNames.map {
+          case "id" => p.countryIdx.toLong
+          case "date_of_data" => epochDays
+          case "iso_country" => UTF8String.fromString(p.iso)
+          case "json_data" => UTF8String.fromString(
+            CovidFixture.envelope(p.ds, p.iso, p.country, p.countryIdx, p.provinces))
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
