@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import graft.streaming.Streams
+
+/** Real file-source streaming: landed JSON event files -> readStream with an
+  * explicit schema (inference is never allowed on streams) -> the same
+  * tumblingAgg transform -> memory sink. Covers the ingest shape the covid
+  * stage would use as a stream (SURVEY.md §2.8): new files per micro-batch,
+  * watermarked windows. */
+class StreamingFileSpec extends SparkSpec {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("readStream over landed JSON files == batch over the same files") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    def land(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$dir/$name"), rows.mkString("\n").getBytes)
+
+    land("b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z","event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:04:00Z","event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T10:12:00Z","event_type":"view","value":5.0}"""))
+
+    val stream = Streams.tumblingAgg(
+      spark.readStream.schema(eventSchema).json(dir))
+    val q = stream.writeStream.format("memory").queryName("filetumb")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    // a second file lands mid-stream -> next micro-batch picks it up
+    land("b2.json", Seq(
+      """{"event_id":4,"ts":"2024-01-01T10:07:00Z","event_type":"click","value":3.0}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("filetumb")
+    val batch = Streams.tumblingAgg(spark.read.schema(eventSchema).json(dir))
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    import spark.implicits._
+    val clicks = streamed.filter(col("event_type") === "click")
+      .select("n_events").as[Long].collect().sorted.toSeq
+    assert(clicks === Seq(3L)) // 10:00, 10:04, 10:07 in the [10:00,10:10) window
+  }
+}
