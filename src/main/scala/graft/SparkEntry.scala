@@ -52,7 +52,8 @@ object SparkEntry {
     "q34_top_tokens" -> (TextQueries.q34TopTokens _),
     "q35_topk_custom" -> (CoreQueries.q35TopkCustom _),
     "q36_window_funcs" -> (CoreQueries.q36WindowFuncs _),
-    "q37_set_ops" -> (CoreQueries.q37SetOps _)
+    "q37_set_ops" -> (CoreQueries.q37SetOps _),
+    "q38_interval_join" -> (DateTimeQueries.q38IntervalJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -94,7 +94,37 @@ object DateTimeQueries {
         col("asof_value").as("purchase_value"))
   }
 
+  /** Interval join via bucketized equi-join ([[graft.ops.RangeJoin]]):
+    * every event joined to the same-user "incident windows" (deterministic
+    * 30-minute intervals seeded from every 97th event) containing it.
+    * Hash-matches DuckDB's plain BETWEEN join — same pairs, no
+    * nested-loop cross product on the Spark side. */
+  def q38IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val incidents = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+    graft.ops.RangeJoin.intervalJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      incidents, leftTs = "ts", lo = "lo", hi = "hi",
+      keys = Seq("user_id"), bucket = 600L)
+      .select(col("event_id"), col("incident_id"), col("user_id"),
+        unix_micros(col("ts")).as("ev_us"),
+        unix_micros(col("lo")).as("lo_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q38_interval_join" ->
+      """WITH incidents AS (
+        |  SELECT event_id AS incident_id, user_id, ts AS lo,
+        |         ts + INTERVAL 30 MINUTE AS hi
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT e.event_id, i.incident_id, e.user_id,
+        |  epoch_us(e.ts) AS ev_us, epoch_us(i.lo) AS lo_us
+        |FROM events e JOIN incidents i
+        |  ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts <= i.hi""".stripMargin,
+
     "q32_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
