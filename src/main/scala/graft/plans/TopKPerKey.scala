@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, RowOrdering, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -32,19 +32,28 @@ import org.apache.spark.sql.graft.shim
   * they must for a deterministic window) — q35 hash-matches the DuckDB
   * window-SQL oracle.
   */
+/** @param rankAttr when set, the operator also emits the 1-based rank
+  *                  within each key (ascending `order`) under this exact
+  *                  attribute — lets [[TopKRewriteRule]] replace a
+  *                  row_number window while preserving the plan's schema
+  *                  and expression ids. */
 final case class TopKPerKey(k: Int, keys: Seq[Expression],
-                            order: Seq[SortOrder], child: LogicalPlan)
+                            order: Seq[SortOrder], child: LogicalPlan,
+                            rankAttr: Option[Attribute] = None)
     extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
 final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
-                                order: Seq[SortOrder], child: SparkPlan)
+                                order: Seq[SortOrder], child: SparkPlan,
+                                rankAttr: Option[Attribute] = None)
     extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
 
   /** Hash-cluster rows by key — Catalyst inserts the exchange. */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -76,7 +85,15 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) => heap.dequeueAll.reverseIterator }
+      val emitRank = rankAttr.isDefined
+      heaps.iterator.flatMap { case (_, heap) =>
+        val rows = heap.dequeueAll.reverseIterator // ascending sort order
+        if (!emitRank) rows
+        else rows.zipWithIndex.map { case (row, i) =>
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            row, InternalRow(i + 1)): InternalRow
+        }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -86,19 +103,70 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case TopKPerKey(k, keys, order, child, rankAttr) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), rankAttr) :: Nil
     case _ => Nil
   }
 }
 
+/** Optimizer rewrite — the `Rule[LogicalPlan]` rung: a
+  * `filter(row_number().over(partitionBy(P).orderBy(O)) <= k)` pattern is
+  * THE top-k idiom users actually write; this rule swaps the
+  * full-sort WindowExec plan for the bounded-heap operator, emitting the
+  * rank under the window expression's original attribute so the rest of
+  * the plan (projections, downstream filters on rn) is untouched. */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+  private def kOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+               parts, order, child, _)) if parts.nonEmpty =>
+      kOf(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          // Spark's InferWindowGroupLimit may already have inserted a
+          // group-limit below this Window (it bounds shuffle volume but
+          // still sorts); the heap operator subsumes it — unwrap.
+          val input = child match {
+            case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+            case other => other
+          }
+          TopKPerKey(k, parts, order, input, Some(alias.toAttribute))
+        case _ => f
+      }
+  }
+}
+
 object TopK {
-  /** Install the strategy once per session (idempotent). */
+  /** Install strategy + rewrite rule once per session (idempotent). */
   def setup(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         TopKStrategy +: spark.experimental.extraStrategies
   }
+
+  /** Opt-in: also rewrite row_number-filter windows into TopKPerKey. */
+  def setupRewrite(spark: SparkSession): Unit = {
+    setup(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        TopKRewriteRule +: spark.experimental.extraOptimizations
+  }
+
+  /** Remove the rewrite (keeps the strategy for explicit perKey calls). */
+  def teardownRewrite(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKRewriteRule)
 
   /** Top-k rows per key, smallest-first under `order` (pass `.desc`
     * columns for top-by-largest; include a tie-break for determinism). */
