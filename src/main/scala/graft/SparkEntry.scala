@@ -53,7 +53,8 @@ object SparkEntry {
     "q35_topk_custom" -> (CoreQueries.q35TopkCustom _),
     "q36_window_funcs" -> (CoreQueries.q36WindowFuncs _),
     "q37_set_ops" -> (CoreQueries.q37SetOps _),
-    "q38_interval_join" -> (DateTimeQueries.q38IntervalJoin _)
+    "q38_interval_join" -> (DateTimeQueries.q38IntervalJoin _),
+    "q39_centroids" -> (SimilarityQueries.q39Centroids _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -143,6 +143,23 @@ object SimilarityQueries {
       .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
   }
 
+  /** Per-label centroid table — the k-means/Lloyd building block the IVF
+    * quantizer (q29) would train with: posexplode to (label, dim, value),
+    * one groupBy shuffle. Values are floor-quantized to 1e-6 before
+    * summing: integer sums are exact and order-independent, and floor
+    * (unlike decimal-cast or round) has no tie cases, so the means are
+    * engine-portable bit-for-bit. Flat (label, dim, n, mean) layout keeps
+    * the oracle exact (no array-aggregation order ambiguity). */
+  def q39Centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * 1000000).cast("long")).as("s"))
+      .select(col("label"), col("pos").as("dim"), col("n"),
+        (col("s").cast("double") / 1e6 / col("n")).as("mean"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -213,6 +230,15 @@ object SimilarityQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
          |  FROM c)
          |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q39_centroids" ->
+      s"""SELECT label, CAST(i - 1 AS INT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / COUNT(*) AS mean
+         |FROM embeddings
+         |CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u
+         |GROUP BY label, i""".stripMargin,
 
     "q23_ann_srp" ->
       s"""WITH bl AS (SELECT vec_id,
