@@ -13,17 +13,26 @@ object Bench {
     // untimed warmup: JVM/codegen/file-index startup is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).count()
+    // a crashing query must NOT look like a fast success: record it as -1
+    // and list it under "failed" so the regression is visible in the JSON
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          false
+      }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

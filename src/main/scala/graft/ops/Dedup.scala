@@ -52,7 +52,7 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        md5(concat(element_at(sig, b * r + 1), element_at(sig, b * r + 2)))
+        md5(concat((1 to r).map(i => element_at(sig, b * r + i)): _*))
           .as("band_key")))
 
   /** Candidate near-duplicate pairs: documents sharing at least one LSH

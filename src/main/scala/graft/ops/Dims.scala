@@ -53,9 +53,13 @@ object Dims {
     * the single-partition window is intentional and cheap — at 100 TB the
     * dim stays small because it's distinct region attributes, not facts. */
   def regionDim(flat: DataFrame): DataFrame = {
+    // one row per natural key (country, region): real feeds revise lat/long
+    // between days, and a plain distinct would then keep BOTH variants —
+    // duplicate keys for one logical region, and a window-order tie making
+    // the surrogate keys run-dependent. min() picks deterministically.
     val distinctRegions = flat
-      .select(col("region_name"), col("country_name"), col("lat"), col("long"))
-      .distinct()
+      .groupBy(col("region_name"), col("country_name"))
+      .agg(min(col("lat")).as("lat"), min(col("long")).as("long"))
     distinctRegions.withColumn(
       "region_key",
       row_number().over(Window.orderBy(col("country_name"), col("region_name")))

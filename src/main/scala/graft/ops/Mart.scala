@@ -13,13 +13,20 @@ object Mart {
     * same as a broadcast left join — left (not inner) because the reference
     * UPDATE leaves unmatched rows with NULL keys. The region dim is tiny
     * (237 rows in the reference) so `broadcast` is explicit: no shuffle of
-    * the fact side at any scale. */
+    * the fact side at any scale.
+    *
+    * Documented divergence (like A3's missing DISTINCT): the reference joins
+    * on region_name ALONE, which fans out fact rows when the same province
+    * name exists under several countries (real feeds: 'Amazonas' in Brazil /
+    * Colombia / Peru). We join on (region_name, country_name) — the actual
+    * natural key of the dim — so each fact row matches at most one region. */
   def withSurrogateKeys(flat: DataFrame, regionDim: DataFrame): DataFrame =
     flat
       .withColumn("date_key", Dims.dateKey(col("day_of_data")))
       .join(
-        broadcast(regionDim.select(col("region_key"), col("region_name"))),
-        Seq("region_name"), "left")
+        broadcast(regionDim.select(
+          col("region_key"), col("region_name"), col("country_name"))),
+        Seq("region_name", "country_name"), "left")
 
   /** Fact projection: 10 measures + 2 FK keys
     * (reference `pg_init_covid19.sql:168-188`). */

@@ -30,7 +30,10 @@ object RangeJoin {
     val b = lit(bucket)
     def bucketOf(ts: Column) = floor(unix_seconds(ts) / b).cast("long")
     val l = left.withColumn("__bucket", bucketOf(col(leftTs)))
-    val r = right.withColumn("__bucket",
+    // inverted intervals (hi < lo) must contribute NOTHING — unguarded,
+    // sequence() would emit the full DESCENDING bucket range and flood the
+    // join with candidates the refine filter only discards later
+    val r = right.filter(col(lo) <= col(hi)).withColumn("__bucket",
       explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
     l.join(r, keys :+ "__bucket")
       .filter(col(leftTs) >= col(lo) && col(leftTs) <= col(hi))

@@ -36,8 +36,11 @@ object TextAnalysis {
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long")
 
-  /** Number of (possibly overlapping) occurrences of `marker` in `text` —
-    * the classic length-difference trick; exact integer result. */
+  /** Number of NON-overlapping occurrences of `marker` in `text` (the
+    * length-difference/replace trick consumes matches left-to-right:
+    * occurrences("aaa", "aa") = 1); exact integer result. Self-overlapping
+    * markers undercount vs a sliding scan — fine for word-ish profile
+    * markers, wrong tool for overlap-sensitive n-gram stats. */
   def occurrences(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))
       .cast("long")

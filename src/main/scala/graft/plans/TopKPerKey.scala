@@ -86,12 +86,17 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         }
       }
       val emitRank = rankAttr.isDefined
+      // Exec output must be UnsafeRow (shuffle serializers and
+      // getByteArrayRdd cast unconditionally) — project the rank-extended
+      // rows instead of emitting raw JoinedRows.
+      lazy val rankProj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(output.map(_.dataType).toArray)
       heaps.iterator.flatMap { case (_, heap) =>
         val rows = heap.dequeueAll.reverseIterator // ascending sort order
         if (!emitRank) rows
         else rows.zipWithIndex.map { case (row, i) =>
-          new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-            row, InternalRow(i + 1)): InternalRow
+          rankProj(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            row, InternalRow(i + 1))): InternalRow
         }
       }
     }, preservesPartitioning = true)

@@ -172,9 +172,9 @@ object TextQueries {
          |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords
          |  FROM t)
          |SELECT doc_id, n_tokens, n_distinct, token_chars, n_stopwords,
-         |  ROUND(CAST(token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
-         |  ROUND(0.3::DOUBLE * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |  ROUND(CAST(token_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0), 4) AS avg_token_len,
+         |  ROUND(0.3::DOUBLE * (CAST(n_distinct AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(n_stopwords AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
          |    + 0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE), 4) AS quality_score
          |FROM m""".stripMargin,
 

@@ -30,7 +30,13 @@ object Tables {
     * vectorized reader rejects outright. Read nanos as long (legacy conf)
     * and convert to microsecond TimestampType with integer division —
     * floor semantics identical to DuckDB's ns->us truncation, and no
-    * double-precision detour (2024 epoch-nanos exceed 2^53). */
+    * double-precision detour (2024 epoch-nanos exceed 2^53).
+    *
+    * NOTE the legacy flag is session-wide and stays set (restoring it
+    * immediately would be racy: the flag is consulted at scan time, not at
+    * DataFrame construction). Every graft read path goes through this
+    * loader, and nanos-as-long is a no-op for non-nanos files, so the
+    * session-global setting is the deliberate choice here. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")

@@ -53,6 +53,21 @@ class TopKRewriteSpec extends SparkSpec {
     } finally TopK.teardownRewrite(spark)
   }
 
+  test("rank-emitting node as the ROOT plan collects safely (UnsafeRow contract)") {
+    TopK.setupRewrite(spark)
+    try {
+      // no select above the filter -> TopKPerKey is the root operator and
+      // its rows go straight into getByteArrayRdd's UnsafeRow cast
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val rows = Tables.orders(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getAs[Int]("rn") <= 2))
+    } finally TopK.teardownRewrite(spark)
+  }
+
   test("non-top-k window filters are left alone") {
     TopK.setupRewrite(spark)
     try {

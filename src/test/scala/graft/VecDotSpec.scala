@@ -37,6 +37,20 @@ class VecDotSpec extends SparkSpec {
     assert(r === 32.0)
   }
 
+  test("vec_dot is NULL on mismatched lengths and null elements (like the HOF form)") {
+    import spark.implicits._
+    val mismatch = spark.range(1).select(
+      Similarity.dot(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("d"))
+      .as[Option[Double]].head()
+    assert(mismatch === None)
+    val nullElem = spark.range(1).select(
+      Similarity.dot(
+        array(lit(1.0), lit(null).cast("double")),
+        array(lit(3.0), lit(4.0))).as("d"))
+      .as[Option[Double]].head()
+    assert(nullElem === None)
+  }
+
   test("vec_dot of int-literal hyperplanes matches srp bucketing inputs") {
     import spark.implicits._
     // array<int> planes cast through array<double> — the srpBucket path
