@@ -115,10 +115,16 @@ object GraftFunctions {
   }
 }
 
-/** Injectable extensions: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** The library's full extension surface in one line:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects the native functions (vec_dot), the TopKPerKey planner strategy,
+  * and the row_number-idiom rewrite rule into every session it builds. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+  }
 }

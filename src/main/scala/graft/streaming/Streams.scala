@@ -77,6 +77,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time range: each left event
+    * pairs with right events of the same key no older than `maxAge`.
+    * BOTH sides carry watermarks and the join condition bounds event-time
+    * distance — the two requirements that let Spark expire join state
+    * instead of buffering both streams forever. The time bound doubles as
+    * the state-retention window: at 100 TB/day, maxAge IS the memory knob. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, maxAge: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxAge"))
+      .drop("r_key")
+  }
+
   /** Custom keyed state: per-user running (count, sum, last-seen) emitted on
     * every update — the `flatMapGroupsWithState` pattern for state machines
     * the built-in windows can't express. State is one small case class per

@@ -86,6 +86,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == 4L) === 1)
   }
 
+  test("streamStreamJoin: watermarked event-time range join, stream == batch") {
+    import spark.implicits._
+    val clicks = batch1.filter(_.event_type == "click")
+    val views = Seq(
+      Event(10, ts(2), 1, "view", 100.0),  // within 10m of click@11? yes for l_ts>=2
+      Event(11, ts(40), 1, "view", 200.0)) // too late for all batch1 clicks
+    val joined = Streams.streamStreamJoin(
+      feed(clicks), feed(views), key = "user_id", maxAge = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj")
+    val batchJoined = Streams.streamStreamJoin(
+      clicks.toDF(), views.toDF(), key = "user_id", maxAge = "10 minutes")
+    assert(streamed.collect().toSet === batchJoined.collect().toSet)
+    // click@11:00 (user 1) pairs with view@10:02 (8m earlier); click@10:00 precedes it
+    val pairs = streamed.select("l_event_id", "r_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((4L, 10L)))
+    assert(!pairs.exists(_._2 == 11L))
+  }
+
   test("runningUserStats accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
