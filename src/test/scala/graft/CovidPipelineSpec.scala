@@ -45,6 +45,21 @@ class CovidPipelineSpec extends SparkSpec {
     assert(keys.toSeq === (1 to n.toInt))
   }
 
+  test("same province name under two countries does NOT fan out fact rows") {
+    import org.apache.spark.sql.functions._
+    // real feeds have e.g. 'Amazonas' in Brazil AND Colombia/Peru; the
+    // surrogate-key join must use the (region, country) natural key
+    val flat = CovidOps.flatten(stage, ds)
+      .withColumn("region_name", lit("Amazonas")) // every row same province
+    val dim = Dims.regionDim(flat) // one row per (Amazonas, country) = 5
+    assert(dim.count() === 5)
+    val keyed = Mart.withSurrogateKeys(flat, dim)
+    assert(keyed.count() === flat.count()) // no fan-out
+    // each country's rows got that country's region key
+    val perCountry = keyed.select("country_name", "region_key").distinct()
+    assert(perCountry.count() === 5)
+  }
+
   test("quality gate fails beyond tolerance") {
     intercept[Quality.QualityCheckFailure] {
       CovidPipeline.run(spark, stage, ds, expectedRows = 300, tolerance = 0.02)

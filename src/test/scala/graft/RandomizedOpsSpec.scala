@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.ops.AsofJoin
+import graft.plans.TopK
+
+/** Randomized cross-checks: the custom operators vs independent
+  * driver-side reference implementations on seeded random data — edge
+  * shapes (empty keys, single-row groups, dense ties in keys) that the
+  * fixture data never produces. Seeded, so failures reproduce. */
+class RandomizedOpsSpec extends SparkSpec {
+
+  private val rnd = new Random(20260813)
+
+  test("asofJoin matches a driver-side reference on random data") {
+    import spark.implicits._
+    val leftRows = Seq.fill(300)(
+      (rnd.nextInt(12).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), rnd.nextInt(1000)))
+    val rightRows = Seq.fill(80)(
+      (rnd.nextInt(15).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), rnd.nextDouble()))
+      // unique (key, ts) on the right — the operator's documented contract
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+    val left = leftRows.toDF("k", "ts", "tag")
+    val right = rightRows.toDF("k", "ts", "price")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("price"))
+      .select($"k", $"ts", $"tag", $"asof_price")
+      .as[(Long, Timestamp, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2.getTime, r._3) -> r._4).toMap
+
+    leftRows.foreach { case (k, ts, tag) =>
+      val expect = rightRows
+        .filter(r => r._1 == k && !r._2.after(ts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got((k, ts.getTime, tag)) === expect, s"key=$k ts=$ts")
+    }
+    assert(got.size === leftRows.map(r => (r._1, r._2.getTime, r._3)).distinct.size)
+  }
+
+  test("TopK.perKey matches a driver-side reference for random k and data") {
+    import spark.implicits._
+    (1 to 3).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val rows = Seq.fill(500)(
+        (rnd.nextInt(20).toLong, rnd.nextLong(), rnd.nextInt(100).toDouble))
+        .groupBy(_._2).map(_._2.head).toSeq // unique id tie-break
+      val df = rows.toDF("key", "id", "score")
+      val got = TopK.perKey(df, Seq(col("key")),
+        Seq(col("score").desc, col("id").asc), k)
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(k)
+      }.toSet
+      assert(got === expect, s"trial=$trial k=$k")
+    }
+  }
+}
