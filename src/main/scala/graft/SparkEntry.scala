@@ -54,7 +54,9 @@ object SparkEntry {
     "q36_window_funcs" -> (CoreQueries.q36WindowFuncs _),
     "q37_set_ops" -> (CoreQueries.q37SetOps _),
     "q38_interval_join" -> (DateTimeQueries.q38IntervalJoin _),
-    "q39_centroids" -> (SimilarityQueries.q39Centroids _)
+    "q39_centroids" -> (SimilarityQueries.q39Centroids _),
+    "q40_split" -> (TextQueries.q40Split _),
+    "q41_stratified" -> (TextQueries.q41Stratified _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

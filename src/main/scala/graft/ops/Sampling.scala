@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Splits must be a pure function of the row id — never `rand()` — so they
+  * are stable across runs, engines, partitionings, and re-processing of a
+  * grown corpus (a doc keeps its split when new data arrives, unlike
+  * modulo-on-row-number schemes). Buckets come from the md5 hex prefix of
+  * the id compared lexicographically: engine-portable (no hex->int parsing
+  * differences) and uniform (md5 is uniform per nibble).
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 256): the first two md5 hex chars of the id. */
+  private def hashPrefix(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 2)
+
+  /** Deterministic train/val/test assignment. Fractions are quantized to
+    * /256 boundaries (md5 prefix bytes); defaults ~80/10/10. */
+  def split(id: Column, trainUpper: String = "cd",
+            valUpper: String = "e6"): Column = {
+    val h = hashPrefix(id)
+    when(h < trainUpper, "train").when(h < valUpper, "val").otherwise("test")
+  }
+
+  /** Stratified deterministic sample: exactly min(n, |class|) rows per
+    * class, chosen by hash order (not data order) so the per-class sample
+    * is unbiased w.r.t. any data attribute, stable across runs, and
+    * identical in every engine. One window shuffle on the class key. */
+  def stratified(df: DataFrame, classCol: Column, id: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol)
+      .orderBy(md5(id.cast("string")).asc, id.asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  }
+}

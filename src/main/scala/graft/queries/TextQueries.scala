@@ -143,6 +143,21 @@ object TextQueries {
       .filter(col("rn") <= 20)
   }
 
+  /** Deterministic train/val/test split (~80/10/10 on md5-prefix buckets):
+    * a pure function of doc_id, so assignments survive re-runs, engine
+    * changes, and corpus growth. */
+  def q40Split(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.ops.Sampling.split(col("doc_id")).as("split"))
+
+  /** Stratified deterministic sample: 25 docs per language by hash order —
+    * unbiased w.r.t. any data attribute and identical in every engine. */
+  def q41Stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratified(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+      classCol = col("lang"), id = col("doc_id"), n = 25)
+
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -264,6 +279,20 @@ object TextQueries {
          |r AS (SELECT token, n,
          |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rn FROM c)
          |SELECT token, n, rn FROM r WHERE rn <= 20""".stripMargin,
+
+    "q40_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q41_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 25""".stripMargin,
 
     "q27_bpe_tokens" ->
       """SELECT doc_id,
