@@ -56,7 +56,9 @@ object SparkEntry {
     "q38_interval_join" -> (DateTimeQueries.q38IntervalJoin _),
     "q39_centroids" -> (SimilarityQueries.q39Centroids _),
     "q40_split" -> (TextQueries.q40Split _),
-    "q41_stratified" -> (TextQueries.q41Stratified _)
+    "q41_stratified" -> (TextQueries.q41Stratified _),
+    "q42_mix" -> (TextQueries.q42Mix _),
+    "q43_token_budget" -> (TextQueries.q43TokenBudget _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

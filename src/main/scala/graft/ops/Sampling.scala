@@ -26,6 +26,34 @@ object Sampling {
     when(h < trainUpper, "train").when(h < valUpper, "val").otherwise("test")
   }
 
+  /** Weighted dataset mixing: keep a per-group fraction of rows,
+    * deterministically (hash-bucket thresholds per group) — the "mix 30%
+    * web, 60% code, 10% papers" knob of corpus assembly. Thresholds are
+    * two-hex-char upper bounds (fraction ~= value/256). */
+  def mixBySource(df: DataFrame, groupCol: Column, id: Column,
+                  upperByGroup: Map[String, String]): DataFrame = {
+    val h = hashPrefix(id)
+    val keep = upperByGroup.foldLeft(lit(false)) { case (acc, (g, upper)) =>
+      acc || (groupCol === g && h < upper)
+    }
+    df.filter(keep)
+  }
+
+  /** Greedy token-budget selection: take rows per class in deterministic
+    * hash order until the running token sum exceeds `budget` — how a
+    * context-window or per-language token quota gets filled. One window
+    * shuffle; the running sum is exact (long). */
+  def tokenBudget(df: DataFrame, classCol: Column, id: Column,
+                  tokenCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol)
+      .orderBy(md5(id.cast("string")).asc, id.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stratified deterministic sample: exactly min(n, |class|) rows per
     * class, chosen by hash order (not data order) so the per-class sample
     * is unbiased w.r.t. any data attribute, stable across runs, and

@@ -158,6 +158,22 @@ object TextQueries {
       Tables.documents(spark, dir).select("doc_id", "lang", "source"),
       classCol = col("lang"), id = col("doc_id"), n = 25)
 
+  /** Weighted corpus mixing: keep ~100% of src0, ~50% of src1, ~20% of
+    * src2 (hash-bucket thresholds, deterministic per doc). */
+  def q42Mix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixBySource(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      groupCol = col("source"), id = col("doc_id"),
+      upperByGroup = Map("src0" -> "ff", "src1" -> "80", "src2" -> "33"))
+
+  /** Per-language token-budget fill: docs in deterministic hash order until
+    * 2000 chars per language (n_chars as the token proxy here). */
+  def q43TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudget(
+      Tables.documents(spark, dir).select("doc_id", "lang", "n_chars"),
+      classCol = col("lang"), id = col("doc_id"),
+      tokenCol = col("n_chars"), budget = 2000L)
+
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -293,6 +309,20 @@ object TextQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents) WHERE rn <= 25""".stripMargin,
+
+    "q42_mix" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'ff')
+        |   OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+        |   OR (source = 'src2' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33')""".stripMargin,
+
+    "q43_token_budget" ->
+      """SELECT doc_id, lang, n_chars, cum_tokens FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents) WHERE cum_tokens <= 2000""".stripMargin,
 
     "q27_bpe_tokens" ->
       """SELECT doc_id,
