@@ -28,18 +28,27 @@ import org.apache.spark.sql.types._
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** array<float> is accepted natively — widening per element inside the
+    * loop is bit-identical to a whole-array cast to array<double>, but a
+    * per-pair array<double> materialization (6 of them per cosine) was
+    * measured to dominate the similarity hot path. */
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires array<double> inputs, got " +
+      s"vec_dot requires array<double|float> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   /** Mismatched lengths or null elements yield NULL — identical to the
     * `aggregate(zip_with(...))` reference form, so a ragged embedding
@@ -49,11 +58,14 @@ case class VecDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -64,6 +76,8 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -72,7 +86,7 @@ case class VecDot(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -91,24 +105,24 @@ case class VecDot(left: Expression, right: Expression)
   * so `spark.sql("SELECT vec_dot(a, b)")` works too. */
 object GraftFunctions {
 
-  /** `vec_dot(a, b)` as a Column — inputs cast to array<double> (a
-    * codegen'd widening cast for array<float> embeddings). */
+  /** `vec_dot(a, b)` as a Column. Inputs must be float/double arrays
+    * (callers with int-array literals widen them at construction, e.g.
+    * `Similarity.srpBucket`): the expression reads floats natively, so no
+    * per-row array<double> cast materializes on the hot path. */
   def vecDot(a: Column, b: Column): Column =
-    shim.column(VecDot(
-      shim.expression(a.cast("array<double>")),
-      shim.expression(b.cast("array<double>"))))
+    shim.column(VecDot(shim.expression(a), shim.expression(b)))
 
-  /** SQL builder casts args so `vec_dot(array<float>, array<int>)` works
-    * from SQL just like the Column API. */
-  private def toDoubles(e: Expression): Expression = e.dataType match {
-    case ArrayType(DoubleType, _) => e
+  /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
+    * Column API alike; float/double arrays are left alone. */
+  private[functions] def toVecType(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => e
     case _ => Cast(e, ArrayType(DoubleType))
   }
 
   private[functions] val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(toDoubles(args(0)), toDoubles(args(1)))))
+      (args: Seq[Expression]) => VecDot(toVecType(args(0)), toVecType(args(1)))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

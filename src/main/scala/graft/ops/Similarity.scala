@@ -57,7 +57,9 @@ object Similarity {
     * dot(vec, plane_p) > 0. A pure per-row expression — no shuffle. */
   def srpBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
     signs.zipWithIndex.map { case (plane, p) =>
-      val planeLit = array(plane.map(lit): _*)
+      // double literals: vec_dot takes float/double arrays natively and
+      // ±1 is exact in every width
+      val planeLit = array(plane.map(v => lit(v.toDouble)): _*)
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

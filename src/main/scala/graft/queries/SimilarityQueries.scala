@@ -82,18 +82,30 @@ object SimilarityQueries {
       .select(col("vec_id"),
         posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    // A pair colliding in several tables appears several times. Deduping
+    // 4M candidate rows BEFORE scoring is the naive order — that distinct
+    // is the query's only large exchange. The codegen'd cosine is cheaper
+    // than the shuffle, so score the duplicated stream (map-side: the
+    // embedding joins broadcast) and dedupe only the tiny >=threshold
+    // survivor set.
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .distinct()
-    val cos = Similarity.cosine(col("e1"), col("e2"))
+    // norms once per VECTOR (2k rows), not per pair (millions):
+    // cosine = dot/sqrt(n1*n2) is the identical double expression, the
+    // factors are just computed where they're cheap
+    def withNorm(idAs: String, eAs: String, nAs: String) =
+      broadcast(emb.select(col("vec_id").as(idAs), col("embedding").as(eAs),
+        Similarity.dot(col("embedding"), col("embedding")).as(nAs)))
+    val cos = Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2"))
     pairs
-      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), Seq("id1"))
-      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), Seq("id2"))
+      .join(withNorm("id1", "e1", "n1"), Seq("id1"))
+      .join(withNorm("id2", "e2", "n2"), Seq("id2"))
       .select(col("id1"), col("id2"), cos.as("cs"))
       .filter(col("cs") >= 0.3)
       .select(col("id1"), col("id2"), round(col("cs"), 6).as("cos"))
+      .distinct()
   }
 
   private val kCentroids = 8

@@ -51,13 +51,17 @@ class VecDotSpec extends SparkSpec {
     assert(nullElem === None)
   }
 
-  test("vec_dot of int-literal hyperplanes matches srp bucketing inputs") {
+  test("vec_dot mixes float and double arrays (the srpBucket path)") {
     import spark.implicits._
-    // array<int> planes cast through array<double> — the srpBucket path
     val d = spark.range(1).select(
       Similarity.dot(
         array(lit(0.5f), lit(-1.5f)),
-        array(lit(1), lit(-1))).as("d")).as[Double].head()
+        array(lit(1.0), lit(-1.0))).as("d")).as[Double].head()
     assert(d === (0.5f.toDouble * 1.0) + (-1.5f.toDouble * -1.0))
+    // SQL path coerces int arrays via the registered builder
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark.sql("SELECT vec_dot(array(1, 2), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(s === 11.0)
   }
 }
