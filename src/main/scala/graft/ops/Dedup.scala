@@ -37,22 +37,26 @@ object Dedup {
         i => array_join(slice(toks, i, lit(3)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature of k permutation-analogs: signature[s] =
-    * min over shingles of md5(s || '|' || shingle). Lexicographic min of
-    * md5 hex == min of the 128-bit hash value; seeds are just prefixes, so
-    * both engines compute identical signatures. */
+  /** MinHash signature (array<long>, k rows) via the native
+    * [[graft.functions.MinHashSignature]] expression — one md5 per shingle,
+    * k Kirsch–Mitzenmacher derivations, all in one compiled eval per row
+    * (the HOF forms evaluate interpreted closures per shingle x seed and
+    * were measured to dominate the dedup queries). NULL for shingle-less
+    * docs, so their band keys go NULL and they never pair. */
   def minhashSignature(shingleCol: Column, k: Int = 12): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleCol,
-        x => md5(concat(s.cast("string"), lit("|"), x)))))
+    graft.functions.MinHashSignature(shingleCol, k)
 
-  /** LSH banding: band b's key hashes rows [b*r+1, b*r+r] of the signature.
-    * Returns an array of (band, band_key) structs to explode. */
+  /** LSH banding: band b's key hashes rows [b*r+1, b*r+r] of the signature,
+    * '|'-separated (values can't alias) and null-propagating via concat
+    * (NULL signature -> NULL band_key -> never joins). Returns an array of
+    * (band, band_key) structs to explode. */
   def lshBands(sig: Column, bands: Int = 6, r: Int = 2): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        md5(concat((1 to r).map(i => element_at(sig, b * r + i)): _*))
+        md5(concat((1 to r).flatMap(i =>
+          (if (i > 1) Seq(lit("|")) else Nil) :+
+            element_at(sig, b * r + i).cast("string")): _*))
           .as("band_key")))
 
   /** Candidate near-duplicate pairs: documents sharing at least one LSH

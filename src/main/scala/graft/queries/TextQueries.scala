@@ -243,12 +243,15 @@ object TextQueries {
          |    THEN list_transform(generate_series(1, len(toks) - 2),
          |           i -> array_to_string(toks[i:i+2], ' '))
          |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
          |sig AS (SELECT doc_id,
          |  list_transform(generate_series(0, 11),
-         |    k -> list_min(list_transform(s, x -> md5(k::VARCHAR || '|' || x)))) AS g
-         |  FROM sh),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
          |bands AS (SELECT doc_id, u.b AS band,
-         |  md5(g[2 * u.b + 1] || g[2 * u.b + 2]) AS bkey
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
          |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u)
          |SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
          |FROM bands a JOIN bands c
@@ -261,12 +264,15 @@ object TextQueries {
          |    THEN list_transform(generate_series(1, len(toks) - 2),
          |           i -> array_to_string(toks[i:i+2], ' '))
          |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
          |sig AS (SELECT doc_id,
          |  list_transform(generate_series(0, 11),
-         |    k -> list_min(list_transform(s, x -> md5(k::VARCHAR || '|' || x)))) AS g
-         |  FROM sh),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
          |bands AS (SELECT doc_id, u.b AS band,
-         |  md5(g[2 * u.b + 1] || g[2 * u.b + 2]) AS bkey
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
          |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
          |  FROM bands a JOIN bands c
