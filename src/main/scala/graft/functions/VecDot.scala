@@ -122,7 +122,17 @@ object GraftFunctions {
   private[functions] val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(toVecType(args(0)), toVecType(args(1)))))
+      (args: Seq[Expression]) => VecDot(toVecType(args(0)), toVecType(args(1)))),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be an int literal, got $other")
+        }
+        MinHashSignature(args(0), k, MinHashSignature.P)
+      }))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

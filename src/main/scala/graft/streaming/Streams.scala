@@ -99,6 +99,27 @@ object Streams {
       .drop("r_key")
   }
 
+  /** Stream -> date-partitioned parquet lake via foreachBatch: each
+    * micro-batch appends into `day_of_data=<date>` partitions
+    * ([[graft.sources.Sinks.appendDatePartition]]'s layout), so downstream
+    * batch readers get partition pruning over streamed data.
+    *
+    * Delivery semantics, honestly: the checkpoint makes the SOURCE
+    * exactly-once, but plain parquet append in foreachBatch is
+    * at-least-once on sink replay after a crash mid-batch. Production
+    * exactly-once needs a transactional table format or
+    * dedup-on-read by event_id (e.g. the q18 exact-dedup operator). */
+  def sinkDatePartitioned(events: DataFrame, path: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("day_of_data", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("day_of_data").parquet(path)
+      }
+      .start()
+
   /** Custom keyed state: per-user running (count, sum, last-seen) emitted on
     * every update — the `flatMapGroupsWithState` pattern for state machines
     * the built-in windows can't express. State is one small case class per

@@ -48,4 +48,28 @@ class StreamingFileSpec extends SparkSpec {
       .select("n_events").as[Long].collect().sorted.toSeq
     assert(clicks === Seq(3L)) // 10:00, 10:04, 10:07 in the [10:00,10:10) window
   }
+
+  test("foreachBatch lands micro-batches as date partitions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, Streams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_lake").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[Event]
+    val q = Streams.sinkDatePartitioned(ms.toDF(), out, ckpt)
+    ms.addData(Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1, "view", 2.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(
+      Event(3, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2, "click", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val lake = spark.read.parquet(out)
+    assert(lake.count() === 3)
+    // partition layout on disk + pruned per-date read
+    assert(new java.io.File(s"$out/day_of_data=2024-01-02").exists())
+    assert(lake.filter(col("day_of_data") === "2024-01-02").count() === 2)
+  }
 }
