@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   * CodegenFallback costs one virtual call per ROW (not per element), which
   * is noise next to the md5 work.
   *
-  * Engine-portable: 48-bit halves keep h1 + (k-1)*h2 < 2^53, exact in any
-  * integer or double engine; the DuckDB oracle reproduces it with
+  * Engine-portable: 48-bit halves keep h1 + (k-1)*h2 < 2^53 for k <= 32
+  * (enforced), exact in any integer or double engine; the DuckDB oracle
+  * reproduces it with
   * ('0x' || substr(md5(x), 1|13, 12))::BIGINT arithmetic. Empty or null
   * shingle arrays yield NULL (so downstream band keys go NULL and
   * shingle-less docs never pair — same as the oracle's list_min([]) ->
@@ -52,7 +53,7 @@ case class MinHashSignature(child: Expression, k: Int, p: Long)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSignature.localMd5.get()
     val mins = Array.fill(k)(Long.MaxValue)
     var any = false
     var j = 0
@@ -80,6 +81,19 @@ case class MinHashSignature(child: Expression, k: Int, p: Long)
 
 object MinHashSignature {
   val P: Long = 1000000007L
-  def apply(shingles: Column, k: Int): Column =
+
+  /** Exactness bound: h1 + (k-1)*h2 with 48-bit halves stays < 2^53 (safe
+    * even for an oracle computing in doubles) only for k <= 32. */
+  val MaxK: Int = 32
+
+  /** Per-thread digest: getInstance per row was measurable on the dedup
+    * hot path, and a shared instance is not thread-safe (local mode can
+    * evaluate one expression instance from several task threads). */
+  private[functions] val localMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def apply(shingles: Column, k: Int): Column = {
+    require(k >= 1 && k <= MaxK, s"minhash k must be in [1, $MaxK], got $k")
     shim.column(MinHashSignature(shim.expression(shingles), k, P))
+  }
 }

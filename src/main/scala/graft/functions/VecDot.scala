@@ -105,10 +105,13 @@ case class VecDot(left: Expression, right: Expression)
   * so `spark.sql("SELECT vec_dot(a, b)")` works too. */
 object GraftFunctions {
 
-  /** `vec_dot(a, b)` as a Column. Inputs must be float/double arrays
-    * (callers with int-array literals widen them at construction, e.g.
-    * `Similarity.srpBucket`): the expression reads floats natively, so no
-    * per-row array<double> cast materializes on the hot path. */
+  /** `vec_dot(a, b)` as a Column. Inputs must be float/double arrays —
+    * callers with other numeric arrays cast explicitly (int literals widen
+    * at construction, e.g. `Similarity.srpBucket`); the expression reads
+    * floats natively, so no per-row array<double> cast materializes on the
+    * hot path. NOTE the SQL surface is more lenient: the registered builder
+    * sees resolved types and coerces non-float/double arrays itself, which
+    * this Column path cannot (the Column's type is unknown pre-analysis). */
   def vecDot(a: Column, b: Column): Column =
     shim.column(VecDot(shim.expression(a), shim.expression(b)))
 
@@ -126,11 +129,16 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) => {
-        val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_signature k must be an int literal, got $other")
-        }
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"minhash_signature(shingles, k) takes 2 arguments, got ${args.length}")
+        val kExpr = args(1)
+        val k =
+          if (kExpr.foldable && kExpr.dataType == IntegerType)
+            kExpr.eval().asInstanceOf[Int]
+          else throw new IllegalArgumentException(
+            s"minhash_signature k must be a foldable int, got $kExpr")
+        if (k < 1 || k > MinHashSignature.MaxK) throw new IllegalArgumentException(
+          s"minhash_signature k must be in [1, ${MinHashSignature.MaxK}], got $k")
         MinHashSignature(args(0), k, MinHashSignature.P)
       }))
 

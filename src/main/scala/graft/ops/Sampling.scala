@@ -29,7 +29,10 @@ object Sampling {
   /** Weighted dataset mixing: keep a per-group fraction of rows,
     * deterministically (hash-bucket thresholds per group) — the "mix 30%
     * web, 60% code, 10% papers" knob of corpus assembly. Thresholds are
-    * two-hex-char upper bounds (fraction ~= value/256). */
+    * two-hex-char upper bounds (fraction ~= value/256).
+    *
+    * Groups ABSENT from the map are DROPPED entirely — the map is the full
+    * recipe, not an override (pass "ff" to keep a group whole). */
   def mixBySource(df: DataFrame, groupCol: Column, id: Column,
                   upperByGroup: Map[String, String]): DataFrame = {
     val h = hashPrefix(id)
@@ -57,11 +60,10 @@ object Sampling {
   /** Stratified deterministic sample: exactly min(n, |class|) rows per
     * class, chosen by hash order (not data order) so the per-class sample
     * is unbiased w.r.t. any data attribute, stable across runs, and
-    * identical in every engine. One window shuffle on the class key. */
-  def stratified(df: DataFrame, classCol: Column, id: Column, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(classCol)
-      .orderBy(md5(id.cast("string")).asc, id.asc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
-  }
+    * identical in every engine. Runs on the bounded-heap TopKPerKey
+    * operator (O(rows log n), O(n) state per class) rather than a
+    * full-sort row_number window — same rows, no per-class sort. */
+  def stratified(df: DataFrame, classCol: Column, id: Column, n: Int): DataFrame =
+    graft.plans.TopK.perKey(df, Seq(classCol),
+      Seq(md5(id.cast("string")).asc, id.asc), n)
 }

@@ -116,7 +116,7 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("day_of_data").parquet(path)
+        graft.sources.Sinks.appendDatePartition(batch, path)
       }
       .start()
 
