@@ -62,11 +62,21 @@ private[sources] class CovidReportTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class CovidScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = CovidReportSource.schema
   private var isoFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** One row per (date, country) partition, so LIMIT n == first n
+    * partitions: the other countries are never "fetched" at all. Fully
+    * pushed (return true): the scan emits at most `n` rows. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -95,11 +105,13 @@ private[sources] class CovidScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = new CovidScan(
     required,
     isoFilter,
+    limit,
     options.getOrDefault("date", "2023-03-02"),
     options.getInt("provincesPerCountry", 48))
 }
 
 private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[String]],
+                                 limit: Option[Int],
                                  ds: String, provinces: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -107,13 +119,16 @@ private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[Str
     s"CovidReportSource(date=$ds, countries=${isoFilter.getOrElse("ALL")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
 
-  /** One partition per surviving (date, country): the fan-out unit. */
-  override def planInputPartitions(): Array[InputPartition] =
-    CovidFixture.isoCountries.zipWithIndex
+  /** One partition per surviving (date, country): the fan-out unit.
+    * A pushed LIMIT keeps only the first n partitions (1 row each). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val surviving = CovidFixture.isoCountries.zipWithIndex
       .filter { case ((iso, _), _) => isoFilter.forall(_.contains(iso)) }
+    limit.fold(surviving)(surviving.take)
       .map { case ((iso, country), ci) =>
         CovidInputPartition(ci, iso, country, ds, provinces): InputPartition
       }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CovidReaderFactory(required)

@@ -35,6 +35,15 @@ class CovidReportSourceSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("LIMIT pushes to the source: only the first n partitions are planned") {
+    val df = src.load().limit(2)
+    assert(df.count() === 2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputPartitions.length === 2) // 3 countries never planned
+  }
+
   test("pipeline over the connector == pipeline over the fixture") {
     val viaSource = CovidPipeline.run(spark, src.load(), "2023-03-02").fact
     val viaFixture = CovidPipeline.run(spark, CovidFixture.stage(spark), "2023-03-02").fact
