@@ -42,6 +42,22 @@ object Sinks {
     }
   }
 
+  /** Layout-aware append: rows sorted by `clusterBy` WITHIN each written
+    * file, so parquet row-group min/max stats become tight, disjoint
+    * ranges — a selective filter on the cluster column then skips whole
+    * row groups at scan time. This is the single cheapest data-layout
+    * lever at 100 TB: same files, same reader, 10-100x less IO for
+    * point-ish queries on the cluster key. (The multi-dimensional version
+    * of this idea is Z-ordering; one sort column covers the common case.) */
+  def appendClusteredDatePartition(df: DataFrame, path: String,
+                                   clusterBy: String,
+                                   dateCol: String = "day_of_data"): Unit =
+    df.sortWithinPartitions(col(dateCol), col(clusterBy))
+      .write
+      .mode("append")
+      .partitionBy(dateCol)
+      .parquet(path)
+
   /** S4 JDBC parity: same append contract against a database table. */
   def appendJdbc(df: DataFrame, url: String, table: String,
                  props: java.util.Properties): Unit =

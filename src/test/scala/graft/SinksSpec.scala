@@ -28,6 +28,31 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readDatePartition(spark, dir, d2).count() === 240)
   }
 
+  test("clustered write makes row-group stats tight (scan skips row groups)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_clustered").toString
+    // many small row groups so pruning is observable on fixture-sized data
+    spark.conf.set("parquet.block.size", (64 * 1024).toString)
+    try {
+      val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+        .withColumn("day_of_data", to_date(col("ts")))
+      Sinks.appendClusteredDatePartition(events, dir, clusterBy = "user_id")
+      val df = spark.read.parquet(dir).filter(col("user_id") === 7)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+      // pushed filter + correct rows; with sorted row groups the parquet
+      // reader's numOutputRows ~ matching rows, not the whole table
+      assert(scan.metadata("PushedFilters").contains("EqualTo(user_id,7)"))
+      val expected = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+        .filter(col("user_id") === 7).count()
+      assert(df.count() === expected)
+      assert(scan.metrics("numOutputRows").value < 10000,
+        s"scan read ${scan.metrics("numOutputRows").value} rows — row-group pruning inactive")
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
   test("per-date read is partition pruning, not a data filter") {
     val dir = Files.createTempDirectory("graft_sink2").toString
     Sinks.appendDatePartition(flatFor("2023-03-02"), dir)
