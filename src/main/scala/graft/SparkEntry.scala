@@ -58,7 +58,8 @@ object SparkEntry {
     "q40_split" -> (TextQueries.q40Split _),
     "q41_stratified" -> (TextQueries.q41Stratified _),
     "q42_mix" -> (TextQueries.q42Mix _),
-    "q43_token_budget" -> (TextQueries.q43TokenBudget _)
+    "q43_token_budget" -> (TextQueries.q43TokenBudget _),
+    "q44_simhash_neardup" -> (TextQueries.q44SimhashNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -93,8 +93,16 @@ object Dedup {
 
   /** SimHash from a pre-materialized token-hash column (the staged form —
     * pass an attribute, not an expression, on hot paths). */
-  def simhash16FromHashes(hashes: Column): Column = {
-    val bits = transform(sequence(lit(0), lit(15)), j => {
+  def simhash16FromHashes(hashes: Column): Column =
+    simhashFromHashes(hashes, 16)
+
+  /** Width-parameterized SimHash: bit j comes from md5 hex digit j (md5
+    * supplies up to 32 nibbles). 16 bits is compact but weakly
+    * discriminating on topically-similar corpora; 32 bits is the
+    * near-dup-banding width (q44). */
+  def simhashFromHashes(hashes: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 32, s"simhash width 1..32, got $nBits")
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
       val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(conv(h.substr(j + 1, lit(1)), 16, 10).cast("long") >= 8, 1L)
           .otherwise(-1L))
@@ -105,4 +113,19 @@ object Dedup {
 
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash bit-bands: split a `bits`-wide simhash into `bands` equal
+    * slices. By pigeonhole, any pair within Hamming distance `bands - 1`
+    * agrees on at least one intact band — so banding is a LOSSLESS
+    * candidate filter at that radius (the simhash analog of MinHash LSH
+    * banding). Returns (band, band_key) structs for [[candidatePairs]]. */
+  def simhashBands(sim: Column, bits: Int = 16, bands: Int = 4): Column = {
+    val w = bits / bands
+    require(bands * w == bits, s"bands must divide bits: $bands / $bits")
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sim, b * w).bitwiseAND(lit((1L << w) - 1))
+          .cast("string").as("band_key"))
+    }: _*)
+  }
 }

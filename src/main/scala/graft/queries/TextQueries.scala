@@ -174,13 +174,40 @@ object TextQueries {
       classCol = col("lang"), id = col("doc_id"),
       tokenCol = col("n_chars"), budget = 2000L)
 
-  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+  private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.tokenHashes(col("toks")).as("hs"))
       .select(col("doc_id"),
         Dedup.simhash16FromHashes(col("hs")).as("simhash"))
+
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashed(spark, dir)
+
+  /** SimHash near-dup pairs: bit-band candidates (lossless within Hamming
+    * radius bands-1 = 3 by pigeonhole) + exact Hamming verify — completes
+    * the dedup trio (exact q18, MinHash q19/q20, SimHash q21/q44). 32-bit
+    * hash over 3-SHINGLES (token-level simhash clusters on topically
+    * similar corpora and 16 bits pairs nearly everything) via the native
+    * [[graft.functions.SimHash]] expression — one digest per shingle, one
+    * compiled eval per row. The only shuffle is the band-bucket join on
+    * tiny (band, byte) keys. */
+  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sims = shingled(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("sh"), 32).as("simhash"))
+    val banded = sims
+      .select(col("doc_id"),
+        explode(Dedup.simhashBands(col("simhash"), bits = 32, bands = 4)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    Dedup.candidatePairs(banded)
+      .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
+      .join(sims.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        Dedup.hammingDistance(col("s1"), col("s2")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
 
   // ---- DuckDB oracle twins ------------------------------------------------
 
@@ -338,19 +365,61 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_other_tokens
         |FROM documents""".stripMargin,
 
-    "q21_simhash" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_transform($toksSql, x -> md5(x)) AS hs FROM documents)
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(generate_series(0, 15), j ->
-         |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
-         |        list_transform(hs, h ->
-         |          CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
-         |               THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-         |        (a, b) -> a + b) > 0
-         |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
-         |    (a, b) -> a + b) AS simhash
-         |FROM t""".stripMargin
+    "q21_simhash" -> simhashSql,
+
+    "q44_simhash_neardup" ->
+      s"""WITH sim AS ($shingleSimhash32Sql),
+         |banded AS (SELECT doc_id, u.b AS band,
+         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
+         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM banded a JOIN banded c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+         |SELECT p.doc1, p.doc2,
+         |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+         |FROM pairs p
+         |JOIN sim s1 ON s1.doc_id = p.doc1
+         |JOIN sim s2 ON s2.doc_id = p.doc2
+         |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""".stripMargin
   )
+
+  private def simhashSqlBits(nBits: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform($toksSql, x -> md5(x)) AS hs FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(0, ${nBits - 1}), j ->
+       |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(hs, h ->
+       |          CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
+       |               THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |        (a, b) -> a + b) > 0
+       |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) AS simhash
+       |FROM t""".stripMargin
+
+  private lazy val simhashSql: String = simhashSqlBits(16)
+
+  /** 32-bit simhash over 3-shingles; NULL for shingle-less docs (matches
+    * the native expression, so such docs never band-collide). */
+  private lazy val shingleSimhash32Sql: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END AS s FROM t0),
+       |h0 AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh0)
+       |SELECT doc_id,
+       |  CASE WHEN len(hs) = 0 THEN NULL ELSE
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(0, 31), j ->
+       |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(hs, h ->
+       |          CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
+       |               THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |        (a, b) -> a + b) > 0
+       |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) END AS simhash
+       |FROM h0""".stripMargin
 }
