@@ -25,6 +25,9 @@ object Bench {
           false
       }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // queries that persist() intermediates (q20/q44 signature frames)
+      // must not leak cache into the next measurement
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }.toMap

@@ -35,11 +35,23 @@ object MediaQueries {
       .select(col("media_id"), col("kind"), col("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"))
 
-  /** Partition-wise stub decode → fixed-length Array[Float] features.
-    * Not SQL-expressible (mapPartitions boundary) → no oracle entry;
-    * rows-only check + MultimodalSpec. */
+  /** Partition-wise stub decode, projected to a checker-hashable shape:
+    * one row per (media, bin) with the EXACT integer histogram count.
+    * [[Multimodal.decodeFeatures]] stays the ops-API (Array[Float] features
+    * for the similarity operators, pinned by MultimodalSpec); here the
+    * normalized float is inverted back to its integer count via
+    * round(v * n) — exact because v = float(count/n) carries ≤ n·2⁻²⁴
+    * absolute error, far below 0.5 for any document-sized blob. The
+    * scalar long/string columns hash cleanly in the driver's pandas
+    * check AND admit a value-exact DuckDB oracle. */
   def q26MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(media(spark, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("bin", "v")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("bin").cast("long").as("bin"),
+        round(col("v").cast("double") * greatest(col("n_bytes"), lit(1)))
+          .cast("long").as("bin_count"))
 
   // ---- DuckDB oracle twins ------------------------------------------------
 
@@ -73,6 +85,25 @@ object MediaQueries {
          |SELECT media_id, kind, n_frames, CAST(u.f AS BIGINT) AS frame_idx
          |FROM media
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 7)) AS f) u
-         |WHERE n_frames > 0""".stripMargin
+         |WHERE n_frames > 0""".stripMargin,
+
+    // The stub decode's 16-bin byte histogram, re-derived arithmetically:
+    // bin(b) = (b*16)/256 = b//16 for b in 0..255; the fixture text is pure
+    // ASCII so per-character ascii() equals the blob byte. Zero-count bins
+    // are emitted too (Spark's posexplode yields all 16 per media row).
+    "q26_media_features" ->
+      s"""WITH media AS ($mediaSql),
+         |base AS (SELECT media_id, kind,
+         |  CAST(octet_length(blob) AS BIGINT) AS n_bytes, text FROM media),
+         |chars AS (SELECT media_id, ascii(substr(text, u.i, 1)) // 16 AS bin
+         |  FROM base CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) u),
+         |counts AS (SELECT media_id, bin, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM chars GROUP BY 1, 2),
+         |bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+         |SELECT b.media_id, b.kind, b.n_bytes, CAST(bins.bin AS BIGINT) AS bin,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_count
+         |FROM base b CROSS JOIN bins
+         |LEFT JOIN counts c ON c.media_id = b.media_id AND c.bin = bins.bin""".stripMargin
   )
 }

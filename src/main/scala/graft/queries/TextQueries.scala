@@ -79,22 +79,30 @@ object TextQueries {
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.shingles3(col("toks")).as("sh"))
 
-  private def bandedDocs(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+  private def bandedFrom(sh: DataFrame): DataFrame =
+    sh
       .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(Dedup.lshBands(col("sig"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
 
   def q19MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.candidatePairs(bandedDocs(spark, dir))
+    Dedup.candidatePairs(bandedFrom(shingled(spark, dir)))
 
   /** Near-dup verification on LSH candidates with 3-shingle Jaccard — the
     * quantity MinHash actually estimates. (Token-set Jaccard is useless on
     * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
-    * but near 0 on shingle sets.) */
+    * but near 0 on shingle sets.)
+    *
+    * The shingle frame feeds the banding AND both verify-join probes;
+    * without materialization Spark re-runs the whole tokenize→shingle
+    * lineage three times (measured ~3× the query cost). persist() is the
+    * in-session analog of what a 100 TB pipeline does anyway: write
+    * signatures/shingles once, then band and verify off the materialized
+    * table. (Bench/Verify clear the cache between queries.) */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
-    val pairs = Dedup.candidatePairs(bandedDocs(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.candidatePairs(bandedFrom(docs))
     pairs
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
@@ -130,17 +138,32 @@ object TextQueries {
       minMax = Seq("n_chars"))
 
   /** Vocabulary top-k: 20 most frequent tokens with deterministic
-    * tie-break — explode + count + window. At scale the explode+groupBy is
-    * the canonical wordcount shuffle (map-side combined); the final top-k
-    * is a single tiny ordered partition of at most k * #partitions rows. */
+    * tie-break. explode+groupBy is the canonical wordcount shuffle
+    * (map-side combined); the global top-k is orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition bounded top-k, tiny driver
+    * merge), so no single partition ever sees the full vocabulary. At
+    * 100 TB the vocabulary can be billions of rows and a global
+    * Window.orderBy over it would funnel everything to one task — the
+    * round-1 shape, now gone. The rank over the k=20 survivors is a
+    * broadcast self-join count (rn = #rows ordered ≤ self), not a window:
+    * Spark 4's EliminateWindowPartitions folds constant partition keys, so
+    * any window here would re-plan as the warned single-partition
+    * WindowExec. k² = 400 comparisons, order-independent, no window at
+    * all. persist() keeps the wordcount from running for both join sides
+    * (cleared by Bench/Verify between queries). */
   def q34TopTokens(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("token").asc)
-    Tables.documents(spark, dir)
+    val top = Tables.documents(spark, dir)
       .select(explode(TA.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val other = top.select(col("n").as("n2"), col("token").as("token2"))
+    top.join(broadcast(other),
+        col("n2") > col("n") ||
+          (col("n2") === col("n") && col("token2") <= col("token")))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).cast("int").as("rn"))
   }
 
   /** Deterministic train/val/test split (~80/10/10 on md5-prefix buckets):
@@ -194,9 +217,14 @@ object TextQueries {
     * compiled eval per row. The only shuffle is the band-bucket join on
     * tiny (band, byte) keys. */
   def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // (doc_id, simhash) feeds the banding and BOTH verify-join probes;
+    // persist so the tokenize→shingle→digest lineage runs once, not 3×
+    // (measured: the recompute tripled q44's cost). At 100 TB you'd
+    // materialize the signature table — persist is the in-session twin.
     val sims = shingled(spark, dir)
       .select(col("doc_id"),
         graft.functions.SimHash(col("sh"), 32).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims
       .select(col("doc_id"),
         explode(Dedup.simhashBands(col("simhash"), bits = 32, bands = 4)).as("bb"))

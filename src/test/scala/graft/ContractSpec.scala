@@ -17,12 +17,12 @@ class ContractSpec extends SparkSpec {
     }
   }
 
-  test("oracle keys are exactly a subset of query keys; only q26 is rows-only") {
+  test("every query has an oracle and every oracle has a query") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     val orphans = os.diff(qs)
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
-    assert(qs.diff(os) === Set("q26_media_features"))
+    assert(qs.diff(os) === Set.empty, s"queries without oracles: ${qs.diff(os)}")
   }
 
   test("entry returns fact rows (driver smoke contract)") {

@@ -60,8 +60,15 @@ class MultimodalSpec extends SparkSpec {
     assert(cross.nonEmpty && cross.forall(c => !c.isNaN && c <= 1.0001))
   }
 
-  test("q24/q25 run and q26 yields one feature row per media row") {
+  test("q24/q25 run and q26 yields 16 histogram rows per media row") {
     assert(MediaQueries.q24BinaryMeta(spark, sfDir).count() === 500)
-    assert(MediaQueries.q26MediaFeatures(spark, sfDir).count() === 500)
+    val q26 = MediaQueries.q26MediaFeatures(spark, sfDir)
+    assert(q26.count() === 500L * 16)
+    // bin counts reconstruct exactly: per media they sum to n_bytes
+    import org.apache.spark.sql.functions._
+    val bad = q26.groupBy("media_id", "n_bytes")
+      .agg(sum("bin_count").as("s"))
+      .filter(col("s") =!= col("n_bytes")).count()
+    assert(bad === 0)
   }
 }
