@@ -66,4 +66,30 @@ object Dims {
         .cast("int"))
       .select("region_key", "region_name", "country_name", "lat", "long")
   }
+
+  /** S7 static-seed load path: the reference pre-seeds region_dimension
+    * with a fixed 237-row list (`pg_init_covid19.sql:248-508`) instead of
+    * deriving it from data. The seed ships INSIDE the jar
+    * (`resources/region_seed.csv`) so the load has no filesystem
+    * dependency; surrogate keys are assigned by the same deterministic
+    * rule as [[regionDim]], so the two paths are interchangeable in the
+    * broadcast surrogate-key join. The seed is tiny by contract — parsing
+    * driver-side and parallelizing is the right plan at any scale. */
+  def regionDimFromSeed(spark: SparkSession): DataFrame = {
+    val in = getClass.getResourceAsStream("/region_seed.csv")
+    require(in != null, "region_seed.csv missing from classpath")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    import spark.implicits._
+    val csv = spark.read
+      .option("header", "true")
+      .schema("region_name STRING, country_name STRING, lat DOUBLE, long DOUBLE")
+      .csv(spark.createDataset(lines))
+    csv.withColumn(
+      "region_key",
+      row_number().over(Window.orderBy(col("country_name"), col("region_name")))
+        .cast("int"))
+      .select("region_key", "region_name", "country_name", "lat", "long")
+  }
 }

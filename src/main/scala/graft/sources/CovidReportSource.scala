@@ -28,7 +28,14 @@ import graft.pipeline.CovidFixture
   *  - column pruning: if `json_data` is not in the required schema, the
   *    reader never builds the payload (the expensive part) at all.
   *
-  * Options: `date` (yyyy-MM-dd), `provincesPerCountry` (default 48).
+  * Options: `date` (yyyy-MM-dd), `provincesPerCountry` (default 48),
+  * `payloadProvider` (fully-qualified class name of a
+  * [[CovidPayloadProvider]]; default [[FixturePayloadProvider]]). The
+  * provider is the FETCH SEAM: a production build sets
+  * `.option("payloadProvider", "com.example.HttpCovidProvider")` and the
+  * connector instantiates it per partition reader on the executor — the
+  * same class-name-in-config injection JDBC uses for drivers. Everything
+  * else (partitioning, pushdown, pruning) is provider-agnostic.
   */
 class CovidReportSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -44,6 +51,25 @@ object CovidReportSource {
     StructField("date_of_data", DateType, nullable = false),
     StructField("iso_country", StringType, nullable = false),
     StructField("json_data", StringType, nullable = false)))
+}
+
+/** The per-partition fetch seam (reference behavior:
+  * `dags/ETL_covid19_pandas.py:33-44` — one HTTP GET per (date, country)).
+  * Implementations must be top-level classes with a no-arg constructor;
+  * they are instantiated reflectively on the EXECUTOR, once per partition
+  * reader — exactly where a real HTTP client/connection pool would live. */
+trait CovidPayloadProvider extends Serializable {
+  /** Return the raw JSON envelope for one (date, country) report. */
+  def fetch(ds: String, iso: String, country: String,
+            countryIdx: Int, provinces: Int): String
+}
+
+/** Default provider: the deterministic covid-shaped fixture generator (the
+  * sandbox has no egress; a production HTTP provider is a drop-in). */
+final class FixturePayloadProvider extends CovidPayloadProvider {
+  override def fetch(ds: String, iso: String, country: String,
+                     countryIdx: Int, provinces: Int): String =
+    CovidFixture.envelope(ds, iso, country, countryIdx, provinces)
 }
 
 private[sources] class CovidReportTable(options: CaseInsensitiveStringMap)
@@ -107,12 +133,15 @@ private[sources] class CovidScanBuilder(options: CaseInsensitiveStringMap)
     isoFilter,
     limit,
     options.getOrDefault("date", "2023-03-02"),
-    options.getInt("provincesPerCountry", 48))
+    options.getInt("provincesPerCountry", 48),
+    options.getOrDefault("payloadProvider",
+      classOf[FixturePayloadProvider].getName))
 }
 
 private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[String]],
                                  limit: Option[Int],
-                                 ds: String, provinces: Int) extends Scan with Batch {
+                                 ds: String, provinces: Int,
+                                 providerClass: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -131,19 +160,25 @@ private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[Str
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CovidReaderFactory(required)
+    new CovidReaderFactory(required, providerClass)
 }
 
 private[sources] final case class CovidInputPartition(
     countryIdx: Int, iso: String, country: String, ds: String,
     provinces: Int) extends InputPartition
 
-private[sources] class CovidReaderFactory(required: StructType)
+private[sources] class CovidReaderFactory(required: StructType,
+                                          providerClass: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CovidInputPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
+      // executor-side, once per partition reader — where a real HTTP
+      // client (connection pool, auth token) would be initialized
+      private lazy val provider: CovidPayloadProvider =
+        Class.forName(providerClass).getDeclaredConstructor()
+          .newInstance().asInstanceOf[CovidPayloadProvider]
       override def next(): Boolean = if (emitted) false else { emitted = true; true }
       override def get(): InternalRow = {
         val epochDays = java.time.LocalDate.parse(p.ds).toEpochDay.toInt
@@ -154,7 +189,7 @@ private[sources] class CovidReaderFactory(required: StructType)
           case "date_of_data" => epochDays
           case "iso_country" => UTF8String.fromString(p.iso)
           case "json_data" => UTF8String.fromString(
-            CovidFixture.envelope(p.ds, p.iso, p.country, p.countryIdx, p.provinces))
+            provider.fetch(p.ds, p.iso, p.country, p.countryIdx, p.provinces))
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }

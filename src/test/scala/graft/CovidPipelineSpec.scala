@@ -71,4 +71,33 @@ class CovidPipelineSpec extends SparkSpec {
     // within tolerance passes: |240-244| = 4 <= 4.88
     CovidPipeline.run(spark, stage, ds, expectedRows = 244, tolerance = 0.02)
   }
+
+  test("runRange backfills per-date partitions; re-runs are idempotent") {
+    import org.apache.spark.sql.functions._
+    val lake = java.nio.file.Files.createTempDirectory("graft_backfill")
+      .resolve("fact").toString
+    val landed = CovidPipeline.runRange(spark, "2023-03-01", "2023-03-03", lake)
+    assert(landed === Seq("2023-03-01", "2023-03-02", "2023-03-03"))
+    def counts = spark.read.parquet(lake)
+      .groupBy("day_of_data").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val before = counts
+    assert(before.values.toSet === Set(240L) && before.size === 3)
+    // re-run ONLY the middle date: its partition is replaced, the other
+    // two days' files untouched, totals stable (the Airflow-rerun case)
+    CovidPipeline.runRange(spark, "2023-03-02", "2023-03-02", lake)
+    assert(counts === before)
+  }
+
+  test("runRange invokes the failure hook and propagates the error") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_backfill2")
+      .resolve("fact").toString
+    var notified = List.empty[String]
+    intercept[Quality.QualityCheckFailure] {
+      CovidPipeline.runRange(spark, "2023-03-01", "2023-03-02", lake,
+        expectedRows = 9999,
+        onFailure = (d, _) => notified ::= d)
+    }
+    assert(notified === List("2023-03-01")) // fails fast on the first date
+  }
 }

@@ -1,7 +1,23 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.pipeline.{CovidFixture, CovidPipeline}
+import graft.sources.CovidPayloadProvider
+
+/** Injected fetch stub for the payloadProvider seam test; top-level with a
+  * no-arg constructor as the reflective contract requires. Call tracking
+  * works because local-mode executors share the test JVM. */
+final class StubPayloadProvider extends CovidPayloadProvider {
+  override def fetch(ds: String, iso: String, country: String,
+                     countryIdx: Int, provinces: Int): String = {
+    StubPayloadProvider.calls.add(iso)
+    s"""{"stub":"$ds/$iso"}"""
+  }
+}
+object StubPayloadProvider {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
 
 /** DSv2 connector: fan-out partitioning, partition-level filter pushdown
   * (countries prune before any "fetch"), column pruning, and end-to-end
@@ -42,6 +58,22 @@ class CovidReportSourceSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.get
     assert(scan.inputPartitions.length === 2) // 3 countries never planned
+  }
+
+  test("payloadProvider option injects a custom fetch (the S1 HTTP seam)") {
+    val df = src
+      .option("payloadProvider", classOf[StubPayloadProvider].getName)
+      .load()
+    val payloads = df.select("iso_country", "json_data").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(payloads.size === 5)
+    assert(payloads("RUS") === """{"stub":"2023-03-02/RUS"}""")
+    // pushdown still composes with a custom provider: pruned countries
+    // are never fetched at all
+    StubPayloadProvider.calls.clear()
+    src.option("payloadProvider", classOf[StubPayloadProvider].getName)
+      .load().filter(col("iso_country") === "CHN").collect()
+    assert(StubPayloadProvider.calls.asScala.toSet === Set("CHN"))
   }
 
   test("pipeline over the connector == pipeline over the fixture") {

@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 import org.apache.spark.sql.functions._
-import graft.ops.Dims
+import graft.ops.{Dims, Mart}
 
 /** F2 / F7 traps (SURVEY.md §7.3): yyyymmdd key round-trip and the
   * Postgres-isodow vs Spark-dayofweek remap, checked exhaustively against
@@ -51,5 +51,37 @@ class DimsSpec extends SparkSpec {
       assert(sun.getAs[Boolean]("last_day_in_week_indicator") === true)
       assert(sun.getAs[Boolean]("weekday_flag") === false)
     } finally dim.unpersist()
+  }
+
+  test("region seed loads 237 rows with dense deterministic keys") {
+    val seed = Dims.regionDimFromSeed(spark)
+    val rows = seed.collect()
+    assert(rows.length === 237) // pg_init_covid19.sql:248-508
+    assert(rows.map(_.getAs[Int]("region_key")).sorted.toSeq === (1 to 237))
+    // spot-check a known row (public JHU CSSE geography)
+    val anhui = rows.find(_.getAs[String]("region_name") == "Anhui").get
+    assert(anhui.getAs[String]("country_name") === "China")
+    assert(anhui.getAs[Double]("lat") === 31.8257)
+  }
+
+  test("seed dim and data-derived dim are interchangeable in the key join") {
+    import org.apache.spark.sql.functions._
+    val seed = Dims.regionDimFromSeed(spark)
+    // a flat feed whose region attrs come from the seed universe, with
+    // repeats (facts repeat regions) and a shuffled order
+    val flat = seed.select("region_name", "country_name", "lat", "long")
+      .unionAll(seed.select("region_name", "country_name", "lat", "long"))
+      .repartition(7)
+    val derived = Dims.regionDim(flat)
+    // same keys, same attributes — the two load paths agree exactly,
+    // so Mart.withSurrogateKeys keys facts identically with either dim
+    assert(derived.collect().toSet === seed.collect().toSet)
+    val viaSeed = flat.withColumn("day_of_data", lit("2023-03-02").cast("date"))
+    val a = Mart.withSurrogateKeys(viaSeed, seed)
+      .select("region_name", "country_name", "region_key").collect().toSet
+    val b = Mart.withSurrogateKeys(viaSeed, derived)
+      .select("region_name", "country_name", "region_key").collect().toSet
+    assert(a === b)
+    assert(a.forall(_.get(2) != null)) // every fact row keyed
   }
 }
