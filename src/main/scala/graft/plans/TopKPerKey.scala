@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, RowOrdering, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -59,44 +59,66 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Keys-only sort within each partition (Catalyst inserts a SortExec):
+    * groups then arrive contiguously, so execution holds ONE O(k) heap at
+    * a time and emits each group as soon as it ends — memory is O(k)
+    * regardless of key cardinality, and any spilling happens in Spark's
+    * external (disk-backed) sort, not here. This is the same memory model
+    * as Spark's own WindowGroupLimitExec. The operator's win over
+    * WindowExec is intact: the sort covers the KEYS only — the order
+    * columns are never sorted, the heap keeps that part O(n log k).
+    * (The earlier shape — a heap per key in one hash map — held
+    * #keys × k rows before emitting anything: an executor OOM on
+    * high-cardinality keys, e.g. top-5 neighbors per document.) */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val outTypes = output.map(_.dataType).toArray
+    val emitRank = rankAttr.isDefined
     child.execute().mapPartitions ({ iter =>
       val ordering = RowOrdering.create(sortOrder, childOutput)
       val keyProj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(keyExprs, childOutput)
-      // key -> bounded "worst-first" heap: the head is the row that leaves
-      // first, so insert is O(log k) and state is O(k) per key
-      val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        val heap = heaps.getOrElseUpdate(key,
-          // PriorityQueue dequeues its LARGEST element; with the sort
-          // ordering directly, "largest" = last in sort order = the row to
-          // evict — exactly what a bounded top-k wants.
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](
-            ordering.asInstanceOf[Ordering[InternalRow]]))
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
-        }
-      }
-      val emitRank = rankAttr.isDefined
       // Exec output must be UnsafeRow (shuffle serializers and
       // getByteArrayRdd cast unconditionally) — project the rank-extended
       // rows instead of emitting raw JoinedRows.
       lazy val rankProj = org.apache.spark.sql.catalyst.expressions
-        .UnsafeProjection.create(output.map(_.dataType).toArray)
-      heaps.iterator.flatMap { case (_, heap) =>
-        val rows = heap.dequeueAll.reverseIterator // ascending sort order
-        if (!emitRank) rows
-        else rows.zipWithIndex.map { case (row, i) =>
-          rankProj(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-            row, InternalRow(i + 1))): InternalRow
+        .UnsafeProjection.create(outTypes)
+      val in = iter.buffered
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && in.hasNext) advanceGroup()
+          out.hasNext
+        }
+        override def next(): InternalRow = { hasNext; out.next() }
+        /** Consume one contiguous key group into a bounded "worst-first"
+          * heap (head = first row to evict, so insert is O(log k)). */
+        private def advanceGroup(): Unit = {
+          val key = keyProj(in.head).copy()
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[InternalRow](ordering.asInstanceOf[Ordering[InternalRow]])
+          var same = true
+          while (same && in.hasNext) {
+            if (keyProj(in.head) == key) {
+              val row = in.next()
+              if (heap.size < kLocal) heap.enqueue(row.copy())
+              else if (ordering.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+            } else same = false
+          }
+          val rows = heap.dequeueAll.reverseIterator // ascending sort order
+          out = if (!emitRank) rows
+          else rows.zipWithIndex.map { case (row, i) =>
+            rankProj(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+              row, InternalRow(i + 1))): InternalRow
+          }
         }
       }
     }, preservesPartitioning = true)

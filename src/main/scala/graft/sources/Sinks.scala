@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions.col
   * never touches previous days (idempotent re-runs via overwrite of just
   * that partition with dynamic partitionOverwriteMode).
   *
-  * The JDBC form is kept for API parity — same writer contract, swap the
-  * format. (Not exercised by tests: no database in the fixture env.)
+  * The JDBC form is the same writer contract with the format swapped —
+  * exercised end-to-end against embedded Derby (JdbcSinkSpec): append,
+  * readback, and a database-side pushed filter.
   */
 object Sinks {
 

@@ -32,4 +32,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("c") === Some(20.0))
     assert(out("d") === Some(99.0))
   }
+
+  test("all asof values come from the SAME right row (no torn back-fill)") {
+    import spark.implicits._
+    // the newest right row has price=NULL: per-column carry would take
+    // qty from it but back-fill price from the OLDER row — a torn result
+    val left = Seq((1L, t("2024-01-01 13:00:00"), "x"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 11:00:00"), Some(10.0), Some(100L)),
+      (1L, t("2024-01-01 12:00:00"), None: Option[Double], Some(200L))
+    ).toDF("user_id", "ts", "price", "qty")
+    val row = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("price", "qty"))
+      .select($"asof_price", $"asof_qty")
+      .as[(Option[Double], Option[Long])].collect().head
+    assert(row === (None, Some(200L))) // both from the 12:00 row, atomically
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Sinks
+
+/** S4 exercised for real: `Sinks.appendJdbc` round-trips through embedded
+  * Derby (ships with Spark's jars, no network) — append semantics, then a
+  * `spark.read.jdbc` readback with a pushed filter. This closes the one
+  * previously-untested sink path (reference `spark_transform_data.py:60-66`
+  * appends the fact table to Postgres over JDBC; embedded Derby stands in
+  * for the server, the writer contract is identical). */
+class JdbcSinkSpec extends SparkSpec {
+
+  test("appendJdbc appends and reads back through embedded Derby") {
+    // keep Derby's boot log out of the repo working dir
+    System.setProperty("derby.stream.error.file",
+      java.nio.file.Files.createTempDirectory("graft_derby_log")
+        .resolve("derby.log").toString)
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_derby")
+      .resolve("db")
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    import spark.implicits._
+    val facts = Seq(
+      (20230302, 1, 100L, 0.01),
+      (20230302, 2, 200L, 0.02)).toDF("date_key", "region_key", "confirmed", "rate")
+    Sinks.appendJdbc(facts, url, "fact_covid", props)
+    Sinks.appendJdbc(facts, url, "fact_covid", props) // append, not replace
+    val back = spark.read.jdbc(url, "fact_covid", props)
+    assert(back.count() === 4)
+    // filter pushes into the JDBC scan (WHERE on the database side)
+    val one = back.filter($"region_key" === 2)
+    assert(one.count() === 2)
+    assert(one.select("confirmed").collect().map(_.getLong(0)).toSeq === Seq(200L, 200L))
+  }
+}

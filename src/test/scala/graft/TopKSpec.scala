@@ -42,4 +42,20 @@ class TopKSpec extends SparkSpec {
       Seq(col("n_nationkey").asc), 1000)
     assert(out.count() === nation.count())
   }
+
+  test("high-cardinality keys stream group-at-a-time (keys-only sort)") {
+    // 100k distinct keys: the pre-fix shape buffered #keys*k rows in one
+    // hash map before emitting anything; now groups arrive contiguously
+    // via the planner-inserted keys-only sort and memory stays O(k).
+    val df = spark.range(200000).select(
+      (col("id") % 100000).as("key"), col("id").as("v"))
+    val top = TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), 1)
+    assert(top.count() === 100000)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(400))
+    // the sort the exec requires covers the key only, not the order col
+    assert(plan.contains("Sort [key"), plan.take(400))
+    // spot-check correctness: key 7 keeps the larger of its two ids
+    assert(top.filter(col("key") === 7).collect().head.getLong(1) === 100007L)
+  }
 }
