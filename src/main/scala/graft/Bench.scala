@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -10,13 +12,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle-write volume: wall-clock at sf0.1 is dominated by
+    // fixed overheads, but bytes exchanged scale linearly with data — the
+    // number that predicts 100x behavior. Collected from task metrics.
+    val shuffleWrite = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def shuffleNow(): Long = {
+      org.apache.spark.sql.graft.shim.drainListenerBus(spark)
+      shuffleWrite.get()
+    }
     // untimed warmup: JVM/codegen/file-index startup is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).count()
     // a crashing query must NOT look like a fast success: record it as -1
     // and list it under "failed" so the regression is visible in the JSON
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q20_jaccard_pairs,q44_simhash_neardup
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sh0 = shuffleNow()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -25,17 +46,20 @@ object Bench {
           false
       }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val shBytes = shuffleNow() - sh0
       // queries that persist() intermediates (q20/q44 signature frames)
       // must not leak cache into the next measurement
       spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-      name -> sec
+      System.err.println(f"[bench] $name%-22s $sec%8.2f s  ${shBytes / 1024}%9d KiB shuffled")
+      name -> (sec, shBytes)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val sh = results.map { case (k, (_, b)) => s"\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_bytes":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,7 +59,12 @@ object SparkEntry {
     "q41_stratified" -> (TextQueries.q41Stratified _),
     "q42_mix" -> (TextQueries.q42Mix _),
     "q43_token_budget" -> (TextQueries.q43TokenBudget _),
-    "q44_simhash_neardup" -> (TextQueries.q44SimhashNearDup _)
+    "q44_simhash_neardup" -> (TextQueries.q44SimhashNearDup _),
+    "q45_variant_json" -> (DateTimeQueries.q45VariantJson _),
+    "q46_cube" -> (CoreQueries.q46Cube _),
+    "q47_pivot" -> (CoreQueries.q47Pivot _),
+    "q48_unpivot" -> (CoreQueries.q48Unpivot _),
+    "q49_percentiles" -> (CoreQueries.q49Percentiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

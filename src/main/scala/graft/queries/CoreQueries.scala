@@ -184,4 +184,57 @@ object CoreQueries {
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
+
+  /** CUBE: all 2^n grouping-set combinations in ONE pass — Spark expands
+    * grouping sets inside a single hash aggregate (Expand + partial agg),
+    * so the cost is one shuffle regardless of how many subtotal levels the
+    * report needs; n separate GROUP BYs would be n scans + n shuffles. */
+  def q46Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Pivot with an EXPLICIT value list: Spark's two-phase pivot (collect
+    * distinct values, then pivot) needs an extra job to discover the
+    * columns — passing the values keeps it a single conditional-aggregate
+    * pass, the only form that's sane when the fact side is 100 TB. */
+  def q47Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec("o_totalprice")).cast("double"))
+
+  /** Unpivot (melt) wide measures to (measure, val) rows — a Generator-
+    * backed narrow map (Expand), no shuffle at all; the filter stays
+    * BEFORE the 4x row multiplication. */
+  def q48Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+
+  /** Exact quartiles per group (linear interpolation — the same contract
+    * as SQL percentile_cont / DuckDB quantile_cont). Exact percentile
+    * buffers each group's values, which is fine for bounded groups like
+    * these; for 100 TB unbounded groups the approx sketch family
+    * ([[graft.ops.Sketches]]) is the scale path — this query is the exact
+    * baseline those sketches are validated against. */
+  def q49Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75D)"), 4).as("p75"),
+        count(lit(1)).as("n_rows"))
 }

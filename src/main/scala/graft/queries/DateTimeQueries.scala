@@ -31,6 +31,22 @@ object DateTimeQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
 
+  /** P1/P2 via Spark 4 VariantType — the closer analog of the reference's
+    * jsonb stage column (SURVEY.md §1.2): `parse_json` decodes once into
+    * the binary variant encoding, then `variant_get` extracts typed paths
+    * WITHOUT re-parsing text per access — at scale a stage table is read
+    * by many extractions and the parse-once encoding is the difference
+    * between one and N text parses. Same aggregate contract as q11 (the
+    * from_json path) so the two JSON routes cross-check each other. */
+  def q45VariantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("bigint")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
   /** Global top-n: orderBy + limit compiles to TakeOrderedAndProject —
     * per-partition top-n then a single tiny driver merge; no global sort
     * shuffle at any scale. Deterministic tie-break on the key. */
@@ -147,6 +163,12 @@ object DateTimeQueries {
     "q11_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q45_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q12_sort_limit" ->

@@ -106,6 +106,43 @@ object Oracles {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // SUM over an empty filtered set is NULL in both engines — matching
+    // Spark's pivot semantics for absent (priority, status) combos
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // dialect-safe UNION ALL form of UNPIVOT (identical row multiset)
+    "q48_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_quantity >= 49.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0""".stripMargin
   )
 }

@@ -93,15 +93,18 @@ object TextQueries {
     * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
     * but near 0 on shingle sets.)
     *
-    * The shingle frame feeds the banding AND both verify-join probes;
-    * without materialization Spark re-runs the whole tokenize→shingle
-    * lineage three times (measured ~3× the query cost). persist() is the
-    * in-session analog of what a 100 TB pipeline does anyway: write
-    * signatures/shingles once, then band and verify off the materialized
-    * table. (Bench/Verify clear the cache between queries.) */
+    * The shingle frame feeds the banding AND both verify-join probes.
+    * Deliberately NOT cached — measured both ways at local[32]/sf0.1:
+    * persist(MEMORY_AND_DISK) 4.8 s vs recompute 2.9 s. The expensive
+    * branch (minhash signatures) runs ONCE either way; the probes only
+    * re-run the cheap tokenize→shingle narrow maps, while caching pays a
+    * columnar encode of fat array<string> rows and severs whole-stage
+    * codegen. Contrast q44, where the heavy digest sits in all three
+    * branches and persist wins 5×. At 100 TB neither recompute nor cache
+    * is right: you materialize the SIGNATURE table (small, reusable) and
+    * band/verify off that. */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
     pairs
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))

@@ -24,4 +24,9 @@ object shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+  /** Drain the listener bus so SparkListener-accumulated task metrics
+    * (e.g. Bench's per-query shuffle bytes) are complete before reading —
+    * `listenerBus` is `private[spark]`, hence exposed here. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
