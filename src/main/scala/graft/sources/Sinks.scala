@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, greatest, least, lit, max, min}
 
 /** Sink operators (SURVEY.md §2.1 S2/S4/S6).
   *
@@ -58,6 +58,51 @@ object Sinks {
       .mode("append")
       .partitionBy(dateCol)
       .parquet(path)
+
+  /** Z-ordered append: the MULTI-column generalization of
+    * [[appendClusteredDatePartition]]. One sort column gives one column all
+    * the locality; sorting by the Morton interleave of the z columns'
+    * bucket codes gives EVERY z column ~n-th-root locality, so row-group
+    * min/max stats prune scans filtered on ANY of them — the Delta/Iceberg
+    * OPTIMIZE ZORDER BY layout, as a plain parquet write.
+    *
+    * Two passes, both distributed: a tiny min/max stats aggregate (one row
+    * to the driver), then rescale → [[graft.functions.ZOrderCode]] →
+    * sortWithinPartitions → write. NULLs bucket to 0. At 100 TB the stats
+    * pass is a cheap column-pruned scan (or comes from table metadata). */
+  def appendZOrderedDatePartition(df: DataFrame, path: String,
+                                  zCols: Seq[String],
+                                  dateCol: String = "day_of_data"): Unit = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    val bits = 62 / zCols.size
+    val scale = (1L << bits) - 1
+    val stats = df.agg(
+      min(col(zCols.head)).cast("double"),
+      (zCols.tail.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+
+        max(col(zCols.head)).cast("double")): _*).head()
+    val lo = zCols.head -> stats.getDouble(0)
+    val his = zCols.head -> stats.getDouble(stats.length - 1)
+    val bounds: Map[String, (Double, Double)] =
+      Map(zCols.head -> (lo._2, his._2)) ++
+        zCols.tail.zipWithIndex.map { case (c, i) =>
+          c -> (stats.getDouble(1 + 2 * i), stats.getDouble(2 + 2 * i))
+        }
+    val codes = zCols.map { c =>
+      val (mn, mx) = bounds(c)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(scale.toDouble))
+          .cast("long"), lit(0L)), lit(scale))
+    }
+    df.withColumn("__z", graft.functions.ZOrderCode.code(codes))
+      .sortWithinPartitions(col(dateCol), col("__z"))
+      .drop("__z")
+      .write
+      .mode("append")
+      .partitionBy(dateCol)
+      .parquet(path)
+  }
 
   /** S4 JDBC parity: same append contract against a database table. */
   def appendJdbc(df: DataFrame, url: String, table: String,

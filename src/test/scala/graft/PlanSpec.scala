@@ -11,10 +11,17 @@ import graft.queries.{CoreQueries, SimilarityQueries}
   * tests stay green but this suite fails. */
 class PlanSpec extends SparkSpec {
 
-  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
-    df.queryExecution.executedPlan.collectLeaves().collect {
-      case s: FileSourceScanExec => s
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    // AQE wraps plans containing exchanges; collectLeaves would stop at the
+    // adaptive node — descend into its current physical plan instead
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
     }
+    leaves(df.queryExecution.executedPlan)
+  }
 
   private def planString(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -78,5 +85,42 @@ class PlanSpec extends SparkSpec {
   test("entry: covid surrogate-key join broadcasts the region dimension") {
     val p = planString(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q46: cube computes all grouping sets in ONE aggregate pass (Expand)") {
+    val p = planString(CoreQueries.q46Cube(spark, sfDir))
+    assert(p.contains("Expand"), p.take(800))
+    // one partial + one final aggregate — NOT one pass per grouping set
+    assert("HashAggregate".r.findAllIn(p).size === 2, p.take(800))
+    assert(scans(CoreQueries.q46Cube(spark, sfDir)).size === 1)
+  }
+
+  test("q47: explicit-values pivot is a single conditional-aggregate pass") {
+    val df = CoreQueries.q47Pivot(spark, sfDir)
+    // no distinct-values discovery job: exactly one scan of orders
+    assert(scans(df).size === 1)
+    val p = planString(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q48: unpivot is a narrow Expand — zero shuffles") {
+    val df = CoreQueries.q48Unpivot(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("Expand"), p.take(800))
+    assert(!p.contains("Exchange"), "unpivot must not shuffle: " + p.take(800))
+    // the quantity filter runs BEFORE the 4x row multiplication
+    val meta = scans(df).head.metadata
+    assert(meta("PushedFilters").contains("l_quantity"), meta("PushedFilters"))
+  }
+
+  test("q34: global top-k plans as TakeOrderedAndProject, never a global window") {
+    val p = planString(graft.queries.TextQueries.q34TopTokens(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), "no WindowExec anywhere: " + p.take(800))
+  }
+
+  test("q12: global sort+limit is TakeOrderedAndProject (no full sort shuffle)") {
+    val p = planString(graft.queries.DateTimeQueries.q12SortLimit(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 }

@@ -53,6 +53,41 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("z-ordered write prunes row groups for filters on EITHER z column") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    spark.conf.set("parquet.block.size", (64 * 1024).toString)
+    try {
+      // single logical date + one input partition -> ONE file with many
+      // row groups: any pruning observed comes from z-order stats alone
+      val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+        .withColumn("day_of_data", to_date(lit("2024-01-01")))
+        .repartition(1)
+      Sinks.appendZOrderedDatePartition(events, dir,
+        zCols = Seq("user_id", "value"))
+      val total = spark.read.parquet(dir).count()
+      def scanRows(filter: org.apache.spark.sql.Column): (Long, Long) = {
+        val df = spark.read.parquet(dir).filter(filter)
+        val matching = df.count()
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case s: FileSourceScanExec => s
+        }.get
+        (scan.metrics("numOutputRows").value, matching)
+      }
+      // a 1-D clustered write gives one of these all the locality and the
+      // other none; z-order gives BOTH enough for row-group skipping
+      // selective in ROWS, not just range — value is skewed low, so the
+      // selective value predicate is the high tail
+      val (rowsReadUser, matchUser) = scanRows(col("user_id") === 7)
+      val (rowsReadValue, matchValue) = scanRows(col("value") > 300.0)
+      assert(matchUser > 0 && matchValue > 0)
+      assert(rowsReadUser < total / 2,
+        s"user_id filter read $rowsReadUser of $total rows — no z-locality")
+      assert(rowsReadValue < total / 2,
+        s"value filter read $rowsReadValue of $total rows — no z-locality")
+    } finally spark.conf.unset("parquet.block.size")
+  }
+
   test("per-date read is partition pruning, not a data filter") {
     val dir = Files.createTempDirectory("graft_sink2").toString
     Sinks.appendDatePartition(flatFor("2023-03-02"), dir)
