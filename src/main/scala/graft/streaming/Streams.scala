@@ -120,6 +120,24 @@ object Streams {
       }
       .start()
 
+  /** Stream -> database over JDBC via foreachBatch — the streaming twin of
+    * the reference's batch DB load (`spark_transform_data.py:60-66`): each
+    * micro-batch appends through [[graft.sources.Sinks.appendJdbc]].
+    * Same delivery caveat as the parquet sink: source-side exactly-once
+    * from the checkpoint, at-least-once into a non-transactional-append
+    * table on replay — dedupe by event_id downstream or write to a staging
+    * table + MERGE in production. */
+  def sinkJdbc(events: DataFrame, url: String, table: String,
+               props: java.util.Properties,
+               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.appendJdbc(batch, url, table, props)
+      }
+      .start()
+
   /** Custom keyed state: per-user running (count, sum, last-seen) emitted on
     * every update — the `flatMapGroupsWithState` pattern for state machines
     * the built-in windows can't express. State is one small case class per

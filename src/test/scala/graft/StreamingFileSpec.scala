@@ -72,4 +72,29 @@ class StreamingFileSpec extends SparkSpec {
     assert(new java.io.File(s"$out/day_of_data=2024-01-02").exists())
     assert(lake.filter(col("day_of_data") === "2024-01-02").count() === 2)
   }
+
+  test("foreachBatch streams micro-batches into a JDBC table (Derby)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, Streams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = Files.createTempDirectory("graft_stream_db").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ckpt = Files.createTempDirectory("graft_ckpt_jdbc").toString
+    val ms = MemoryStream[Event]
+    val q = Streams.sinkJdbc(ms.toDF(), url, "events_live", props, ckpt)
+    ms.addData(Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", 2.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(
+      Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 2, "click", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.jdbc(url, "events_live", props)
+    assert(back.count() === 3)
+    assert(back.filter(col("user_id") === 1).count() === 2)
+  }
 }
