@@ -140,7 +140,16 @@ object GraftFunctions {
         if (k < 1 || k > MinHashSignature.MaxK) throw new IllegalArgumentException(
           s"minhash_signature k must be in [1, ${MinHashSignature.MaxK}], got $k")
         MinHashSignature(args(0), k, MinHashSignature.P)
-      }))
+      }),
+    (FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
+      (args: Seq[Expression]) =>
+        // SQL surface coerces integral codes to long; the Column API takes
+        // LongType only (pre-analysis types are unknown there)
+        ZOrderCode(args.map(a => a.dataType match {
+          case LongType => a
+          case _ => Cast(a, LongType)
+        }))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

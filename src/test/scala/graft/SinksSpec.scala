@@ -88,6 +88,48 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.unset("parquet.block.size")
   }
 
+  test("dim filter dynamically prunes fact partitions (DPP)") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Seq("2023-03-01", "2023-03-02", "2023-03-03")
+      .foreach(ds => Sinks.appendDatePartition(flatFor(ds), dir))
+    import spark.implicits._
+    val fact = spark.read.parquet(dir)
+    // dim must be file-backed: a local Seq would have its filter constant-
+    // folded into the LocalRelation and DPP needs a surviving selective
+    // predicate on the pruning side
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    // the flag is a STRING compared with === (not a bare boolean column):
+    // PartitionPruning only fires for "likely selective" predicate shapes
+    // (comparisons/IN/LIKE), and `WHERE keep` is a lone attribute
+    Seq(("2023-03-01", "n"), ("2023-03-02", "y"), ("2023-03-03", "n"))
+      .toDF("ds", "flag")
+      .select(col("ds").cast("date").as("day_of_data"), col("flag"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // the partition predicate exists only in the DIM — at plan time the
+    // fact side cannot be statically pruned; DPP injects a runtime
+    // subquery filter on the partition column from the broadcast side
+    val joined = fact.join(dim.filter(col("flag") === "y"), Seq("day_of_data"))
+    joined.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("graft_dpp")).get
+    assert(scan.metadata("PartitionFilters").contains("dynamicpruning"),
+      scan.metadata("PartitionFilters"))
+    // only the surviving date's files were opened (240 of 720 rows)
+    assert(joined.count() === 240)
+    val filesInKeptPartition = new java.io.File(s"$dir/day_of_data=2023-03-02")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value === filesInKeptPartition,
+      s"scan opened ${scan.metrics("numFiles").value} files")
+  }
+
   test("per-date read is partition pruning, not a data filter") {
     val dir = Files.createTempDirectory("graft_sink2").toString
     Sinks.appendDatePartition(flatFor("2023-03-02"), dir)

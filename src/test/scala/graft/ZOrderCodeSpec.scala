@@ -30,6 +30,13 @@ class ZOrderCodeSpec extends SparkSpec {
     assert(withNull === 10L) // null dim contributes nothing
   }
 
+  test("zorder_code registers as a SQL function (integral args coerced)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql("SELECT zorder_code(3, 0L) AS z").as[Long].head()
+    assert(r === 5L)
+  }
+
   test("generated code matches the interpreted eval on column inputs") {
     import spark.implicits._
     val rows = spark.range(1000)
