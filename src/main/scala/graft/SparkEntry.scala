@@ -64,7 +64,8 @@ object SparkEntry {
     "q46_cube" -> (CoreQueries.q46Cube _),
     "q47_pivot" -> (CoreQueries.q47Pivot _),
     "q48_unpivot" -> (CoreQueries.q48Unpivot _),
-    "q49_percentiles" -> (CoreQueries.q49Percentiles _)
+    "q49_percentiles" -> (CoreQueries.q49Percentiles _),
+    "q50_corpus_curation" -> (TextQueries.q50CorpusCuration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -200,6 +200,46 @@ object TextQueries {
       classCol = col("lang"), id = col("doc_id"),
       tokenCol = col("n_chars"), budget = 2000L)
 
+  /** The whole corpus-curation intake chain as ONE declarative plan —
+    * what an LLM-training data pipeline actually runs nightly: quality
+    * score → language-ID → threshold filter → exact dedup (keep lowest
+    * doc_id per normalized key) → deterministic split assignment →
+    * per-language token-budget fill. Every stage reuses the standalone
+    * operator (q15/q16/q18/q40/q43 semantics) and Catalyst fuses them:
+    * the scoring/lang/filter stages are one narrow codegen'd pass over
+    * the scan, dedup is one hash shuffle + a semi join, and the budget
+    * window shares the final partitioning. Composability is the point —
+    * operators that only work standalone don't make a pipeline. */
+  def q50CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = TA.tokenCount(toks).cast("double")
+    val d = TA.distinctTokenCount(toks)
+    val s = TA.stopwordCount(toks, stopwords)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        round(lit(0.3) * (d.cast("double") / n)
+          + lit(0.3) * (lit(1.0) - s.cast("double") / n)
+          + lit(0.4) * least(lit(1.0), n / lit(100.0)), 4).as("quality_score"),
+        TA.langPredict(TA.langScores(col("text"), profiles)).as("predicted"))
+    val kept = scored.filter(col("quality_score") >= 0.5)
+    val keepers = kept
+      .groupBy(Dedup.normKey(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("predicted"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    deduped
+      .withColumn("split", graft.ops.Sampling.split(col("doc_id")))
+      .withColumn("cum_tokens", sum(col("n_chars")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= 4000)
+      .select("doc_id", "predicted", "quality_score", "split", "n_chars", "cum_tokens")
+  }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -397,6 +437,42 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "q21_simhash" -> simhashSql,
+
+    // composed from the q15/q16/q18/q40/q43 oracle fragments — the same
+    // stage semantics, chained
+    "q50_corpus_curation" ->
+      s"""WITH t AS (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |s AS (SELECT doc_id, text, n_chars,
+         |  ROUND(0.3::DOUBLE * (CAST(n_distinct AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(n_stop AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
+         |    + 0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE), 4) AS quality_score,
+         |  CASE
+         |    WHEN ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(1)._2)}
+         |     AND ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'qry'
+         |    WHEN ${scoreSql(profiles(1)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'str'
+         |    ELSE 'tab'
+         |  END AS predicted
+         |  FROM m),
+         |kept AS (SELECT * FROM s WHERE quality_score >= 0.5),
+         |keepers AS (SELECT md5(lower(substr(text, 1, 120))) AS k,
+         |  MIN(doc_id) AS doc_id FROM kept GROUP BY 1),
+         |dedup AS (SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM keepers)),
+         |fin AS (SELECT doc_id, predicted, quality_score,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  n_chars,
+         |  CAST(SUM(n_chars) OVER (PARTITION BY predicted
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM dedup)
+         |SELECT doc_id, predicted, quality_score, split, n_chars, cum_tokens
+         |FROM fin WHERE cum_tokens <= 4000""".stripMargin,
 
     "q44_simhash_neardup" ->
       s"""WITH sim AS ($shingleSimhash32Sql),
