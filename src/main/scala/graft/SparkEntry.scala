@@ -65,7 +65,8 @@ object SparkEntry {
     "q47_pivot" -> (CoreQueries.q47Pivot _),
     "q48_unpivot" -> (CoreQueries.q48Unpivot _),
     "q49_percentiles" -> (CoreQueries.q49Percentiles _),
-    "q50_corpus_curation" -> (TextQueries.q50CorpusCuration _)
+    "q50_corpus_curation" -> (TextQueries.q50CorpusCuration _),
+    "q51_dup_clusters" -> (TextQueries.q51DupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -280,6 +280,16 @@ object TextQueries {
       .filter(col("hamming") <= 3)
   }
 
+  /** Near-dup CLUSTERS from the q44 pair edges: pairs alone can't drive
+    * dedup (A~B, B~C must collapse to one cluster even when A!~C) —
+    * smallest-label propagation closes the transitive hull. The oracle
+    * computes the same components via a recursive-CTE transitive closure,
+    * cross-checking the iterative distributed algorithm against a
+    * declarative one. */
+  def q51DupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Components.connectedComponents(
+      q44SimhashNearDup(spark, dir).select("doc1", "doc2"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -473,6 +483,30 @@ object TextQueries {
          |  FROM dedup)
          |SELECT doc_id, predicted, quality_score, split, n_chars, cum_tokens
          |FROM fin WHERE cum_tokens <= 4000""".stripMargin,
+
+    "q51_dup_clusters" ->
+      s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),
+         |banded AS (SELECT doc_id, u.b AS band,
+         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
+         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM banded a JOIN banded c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |near AS (SELECT p.doc1, p.doc2 FROM pairs p
+         |  JOIN sim s1 ON s1.doc_id = p.doc1
+         |  JOIN sim s2 ON s2.doc_id = p.doc2
+         |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM near
+         |  UNION SELECT doc2, doc1 FROM near),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges)
+         |SELECT n.id AS doc_id,
+         |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
+         |FROM nodes n JOIN reach r ON r.a = n.id
+         |GROUP BY n.id""".stripMargin,
 
     "q44_simhash_neardup" ->
       s"""WITH sim AS ($shingleSimhash32Sql),

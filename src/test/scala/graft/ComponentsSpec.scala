@@ -1,0 +1,33 @@
+package graft
+
+import graft.ops.Components
+
+/** Label propagation on known graph shapes: a chain (forces transitive
+  * merging over multiple rounds), a triangle (cycle), and an isolated
+  * pair — plus convergence inside the round budget. */
+class ComponentsSpec extends SparkSpec {
+
+  test("chain, triangle, and pair collapse to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L)).toDF("doc1", "doc2")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup keep-one-per-cluster composes on top of components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq((5L, 9L), (9L, 7L)).toDF("doc1", "doc2")
+    val keep = Components.connectedComponents(edges)
+      .groupBy("component").agg(min("doc_id").as("kept_doc_id"))
+    assert(keep.as[(Long, Long)].collect().toSeq === Seq((5L, 5L)))
+  }
+}
