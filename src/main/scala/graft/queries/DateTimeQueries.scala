@@ -47,6 +47,32 @@ object DateTimeQueries {
         sum(col("k").cast("bigint")).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** Time-series resample + gap fill: per-user hourly grid (sequence +
+    * explode spans ONLY each user's [first, last] hour — no global
+    * calendar cross join) with last-observation-carried-forward. The
+    * spine generation is a Generator (narrow), the fill is one window
+    * over the same user_id partitioning the resample agg already
+    * established — one shuffle end to end. (user_id, ts) is unique in
+    * the fixture so max_by is deterministic. */
+  def q52GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 30)
+    val hourly = e
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max_by(col("value"), col("ts")).as("value"))
+    val spine = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        col("value").isNull.as("gap_filled"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_filled"))
+  }
+
   /** Global top-n: orderBy + limit compiles to TakeOrderedAndProject —
     * per-partition top-n then a single tiny driver merge; no global sort
     * shuffle at any scale. Deterministic tie-break on the key. */
@@ -174,6 +200,22 @@ object DateTimeQueries {
     "q12_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q52_gap_fill" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 30),
+        |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |  arg_max(value, ts) AS value FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans),
+        |j AS (SELECT s.user_id, s.hour, h.value
+        |  FROM spine s LEFT JOIN hourly h USING (user_id, hour))
+        |SELECT user_id, hour, value IS NULL AS gap_filled,
+        |  LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM j""".stripMargin,
 
     "q13_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

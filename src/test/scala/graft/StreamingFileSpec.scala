@@ -73,6 +73,31 @@ class StreamingFileSpec extends SparkSpec {
     assert(lake.filter(col("day_of_data") === "2024-01-02").count() === 2)
   }
 
+  test("restart from checkpoint resumes without reprocessing landed batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, Streams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_lake_rs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_rs").toString
+    val ms = MemoryStream[Event]
+    val q1 = Streams.sinkDatePartitioned(ms.toDF(), out, ckpt)
+    ms.addData(Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // second query, SAME checkpoint + stream: committed offsets skip
+    // event 1; only the new event lands — no duplicates on restart
+    val q2 = Streams.sinkDatePartitioned(ms.toDF(), out, ckpt)
+    ms.addData(Seq(
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2, "view", 2.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val lake = spark.read.parquet(out)
+    assert(lake.count() === 2)
+    assert(lake.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("foreachBatch streams micro-batches into a JDBC table (Derby)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Event, Streams}
