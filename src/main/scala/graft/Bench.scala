@@ -26,9 +26,27 @@ object Bench {
       org.apache.spark.sql.graft.shim.drainListenerBus(spark)
       shuffleWrite.get()
     }
-    // untimed warmup: JVM/codegen/file-index startup is not a query cost
+    // untimed warmup: JVM/codegen/file-index startup is not a query cost.
+    // The text path needs its own warmup — the tokenize/shingle/digest
+    // expressions JIT separately from the relational path, and cold they
+    // inflate whichever dedup query runs first by 2-3x run-to-run.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).count()
+    locally {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(graft.ops.Dedup.shingles3(col("toks")).as("sh"))
+        .select(graft.ops.Dedup.minhashSignature(col("sh")),
+          graft.functions.SimHash(col("sh"), 32))
+        .count()
+      // vector path: vec_dot codegen + float-array decode JIT separately
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select(graft.functions.GraftFunctions
+          .vecDot(col("embedding"), col("embedding")).as("d"))
+        .selectExpr("sum(d)").collect()
+    }
+    spark.catalog.clearCache()
     // a crashing query must NOT look like a fast success: record it as -1
     // and list it under "failed" so the regression is visible in the JSON
     var failed = List.empty[String]
