@@ -31,4 +31,27 @@ object Sketches {
       .agg(percentile_approx(col(valueCol), probsCol, lit(accuracy))
         .as(s"${valueCol}_quantiles"))
   }
+
+  /** Heavy hitters in two bounded passes: pass 1 is Spark's
+    * Karp–Papadimitriou–Shenker frequent-items sketch (`stat.freqItems`) —
+    * one scan, O(1/support) state per partition, mergeable, may emit false
+    * positives but NEVER drops an item with frequency > support·n; pass 2
+    * counts ONLY the ≤ 1/support candidates exactly (broadcast IN-filter,
+    * map-side combined) and keeps the top k. Reported counts are exact
+    * (unlike count-min estimates); the sketch only decides candidacy.
+    * The candidate list collected to the driver is ≤ 1/support items BY
+    * CONSTRUCTION — same bounded-collect justification as IVF centroids.
+    * The full-vocabulary wordcount shuffle never happens: the second pass
+    * aggregates a vocabulary of at most 1/support. */
+  def frequentItems(df: DataFrame, valueCol: String, k: Int,
+                    support: Double = 0.01): DataFrame = {
+    require(support > 0 && support < 1, s"support in (0,1), got $support")
+    val candidates = df.stat.freqItems(Seq(valueCol), support)
+      .collect()(0).getSeq[Any](0)
+    df.select(col(valueCol).as("item"))
+      .filter(col("item").isInCollection(candidates))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item").asc)
+      .limit(k)
+  }
 }

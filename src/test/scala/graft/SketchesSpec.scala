@@ -39,4 +39,24 @@ class SketchesSpec extends SparkSpec {
         s"$flag: sketch p50 $p50 vs exact ${exact(flag)}")
     }
   }
+
+  test("frequentItems finds the true heavy hitters with exact counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed stream: item i in 0..9 appears 1000/(i+1) times, plus a
+    // 5000-item uniform tail of singletons
+    val head = (0 until 10).flatMap(i => Seq.fill(1000 / (i + 1))(s"hot_$i"))
+    val tail = (0 until 5000).map(i => s"cold_$i")
+    val df = spark.createDataset(scala.util.Random.shuffle(head ++ tail).toSeq)
+      .toDF("token").repartition(8)
+    val got = graft.ops.Sketches.frequentItems(df, "token", k = 5,
+        support = 0.02)
+      .as[(String, Long)].collect()
+    // the KPS sketch may admit false-positive CANDIDATES, but the exact
+    // recount + top-k must surface precisely the true heavy hitters
+    assert(got.map(_._1).toSeq ===
+      Seq("hot_0", "hot_1", "hot_2", "hot_3", "hot_4"))
+    assert(got.toMap === Map("hot_0" -> 1000L, "hot_1" -> 500L,
+      "hot_2" -> 333L, "hot_3" -> 250L, "hot_4" -> 200L))
+  }
 }
