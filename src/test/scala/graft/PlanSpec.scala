@@ -123,4 +123,22 @@ class PlanSpec extends SparkSpec {
     val p = planString(graft.queries.DateTimeQueries.q12SortLimit(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("q50: the curation chain reads documents ONCE per pipeline arm") {
+    val df = graft.queries.TextQueries.q50CorpusCuration(spark, sfDir)
+    // score+langID+filter fuse over one scan; dedup's keeper set is the
+    // second arm — two scans total, NOT one per chained stage
+    assert(scans(df).size === 2, scans(df).size.toString)
+  }
+
+  test("q52: resample + gap fill is one shuffle end to end") {
+    val df = graft.queries.DateTimeQueries.q52GapFill(spark, sfDir)
+    val p = planString(df)
+    // hourly agg, span agg, spine join, and fill window all share the
+    // user_id clustering: exactly one exchange subtree feeds them (plan
+    // prints reuse of the same exchange rather than new ones per stage)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges key exchanges:\n" + p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+  }
 }
