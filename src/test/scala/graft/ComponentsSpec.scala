@@ -30,4 +30,40 @@ class ComponentsSpec extends SparkSpec {
       .groupBy("component").agg(min("doc_id").as("kept_doc_id"))
     assert(keep.as[(Long, Long)].collect().toSeq === Seq((5L, 5L)))
   }
+
+  test("empty edge list yields an empty result (loop converges immediately)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(Components.connectedComponents(edges).count() === 0)
+  }
+
+  test("random graphs match a driver-side union-find oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // independent oracle: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id per component
+      val expected = nodes
+        .groupBy(find).flatMap { case (_, members) =>
+          val label = members.min
+          members.map(_ -> label)
+        }.toMap
+      val got = Components.connectedComponents(edges.toDF("doc1", "doc2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
