@@ -73,6 +73,25 @@ object DateTimeQueries {
         last(col("value"), ignoreNulls = true).over(w).as("value_filled"))
   }
 
+  /** Trailing time-range features — the feature-engineering staple (for
+    * each event: activity in the preceding hour): a RANGE window over
+    * exact epoch-micros, so the frame is defined by VALUE distance, not
+    * row count, and sparse/bursty users get correct answers alike. One
+    * shuffle on user_id; the trailing sum uses exact decimals so results
+    * are summation-order independent (FP sums over sliding frames differ
+    * between engines). */
+  def q53TrailingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
   /** Global top-n: orderBy + limit compiles to TakeOrderedAndProject —
     * per-partition top-n then a single tiny driver merge; no global sort
     * shuffle at any scale. Deterministic tie-break on the key. */
@@ -200,6 +219,14 @@ object DateTimeQueries {
     "q12_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q53_trailing_features" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q52_gap_fill" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 30),
