@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$graftHeap",
+  // embedded Derby boots once per JVM and caches its log target at first
+  // boot — a spec-level System.setProperty is ignored if another Derby
+  // suite runs first, so pin it JVM-wide to keep derby.log out of cwd
+  s"-Dderby.stream.error.file=${sys.props("java.io.tmpdir")}/graft-derby.log",
 )

@@ -33,13 +33,15 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).count()
     locally {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, size}
+      // the aggregate must CONSUME the computed columns — a bare count()
+      // lets ColumnPruning delete the projections and warms nothing
       graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
         .select(graft.ops.Dedup.shingles3(col("toks")).as("sh"))
-        .select(graft.ops.Dedup.minhashSignature(col("sh")),
-          graft.functions.SimHash(col("sh"), 32))
-        .count()
+        .select((size(graft.ops.Dedup.minhashSignature(col("sh")))
+          + graft.functions.SimHash(col("sh"), 32)).as("x"))
+        .selectExpr("sum(x)").collect()
       // vector path: vec_dot codegen + float-array decode JIT separately
       graft.sources.Tables.embeddings(spark, sfDir)
         .select(graft.functions.GraftFunctions
@@ -51,7 +53,13 @@ object Bench {
     // and list it under "failed" so the regression is visible in the JSON
     var failed = List.empty[String]
     // iteration aid: SPARK_GRAFT_ONLY=q20_jaccard_pairs,q44_simhash_neardup
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter(kv => s(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

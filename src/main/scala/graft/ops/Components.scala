@@ -39,6 +39,11 @@ object Components {
     // even when the corpus is 100 TB, and session-default partition counts
     // make each tiny round pay full scheduling overhead. One partition per
     // ~500k edges, capped at the session default for billion-edge graphs.
+    // NOTE: the narrowed shuffle width is session-global for the duration
+    // of the (eager) loop and restored in finally — like Tables.events'
+    // legacy-nanos conf, a documented conf-scope tradeoff: concurrent
+    // queries on the same session during the loop would plan with the
+    // narrow width. Run on a dedicated session if that matters.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(m / 500000L + 1,
       spark.sparkContext.defaultParallelism.toLong))
@@ -76,6 +81,11 @@ object Components {
         labels = next
         i += 1
       }
+      // silent truncation would return plausible-but-WRONG labels (a long
+      // chain's far end keeps a non-minimal label) — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(graph diameter exceeds maxIter); raise maxIter")
       labels.select(col("id").as("doc_id"), col("label").as("component"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }

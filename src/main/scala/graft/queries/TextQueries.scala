@@ -153,7 +153,8 @@ object TextQueries {
     * any window here would re-plan as the warned single-partition
     * WindowExec. k² = 400 comparisons, order-independent, no window at
     * all. persist() keeps the wordcount from running for both join sides
-    * (cleared by Bench/Verify between queries). */
+    * — a ≤20-row cache entry that lives until clearCache (Bench/Verify
+    * clear between queries; library callers own the session cache). */
   def q34TopTokens(spark: SparkSession, dir: String): DataFrame = {
     val top = Tables.documents(spark, dir)
       .select(explode(TA.tokens(col("text"))).as("token"))
@@ -264,6 +265,9 @@ object TextQueries {
     // persist so the tokenize→shingle→digest lineage runs once, not 3×
     // (measured: the recompute tripled q44's cost). At 100 TB you'd
     // materialize the signature table — persist is the in-session twin.
+    // CACHE CONTRACT: the entry lives until unpersist/clearCache — library
+    // callers running many queries per session should clearCache between
+    // them (Bench/Verify do); the data is tiny (doc_id + one long per doc).
     val sims = shingled(spark, dir)
       .select(col("doc_id"),
         graft.functions.SimHash(col("sh"), 32).as("simhash"))

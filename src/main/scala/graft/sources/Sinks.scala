@@ -81,12 +81,14 @@ object Sinks {
       (zCols.tail.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) :+
         max(col(zCols.head)).cast("double")): _*).head()
-    val lo = zCols.head -> stats.getDouble(0)
-    val his = zCols.head -> stats.getDouble(stats.length - 1)
+    // empty input or an all-NULL column yields NULL min/max — degrade to
+    // [0,1] bounds (every code becomes 0, plain date-sorted write) instead
+    // of NPE'ing; the sibling sinks also accept empty frames gracefully
+    def bound(i: Int): Double = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     val bounds: Map[String, (Double, Double)] =
-      Map(zCols.head -> (lo._2, his._2)) ++
+      Map(zCols.head -> (bound(0), bound(stats.length - 1))) ++
         zCols.tail.zipWithIndex.map { case (c, i) =>
-          c -> (stats.getDouble(1 + 2 * i), stats.getDouble(2 + 2 * i))
+          c -> (bound(1 + 2 * i), bound(2 + 2 * i))
         }
     val codes = zCols.map { c =>
       val (mn, mx) = bounds(c)

@@ -11,10 +11,9 @@ import graft.sources.Sinks
 class JdbcSinkSpec extends SparkSpec {
 
   test("appendJdbc appends and reads back through embedded Derby") {
-    // keep Derby's boot log out of the repo working dir
-    System.setProperty("derby.stream.error.file",
-      java.nio.file.Files.createTempDirectory("graft_derby_log")
-        .resolve("derby.log").toString)
+    // derby.stream.error.file is pinned JVM-wide in build.sbt javaOptions
+    // (Derby caches the log target at first boot, so a spec-level property
+    // would be ignored when another Derby suite runs first)
     val dbPath = java.nio.file.Files.createTempDirectory("graft_derby")
       .resolve("db")
     val url = s"jdbc:derby:$dbPath;create=true"

@@ -11,17 +11,7 @@ import graft.queries.{CoreQueries, SimilarityQueries}
   * tests stay green but this suite fails. */
 class PlanSpec extends SparkSpec {
 
-  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
-    // AQE wraps plans containing exchanges; collectLeaves would stop at the
-    // adaptive node — descend into its current physical plan instead
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        leaves(a.executedPlan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(leaves)
-    }
-    leaves(df.queryExecution.executedPlan)
-  }
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = fileScans(df)
 
   private def planString(df: DataFrame): String =
     df.queryExecution.executedPlan.toString

@@ -111,14 +111,7 @@ class SinksSpec extends SparkSpec {
     // subquery filter on the partition column from the broadcast side
     val joined = fact.join(dim.filter(col("flag") === "y"), Seq("day_of_data"))
     joined.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(scans)
-    }
-    val scan = scans(joined.queryExecution.executedPlan)
+    val scan = fileScans(joined)
       .find(_.metadata("Location").contains("graft_dpp")).get
     assert(scan.metadata("PartitionFilters").contains("dynamicpruning"),
       scan.metadata("PartitionFilters"))

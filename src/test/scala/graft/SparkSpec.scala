@@ -18,4 +18,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Smallest fixture dir — tests should be fast; correctness vs DuckDB is
     * the driver's job at sf0.01. */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** All parquet scans of a plan, descending through every adaptive
+    * wrapper (AQE root, materialized query stages, reused exchanges) —
+    * collectLeaves alone stops at AdaptiveSparkPlanExec and silently
+    * returns nothing for plans containing exchanges. */
+  def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
