@@ -68,7 +68,8 @@ object SparkEntry {
     "q50_corpus_curation" -> (TextQueries.q50CorpusCuration _),
     "q51_dup_clusters" -> (TextQueries.q51DupClusters _),
     "q52_gap_fill" -> (DateTimeQueries.q52GapFill _),
-    "q53_trailing_features" -> (DateTimeQueries.q53TrailingFeatures _)
+    "q53_trailing_features" -> (DateTimeQueries.q53TrailingFeatures _),
+    "q54_decontam" -> (TextQueries.q54Decontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -241,6 +241,35 @@ object TextQueries {
       .select("doc_id", "predicted", "quality_score", "split", "n_chars", "cum_tokens")
   }
 
+  /** Benchmark decontamination — the training-data op that keeps eval sets
+    * out of the corpus: flag any document sharing a word 3-gram with the
+    * benchmark set (here: every 100th doc stands in for the eval set; in
+    * production it's the actual benchmark corpus). The benchmark's
+    * DISTINCT gram set is BROADCAST (eval sets are bounded by
+    * construction), so corpus grams never shuffle: explode + broadcast
+    * semi-join + per-doc count is a narrow pipeline over the scan at any
+    * corpus size. Distinct grams per doc, so n_hits counts WHICH grams
+    * collide, not how often they repeat. */
+  def q54Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles3(col("toks")))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 100 === 0)
+      .select("gram").distinct()
+    val hits = grams
+      .filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("is_benchmark", col("doc_id") % 100 === 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (!col("is_benchmark") && coalesce(col("n_hits"), lit(0L)) > 0)
+          .as("contaminated"))
+  }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -451,6 +480,22 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "q21_simhash" -> simhashSql,
+
+    "q54_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END)) AS gram FROM t),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+         |hits AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM g JOIN bench USING (gram)
+         |  WHERE g.doc_id % 100 != 0 GROUP BY 1)
+         |SELECT d.doc_id, d.doc_id % 100 = 0 AS is_benchmark,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  (d.doc_id % 100 != 0 AND COALESCE(h.n_hits, 0) > 0) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
 
     // composed from the q15/q16/q18/q40/q43 oracle fragments — the same
     // stage semantics, chained
