@@ -30,12 +30,13 @@ object Dedup {
       .agg(min(id).as("kept_doc_id"), count(lit(1)).as("dup_count"))
 
   /** Word n-shingles (n=3): sliding window of tokens joined by single
-    * spaces; empty when the document has fewer than n tokens. */
+    * spaces; empty when the document has fewer than n tokens. Native
+    * one-eval-per-row expression ([[graft.functions.WordShingles]]) — the
+    * HOF form (`transform(sequence, i -> array_join(slice(...)))`) ran an
+    * interpreted closure + slice allocation per output shingle on the
+    * hottest text-pipeline stage. */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => array_join(slice(toks, i, lit(3)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.WordShingles(toks, 3)
 
   /** MinHash signature (array<long>, k rows) via the native
     * [[graft.functions.MinHashSignature]] expression — one md5 per shingle,
