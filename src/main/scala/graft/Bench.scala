@@ -33,7 +33,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).count()
     locally {
-      import org.apache.spark.sql.functions.{col, size}
+      import org.apache.spark.sql.functions.{col, concat, lit, size}
       // the aggregate must CONSUME the computed columns — a bare count()
       // lets ColumnPruning delete the projections and warms nothing
       graft.sources.Tables.documents(spark, sfDir)
@@ -47,6 +47,14 @@ object Bench {
         .select(graft.functions.GraftFunctions
           .vecDot(col("embedding"), col("embedding")).as("d"))
         .selectExpr("sum(d)").collect()
+      // variant path: parse_json/variant_get load a whole subsystem on
+      // first use (measured ~6s of one-time cost landing on q45)
+      spark.range(10000)
+        .select(org.apache.spark.sql.functions.variant_get(
+          org.apache.spark.sql.functions.parse_json(
+            concat(lit("{\"k\":"), col("id").cast("string"), lit("}"))),
+          "$.k", "int").as("k"))
+        .selectExpr("sum(k)").collect()
     }
     spark.catalog.clearCache()
     // a crashing query must NOT look like a fast success: record it as -1
@@ -65,7 +73,12 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sh0 = shuffleNow()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // execute the FULL physical plan: a plain count() lets ColumnPruning
+      // delete every computed output column, so projection-shaped queries
+      // (token stats, fingerprints, variant extraction, ...) would be
+      // timed as bare parquet scans. toRdd runs the plan as the user's
+      // query planned it — every output column materialized.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
