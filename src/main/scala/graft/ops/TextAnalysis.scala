@@ -70,9 +70,9 @@ object TextAnalysis {
     * h = fold(chars, 0, (h, c) => (h * 31 + ascii(c)) mod 1e9+7).
     * Character-indexed (not split-based) so the shape mirrors engines
     * without empty-split edge cases; exact 64-bit modular arithmetic. */
+  /** Polynomial fingerprint via the native [[graft.functions.RollingHash]]
+    * (one eval/row over bytes; the per-character HOF form it replaces is
+    * documented there). */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    graft.functions.RollingHash(text)
 }

@@ -18,6 +18,25 @@ class WordShinglesSpec extends SparkSpec {
     assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
   }
 
+  test("native rolling hash == per-character HOF fold across the fixture") {
+    val text = col("text")
+    val hof = aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+    val df = graft.sources.Tables.documents(spark, sfDir)
+      .select(graft.functions.RollingHash(text).as("a"), hof.as("b"))
+    assert(df.filter(not(col("a") <=> col("b"))).count() === 0)
+    // null propagates, empty string hashes to 0
+    import spark.implicits._
+    val edge = Seq(Some(""), None, Some("a")).toDF("t")
+      .select(graft.functions.RollingHash(col("t")).as("h"))
+      .as[Option[Long]].collect()
+    assert(edge(0) === Some(0L))
+    assert(edge(1) === None)
+    assert(edge(2) === Some('a'.toLong))
+  }
+
   test("edge contract: short, exact-width, null, and empty token arrays") {
     import spark.implicits._
     val df = Seq(
