@@ -69,7 +69,10 @@ object SparkEntry {
     "q51_dup_clusters" -> (TextQueries.q51DupClusters _),
     "q52_gap_fill" -> (DateTimeQueries.q52GapFill _),
     "q53_trailing_features" -> (DateTimeQueries.q53TrailingFeatures _),
-    "q54_decontam" -> (TextQueries.q54Decontam _)
+    "q54_decontam" -> (TextQueries.q54Decontam _),
+    "q55_repetition" -> (TextQueries.q55Repetition _),
+    "q56_tfidf" -> (TextQueries.q56Tfidf _),
+    "q57_gram_postings" -> (TextQueries.q57GramPostings _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

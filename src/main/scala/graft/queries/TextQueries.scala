@@ -270,6 +270,98 @@ object TextQueries {
           .as("contaminated"))
   }
 
+  /** Gopher-style repetition pruning signals (public heuristics from the
+    * Gopher/MassiveText filtering literature): per document, the duplicate
+    * word-2-gram fraction and the character share of the single most
+    * frequent 2-gram — the two signals that catch boilerplate and
+    * degenerate repetition that plain length/stopword scores miss. The
+    * distinct/total ratio is a narrow per-row expression over the scan;
+    * only the per-gram mode needs a shuffle, and it aggregates (doc_id,
+    * gram) → count → `min_by` per doc, so state per task is one running
+    * winner per document, never the gram multiset. Mode tie-break is
+    * (count desc, gram asc) via min_by on a (-count, gram) struct key —
+    * order-independent and engine-portable. */
+  def q55Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("text_len"),
+        graft.functions.WordShingles(TA.tokens(col("text")), 2).as("bg"))
+    val stats = base.select(col("doc_id"), col("text_len"),
+      size(col("bg")).cast("long").as("n_2grams"),
+      size(array_distinct(col("bg"))).cast("long").as("n_distinct_2grams"))
+    val top = base
+      .select(col("doc_id"), explode(col("bg")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("gram"), col("cnt")),
+        struct((-col("cnt")).as("neg_cnt"), col("gram"))).as("t"))
+      .select(col("doc_id"), col("t.gram").as("top_2gram"),
+        col("t.cnt").as("top_2gram_n"))
+    stats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2grams"), col("n_distinct_2grams"),
+        round(lit(1.0) - col("n_distinct_2grams").cast("double")
+          / nullif(col("n_2grams").cast("double"), lit(0.0)), 4)
+          .as("dup_2gram_frac"),
+        col("top_2gram"), col("top_2gram_n"),
+        round(col("top_2gram_n").cast("double")
+          * length(col("top_2gram")).cast("double")
+          / col("text_len").cast("double"), 4).as("top_2gram_char_frac"))
+  }
+
+  /** TF-IDF top-3 terms per document — the classic relevance weighting,
+    * shaped for scale: tf is the canonical explode→(doc, token) map-side-
+    * combined count; df reuses tf's output (one row per (doc, token), so
+    * `count(*)` by token IS document frequency — no second pass over the
+    * corpus); the corpus size joins in as a broadcast single-row aggregate
+    * (no driver-side collect). The final per-doc top-3 is a window
+    * PARTITIONED by doc_id — millions of small partitions, not one global
+    * sort. Ranks order by the ROUNDED score so the tie-break is identical
+    * across engines regardless of last-ulp ln() differences. */
+  def q56Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double")
+          * log(col("n_docs") / col("df").cast("double")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Inverted-index posting lists over word 3-grams — the materialized
+    * index a decontamination / exact-overlap service queries, built only
+    * for grams in a bounded df band (2..20): df=1 grams can't witness
+    * overlap and high-df grams are stop-phrases whose posting lists are
+    * exactly the lists that blow up at corpus scale (real indexes stub
+    * them to df-only entries). Shape: distinct (gram, doc) pairs →
+    * df count → equi-join the band back onto the pair stream → sorted
+    * posting string. The join and both aggregations all hash-partition on
+    * `gram`, so AQE plans ONE exchange per side and the final groupBy
+    * reuses the join's partitioning — no re-shuffle ([[PlanSpec]] asserts
+    * the exchange count). Postings are emitted as a comma-joined sorted
+    * string: deterministic, checker-hashable, and bounded by the df cap. */
+  def q57GramPostings(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles3(col("toks")))).as("gram"))
+    val banded = pairs.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+    pairs.join(banded, Seq("gram"))
+      .groupBy(col("gram"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
+  }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -556,6 +648,58 @@ object TextQueries {
          |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "q55_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, len(text) AS tl,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END AS bg FROM t),
+         |s AS (SELECT doc_id, tl,
+         |  CAST(len(bg) AS BIGINT) AS n_2grams,
+         |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_2grams FROM b),
+         |g AS (SELECT doc_id, unnest(bg) AS gram FROM b),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+         |top AS (SELECT doc_id, gram, n FROM (
+         |  SELECT doc_id, gram, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+         |  FROM c) WHERE rn = 1)
+         |SELECT s.doc_id, s.n_2grams, s.n_distinct_2grams,
+         |  ROUND(1.0::DOUBLE - CAST(s.n_distinct_2grams AS DOUBLE)
+         |    / NULLIF(CAST(s.n_2grams AS DOUBLE), 0), 4) AS dup_2gram_frac,
+         |  t.gram AS top_2gram, CAST(t.n AS BIGINT) AS top_2gram_n,
+         |  ROUND(CAST(t.n AS DOUBLE) * CAST(len(t.gram) AS DOUBLE)
+         |    / CAST(s.tl AS DOUBLE), 4) AS top_2gram_char_frac
+         |FROM s LEFT JOIN top t USING (doc_id)""".stripMargin,
+
+    "q56_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2),
+         |d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |s AS (SELECT c.doc_id, c.token, c.tf, d.df,
+         |  ROUND(CAST(c.tf AS DOUBLE) * ln(n.n_docs / CAST(d.df AS DOUBLE)), 4) AS score
+         |  FROM c JOIN d USING (token) CROSS JOIN n),
+         |r AS (SELECT doc_id, token, tf, df, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token ASC) AS INT) AS rn FROM s)
+         |SELECT doc_id, token, tf, df, score, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q57_gram_postings" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END)) AS gram FROM t),
+         |d AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1)
+         |SELECT p.gram, d.df,
+         |  string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+         |FROM p JOIN d USING (gram)
+         |WHERE d.df BETWEEN 2 AND 20
+         |GROUP BY p.gram, d.df""".stripMargin,
 
     "q44_simhash_neardup" ->
       s"""WITH sim AS ($shingleSimhash32Sql),

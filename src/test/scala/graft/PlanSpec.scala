@@ -121,6 +121,42 @@ class PlanSpec extends SparkSpec {
     assert(scans(df).size === 2, scans(df).size.toString)
   }
 
+  test("q55: bigram mode aggregation is partial (map-side combine), joins stay hash/broadcast") {
+    val df = graft.queries.TextQueries.q55Repetition(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("partial_count") || p.contains("partial_min_by"),
+      "bigram counts not map-side combined:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q56: tf-idf ranking window is partitioned by doc_id, not global") {
+    val df = graft.queries.TextQueries.q56Tfidf(spark, sfDir)
+    val p = planString(df)
+    val win = "Window \\[.*\\], \\[doc_id".r
+    assert(win.findFirstIn(p).isDefined,
+      "per-doc window lost its doc_id partitioning:\n" + p.take(1200))
+  }
+
+  test("q57: df-band join and postings agg share the gram partitioning (no third shuffle)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val df = graft.queries.TextQueries.q57GramPostings(spark, sfDir)
+    df.collect() // materialize the final adaptive plan
+    // count real shuffle nodes in the FINAL plan only (toString also prints
+    // the initial plan, double-counting); reused exchanges count once
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case _: ReusedExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    val n = shuffles(df.queryExecution.executedPlan)
+    assert(n <= 2, s"$n shuffle exchanges:\n" +
+      df.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("q52: resample + gap fill is one shuffle end to end") {
     val df = graft.queries.DateTimeQueries.q52GapFill(spark, sfDir)
     val p = planString(df)
