@@ -72,7 +72,9 @@ object SparkEntry {
     "q54_decontam" -> (TextQueries.q54Decontam _),
     "q55_repetition" -> (TextQueries.q55Repetition _),
     "q56_tfidf" -> (TextQueries.q56Tfidf _),
-    "q57_gram_postings" -> (TextQueries.q57GramPostings _)
+    "q57_gram_postings" -> (TextQueries.q57GramPostings _),
+    "q58_weighted_sample" -> (TextQueries.q58WeightedSample _),
+    "q59_minhash_accuracy" -> (TextQueries.q59MinhashAccuracy _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

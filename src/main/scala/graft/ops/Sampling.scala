@@ -57,6 +57,29 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * rank rows by key = -ln(u)/w ascending and keep the top n per group —
+    * equivalent to sampling proportional to weight w without replacement.
+    * The uniform u is DERIVED from md5(id) (first 12 hex digits → exact
+    * 48-bit integer → (v+0.5)/16^12), not rand(), so the sample is a pure
+    * function of the row id: stable across runs, engines, partitionings,
+    * and corpus growth — the property corpus-assembly sampling needs.
+    * Selection runs on the bounded-heap TopKPerKey operator (O(n) state
+    * per group, no per-group full sort). The sort key stays raw (rounding
+    * before ranking could merge near-ties differently per engine); round
+    * the emitted column instead. */
+  def weightedKey(id: Column, weightCol: Column): Column = {
+    val v = conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(281474976710656.0) // 16^12, exact in double
+    -log(u) / weightCol.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, groupCol: Column, id: Column,
+                     weightCol: Column, n: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      df.withColumn("es_key", weightedKey(id, weightCol)),
+      Seq(groupCol), Seq(col("es_key").asc, id.asc), n)
+
   /** Stratified deterministic sample: exactly min(n, |class|) rows per
     * class, chosen by hash order (not data order) so the per-class sample
     * is unbiased w.r.t. any data attribute, stable across runs, and

@@ -201,6 +201,41 @@ object TextQueries {
       classCol = col("lang"), id = col("doc_id"),
       tokenCol = col("n_chars"), budget = 2000L)
 
+  /** Weighted corpus sampling without replacement: 20 docs per source,
+    * inclusion probability proportional to n_chars (longer docs carry more
+    * tokens, so token-weighted subcorpora sample by length). Deterministic
+    * Efraimidis–Spirakis keys ([[graft.ops.Sampling.weightedSample]]) on
+    * the bounded-heap TopKPerKey operator. */
+  def q58WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      groupCol = col("source"), id = col("doc_id"),
+      weightCol = col("n_chars"), n = 20)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("es_key"), 6).as("es_key"))
+
+  /** Sketch accuracy as a first-class query: for every LSH candidate pair,
+    * the MinHash ESTIMATE of Jaccard (fraction of agreeing signature rows)
+    * next to the EXACT 3-shingle Jaccard and the absolute error — the
+    * number you check before trusting a sketch at 100 TB (12 rows ⇒
+    * stderr ≈ sqrt(J(1-J)/12) ≈ 0.14 at J=0.5; more rows at scale).
+    * Signature agreement is a narrow zip_with/filter/size expression;
+    * everything rides the existing candidate-pair shuffles. */
+  def q59MinhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+    Dedup.candidatePairs(bandedFrom(docs))
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("g1")), Seq("doc1"))
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("g2")), Seq("doc2"))
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(size(filter(zip_with(col("g1"), col("g2"), (a, b) => a === b),
+          x => x)).cast("double") / lit(12.0), 4).as("est_jaccard"),
+        round(Dedup.jaccard(col("t1"), col("t2")), 4).as("jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+  }
+
   /** The whole corpus-curation intake chain as ONE declarative plan —
     * what an LLM-training data pipeline actually runs nightly: quality
     * score → language-ID → threshold filter → exact dedup (keep lowest
@@ -648,6 +683,57 @@ object TextQueries {
          |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "q58_weighted_sample" ->
+      """WITH k AS (SELECT source, doc_id, n_chars,
+        |  -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+        |      / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS ek
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, ek,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY ek ASC, doc_id ASC) AS rn
+        |  FROM k)
+        |SELECT source, doc_id, n_chars, ROUND(ek, 6) AS es_key
+        |FROM r WHERE rn <= 20""".stripMargin,
+
+    "q59_minhash_accuracy" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+         |SELECT p.doc1, p.doc2,
+         |  ROUND(CAST(len(list_filter(generate_series(1, 12),
+         |    i -> g1.g[i] = g2.g[i])) AS DOUBLE) / 12.0, 4) AS est_jaccard,
+         |  ROUND(
+         |    CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)
+         |    / (CAST(len(list_distinct(t1.s)) AS DOUBLE) + CAST(len(list_distinct(t2.s)) AS DOUBLE)
+         |       - CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)), 4) AS jaccard,
+         |  ROUND(ABS(
+         |    ROUND(CAST(len(list_filter(generate_series(1, 12),
+         |      i -> g1.g[i] = g2.g[i])) AS DOUBLE) / 12.0, 4)
+         |    - ROUND(
+         |      CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)
+         |      / (CAST(len(list_distinct(t1.s)) AS DOUBLE) + CAST(len(list_distinct(t2.s)) AS DOUBLE)
+         |         - CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)), 4)), 4) AS abs_err
+         |FROM pairs p
+         |JOIN sig g1 ON g1.doc_id = p.doc1
+         |JOIN sig g2 ON g2.doc_id = p.doc2
+         |JOIN sh t1 ON t1.doc_id = p.doc1
+         |JOIN sh t2 ON t2.doc_id = p.doc2""".stripMargin,
 
     "q55_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
