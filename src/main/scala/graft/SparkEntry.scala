@@ -74,7 +74,9 @@ object SparkEntry {
     "q56_tfidf" -> (TextQueries.q56Tfidf _),
     "q57_gram_postings" -> (TextQueries.q57GramPostings _),
     "q58_weighted_sample" -> (TextQueries.q58WeightedSample _),
-    "q59_minhash_accuracy" -> (TextQueries.q59MinhashAccuracy _)
+    "q59_minhash_accuracy" -> (TextQueries.q59MinhashAccuracy _),
+    "q60_quantize_audit" -> (SimilarityQueries.q60QuantizeAudit _),
+    "q61_pmi_pairs" -> (TextQueries.q61PmiPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -192,7 +192,59 @@ object SimilarityQueries {
         s"CASE WHEN (${dotSql(v, arr)}) > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString("(", " + ", ")")
 
+  /** Int8 symmetric quantization audit — the compression step before
+    * embeddings ship to an ANN index, with its error measured in the same
+    * query: per vector, scale = 127/max|v|, q_i = round(v_i * scale), and
+    * the dequantization SSE Σ(v_i − q_i/scale)². Everything is a narrow
+    * per-row HOF pass (zero shuffle at any corpus size). Arithmetic is
+    * double throughout in a fixed fold order, squares by self-multiply
+    * (not pow), so the audit itself hash-matches the oracle; all-zero
+    * vectors get NULL scale via nullif and report NULL stats rather than
+    * Infinity. */
+  def q60QuantizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val maxAbs = aggregate(e, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val staged = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), e, maxAbs.as("max_abs"))
+      .withColumn("scale", lit(127.0d) / nullif(col("max_abs"), lit(0.0d)))
+      .withColumn("qv", transform(e, x => round(x.cast("double") * col("scale"), 0)))
+    val diff = zip_with(e, col("qv"), (x, qi) => {
+      val d = x.cast("double") - qi / col("scale")
+      d * d
+    })
+    staged.select(
+      col("vec_id"),
+      size(e).cast("long").as("n_dims"),
+      round(col("max_abs"), 6).as("max_abs"),
+      round(col("scale"), 6).as("scale"),
+      size(filter(col("qv"), qi => abs(qi) >= 127.0d)).cast("long").as("n_sat"),
+      round(aggregate(diff, lit(0.0d), (acc, d) => acc + d), 8).as("sse"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q60_quantize_audit" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (a, b) -> GREATEST(a, b)) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, max_abs,
+        |  127.0::DOUBLE / NULLIF(max_abs, 0) AS scale FROM m),
+        |q AS (SELECT vec_id, embedding, max_abs, scale,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * scale, 0)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  ROUND(max_abs, 6) AS max_abs,
+        |  ROUND(scale, 6) AS scale,
+        |  CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS BIGINT) AS n_sat,
+        |  ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - qv[i] / scale)
+        |         * (CAST(embedding[i] AS DOUBLE) - qv[i] / scale))),
+        |    (a, b) -> a + b), 8) AS sse
+        |FROM q""".stripMargin,
+
     "q22_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
          |c AS (SELECT q.qid, e.vec_id AS neighbor_id,

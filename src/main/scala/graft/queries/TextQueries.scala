@@ -397,6 +397,43 @@ object TextQueries {
         ",").as("postings"))
   }
 
+  /** Pointwise mutual information over within-document token co-occurrence
+    * — the classic word-association statistic (collocation mining, vocab
+    * pruning). Pair generation is NARROW: each row's sorted distinct
+    * tokens expand to (a < b) struct pairs via nested transform + one
+    * explode — no per-doc self-join, so the only shuffles are the two
+    * count aggregations. Generation is quadratic in per-doc DISTINCT
+    * tokens; at open-vocabulary scale you first band the vocabulary by
+    * document frequency (q57's df-band trick) and pair only surviving
+    * tokens. Unigram counts and the corpus size join back as broadcasts.
+    * The oracle computes the same counts via a relational self-join —
+    * cross-checking the narrow generation against a different mechanism. */
+  def q61PmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_sort(array_distinct(TA.tokens(col("text")))).as("ts"))
+    val pairsArr = flatten(transform(col("ts"), (x, i) =>
+      transform(slice(col("ts"), i + 2, size(col("ts"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pairs = docs.select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("c_ab"))
+    val singles = docs.select(explode(col("ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    pairs
+      .join(broadcast(singles.select(col("token").as("token_a"), col("c").as("c_a"))),
+        Seq("token_a"))
+      .join(broadcast(singles.select(col("token").as("token_b"), col("c").as("c_b"))),
+        Seq("token_b"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c_ab") >= 10)
+      .select(col("token_a"), col("token_b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("n_docs") * col("c_ab").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))), 4).as("pmi"))
+  }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -683,6 +720,22 @@ object TextQueries {
          |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "q61_pmi_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
+         |p AS (SELECT a.tok AS token_a, b.tok AS token_b
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+         |c AS (SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM p GROUP BY 1, 2),
+         |s AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+         |SELECT c.token_a, c.token_b, c.c_ab, sa.c AS c_a, sb.c AS c_b,
+         |  ROUND(ln(n.nd * CAST(c.c_ab AS DOUBLE)
+         |    / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))), 4) AS pmi
+         |FROM c
+         |JOIN s sa ON sa.tok = c.token_a
+         |JOIN s sb ON sb.tok = c.token_b
+         |CROSS JOIN n
+         |WHERE c.c_ab >= 10""".stripMargin,
 
     "q58_weighted_sample" ->
       """WITH k AS (SELECT source, doc_id, n_chars,

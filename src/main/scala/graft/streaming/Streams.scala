@@ -83,9 +83,17 @@ object Streams {
     * distance — the two requirements that let Spark expire join state
     * instead of buffering both streams forever. The time bound doubles as
     * the state-retention window: at 100 TB/day, maxAge IS the memory knob. */
+  /** `joinType = "left_outer"` additionally emits unmatched left events
+    * with NULL right columns — but only once the watermark proves no
+    * in-range right event can still arrive (l_ts + maxAge < watermark),
+    * so outer results trail the stream by the watermark delay. That lag
+    * is the price of a correct outer join on unbounded input; the same
+    * two requirements (both-side watermarks + the time bound) make it
+    * possible at all. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        key: String, maxAge: String = "30 minutes",
-                       watermark: String = "1 hour"): DataFrame = {
+                       watermark: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(key), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"), col("value").as("l_value"))
@@ -95,7 +103,8 @@ object Streams {
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") <= col("l_ts") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxAge"))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxAge"),
+      joinType)
       .drop("r_key")
   }
 

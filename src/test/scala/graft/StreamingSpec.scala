@@ -108,6 +108,29 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 11L))
   }
 
+  test("streamStreamJoin left_outer: unmatched left rows emit NULLs after watermark expiry") {
+    import spark.implicits._
+    val late = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")
+    val clicks = batch1.filter(_.event_type == "click") // events 1,2 @10:00/01, 4 @10:11
+    val views = Seq(Event(10, ts(2), 1, "view", 100.0))
+    // sentinels on BOTH streams advance the global watermark to 12:00,
+    // proving no in-range view can still arrive for the 10:xx clicks
+    val joined = Streams.streamStreamJoin(
+      feed(clicks, Seq(Event(99, late, 9, "click", 0.0))),
+      feed(views, Seq(Event(98, late, 9, "view", 0.0))),
+      key = "user_id", maxAge = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjlo")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjlo")
+      .select("l_event_id", "r_event_id").as[(Long, Option[Long])]
+      .collect().toMap
+    // click@10:11 pairs with view@10:02; the two earlier clicks precede
+    // the only view (r_ts <= l_ts fails) and surface as outer NULL rows
+    assert(rows(4L) === Some(10L))
+    assert(rows(1L) === None && rows(2L) === None)
+  }
+
   test("runningUserStats accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
