@@ -76,7 +76,9 @@ object SparkEntry {
     "q58_weighted_sample" -> (TextQueries.q58WeightedSample _),
     "q59_minhash_accuracy" -> (TextQueries.q59MinhashAccuracy _),
     "q60_quantize_audit" -> (SimilarityQueries.q60QuantizeAudit _),
-    "q61_pmi_pairs" -> (TextQueries.q61PmiPairs _)
+    "q61_pmi_pairs" -> (TextQueries.q61PmiPairs _),
+    "q62_funnel" -> (DateTimeQueries.q62Funnel _),
+    "q63_cohort_retention" -> (DateTimeQueries.q63CohortRetention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

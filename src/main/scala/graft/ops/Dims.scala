@@ -67,6 +67,41 @@ object Dims {
       .select("region_key", "region_name", "country_name", "lat", "long")
   }
 
+  /** SCD1 dimension upsert — the day-2 problem [[regionDim]] leaves open:
+    * once facts reference surrogate keys, a rebuild must NEVER renumber
+    * them (the reference sidesteps this by seeding once and never
+    * updating; real feeds revise attributes and add regions daily).
+    * Contract: existing natural keys KEEP their surrogate key and take
+    * updated attributes from the incoming batch (type-1 overwrite);
+    * unseen natural keys get fresh keys ABOVE the current maximum,
+    * numbered in deterministic natural-key order. Shapes for scale even
+    * though dims are small: the incoming batch aggregates to one row per
+    * natural key first, the update is a left join on the natural key, and
+    * the max-key scalar joins as a broadcast single-row aggregate — no
+    * driver round-trip, works unchanged on a million-row dimension. */
+  def upsertRegionDim(existing: DataFrame, incomingFlat: DataFrame): DataFrame = {
+    val nk = Seq("region_name", "country_name")
+    val incoming = incomingFlat
+      .groupBy(nk.map(col): _*)
+      .agg(min(col("lat")).as("in_lat"), min(col("long")).as("in_long"))
+    val updated = existing
+      .join(incoming, nk, "left")
+      .select(col("region_key"), col("region_name"), col("country_name"),
+        coalesce(col("in_lat"), col("lat")).as("lat"),
+        coalesce(col("in_long"), col("long")).as("long"))
+    val maxKey = existing
+      .agg(coalesce(max(col("region_key")), lit(0)).as("max_key"))
+    val fresh = incoming
+      .join(existing.select(nk.map(col): _*), nk, "left_anti")
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("country_name"), col("region_name"))))
+      .crossJoin(broadcast(maxKey))
+      .select((col("rk") + col("max_key")).cast("int").as("region_key"),
+        col("region_name"), col("country_name"),
+        col("in_lat").as("lat"), col("in_long").as("long"))
+    updated.unionByName(fresh)
+  }
+
   /** S7 static-seed load path: the reference pre-seeds region_dimension
     * with a fixed 237-row list (`pg_init_covid19.sql:248-508`) instead of
     * deriving it from data. The seed ships INSIDE the jar

@@ -175,7 +175,85 @@ object DateTimeQueries {
         unix_micros(col("lo")).as("lo_us"))
   }
 
+  /** Strict-order funnel (view → click → purchase): earliest view, then
+    * earliest click AFTER that view, then earliest purchase AFTER that
+    * click, per user — the product-analytics staple where each stage's
+    * clock starts at the previous stage's event. Three filtered min-
+    * aggregations chained by (ts > prev_ts) joins; every aggregation and
+    * join clusters on user_id, so AQE reuses one user partitioning across
+    * the chain and per-task state is three timestamps per user (never an
+    * event list). Stage timestamps emit as epoch micros (ns→us parquet
+    * truncation is explicit, q14's convention). */
+  def q62Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        (lit(1)
+          + when(col("click_ts").isNotNull, 1).otherwise(0)
+          + when(col("purchase_ts").isNotNull, 1).otherwise(0))
+          .cast("int").as("stage"))
+  }
+
+  /** Cohort retention: users grouped by first-seen date, counted on each
+    * later activity day as an offset from their cohort day — the
+    * engagement decay curve. Distinct (user, day) first (map-side
+    * combined), then one user_id join to attach cohorts, then the tiny
+    * (cohort, offset) count. Dates emit as ISO strings. */
+  def q63CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .join(firsts, Seq("user_id"))
+      .select(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("int").as("day_offset"))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_date").cast("string").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q62_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT v.user_id, epoch_us(v.view_ts) AS view_us,
+        |  epoch_us(c.click_ts) AS click_us,
+        |  epoch_us(p.purchase_ts) AS purchase_us,
+        |  CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q63_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+        |  CAST(a.d - f.cohort_date AS INT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q38_interval_join" ->
       """WITH incidents AS (
         |  SELECT event_id AS incident_id, user_id, ts AS lo,

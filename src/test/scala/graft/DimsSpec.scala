@@ -84,4 +84,41 @@ class DimsSpec extends SparkSpec {
     assert(a === b)
     assert(a.forall(_.get(2) != null)) // every fact row keyed
   }
+
+  test("upsertRegionDim: stable surrogate keys, type-1 updates, fresh keys above max") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day1 = Seq(
+      ("Alpha", "Atlantis", 1.0, 10.0),
+      ("Beta", "Atlantis", 2.0, 20.0),
+      ("Gamma", "Lemuria", 3.0, 30.0))
+      .toDF("region_name", "country_name", "lat", "long")
+    val dim1 = Dims.regionDim(day1)
+    // day 2: Beta's coordinates revised (twice, inconsistently — min picks),
+    // Gamma unseen, one brand-new region arrives
+    val day2 = Seq(
+      ("Beta", "Atlantis", 2.5, 20.5),
+      ("Beta", "Atlantis", 2.4, 20.6),
+      ("Delta", "Lemuria", 4.0, 40.0))
+      .toDF("region_name", "country_name", "lat", "long")
+    val dim2 = Dims.upsertRegionDim(dim1, day2)
+    val byName = dim2.collect()
+      .map(r => r.getAs[String]("region_name") ->
+        (r.getAs[Int]("region_key"), r.getAs[Double]("lat"), r.getAs[Double]("long")))
+      .toMap
+    val keys1 = dim1.collect()
+      .map(r => r.getAs[String]("region_name") -> r.getAs[Int]("region_key")).toMap
+    // every existing region keeps its key — facts written against dim1 stay valid
+    assert(Seq("Alpha", "Beta", "Gamma").forall(n => byName(n)._1 == keys1(n)))
+    // type-1 overwrite takes the incoming (min-deduped) attributes
+    assert(byName("Beta")._2 === 2.4 && byName("Beta")._3 === 20.5)
+    // absent-from-batch rows keep their old attributes
+    assert(byName("Gamma")._2 === 3.0)
+    // the new region gets the next key above the existing maximum
+    assert(byName("Delta")._1 === keys1.values.max + 1)
+    assert(dim2.count() === 4)
+    // idempotency: re-running the same batch changes nothing
+    val dim3 = Dims.upsertRegionDim(dim2, day2)
+    assert(dim3.collect().toSet === dim2.collect().toSet)
+  }
 }
