@@ -70,7 +70,21 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter(kv => s(kv._1)))
+    // cumulative-garbage isolation: by mid-run, dozens of queries' worth of
+    // old-gen litter (broadcast relations, codegen classes, hash maps) is
+    // waiting for collection, and whichever query next allocates a big burst
+    // (cube's 4x Expand) inherits the full-GC bill — measured 1.8s isolated
+    // vs 17.5s mid-sequence for identical work. Collect UNTIMED before each
+    // query so a timing reflects the query's own cost; per-query GC time is
+    // recorded alongside so any residual pressure is visible in the JSON.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
+      val gc0 = gcMillis()
       val sh0 = shuffleNow()
       val t0 = System.nanoTime()
       // execute the FULL physical plan: a plain count() lets ColumnPruning
@@ -86,19 +100,22 @@ object Bench {
       }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val shBytes = shuffleNow() - sh0
+      val gcDelta = gcMillis() - gc0
       // queries that persist() intermediates (q20/q44 signature frames)
       // must not leak cache into the next measurement
       spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s  ${shBytes / 1024}%9d KiB shuffled")
-      name -> (sec, shBytes)
+      System.err.println(f"[bench] $name%-22s $sec%8.2f s  ${shBytes / 1024}%9d KiB shuffled  $gcDelta%5d ms gc")
+      name -> (sec, shBytes, gcDelta)
     }.toMap
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, b)) => s"\"" + k + "\":" + b }
+    val sh = results.map { case (k, (_, b, _)) => s"\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val gc = results.map { case (k, (_, _, g)) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_bytes":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_bytes":$sh,"gc_ms":$gc,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

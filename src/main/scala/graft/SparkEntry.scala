@@ -78,7 +78,8 @@ object SparkEntry {
     "q60_quantize_audit" -> (SimilarityQueries.q60QuantizeAudit _),
     "q61_pmi_pairs" -> (TextQueries.q61PmiPairs _),
     "q62_funnel" -> (DateTimeQueries.q62Funnel _),
-    "q63_cohort_retention" -> (DateTimeQueries.q63CohortRetention _)
+    "q63_cohort_retention" -> (DateTimeQueries.q63CohortRetention _),
+    "q64_regression" -> (DateTimeQueries.q64Regression _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,18 +67,19 @@ object Components {
           .groupBy(col("a").as("id"))
           .agg(min(col("nl")).as("nmin"))
         // eager localCheckpoint materializes the round; the plan handed to
-        // the NEXT round is a constant-size LogicalRDD
+        // the NEXT round is a constant-size LogicalRDD. The OLD label rides
+        // along so convergence is a filter+count over the checkpointed
+        // rows — not another join+shuffle per round (tiny-stage rounds are
+        // dominated by scheduling, so one fewer stage per round matters).
         val next = labels
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            col("label").as("old"))
           .localCheckpoint()
-        val changed = next
-          .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-          .filter(col("label") =!= col("old"))
-          .count()
+        val changed = next.filter(col("label") =!= col("old")).count()
         converged = changed == 0
-        labels = next
+        labels = next.select("id", "label")
         i += 1
       }
       // silent truncation would return plausible-but-WRONG labels (a long

@@ -227,7 +227,62 @@ object DateTimeQueries {
         col("day_offset"), col("n_users"))
   }
 
+  /** Per-group linear regression + correlation (value vs hour-of-month),
+    * computed the only way that is DETERMINISTIC on a cluster: exact
+    * integer moments first, floating point last. Double-summed corr/regr
+    * aggregates give partition-order-dependent last bits, so instead x is
+    * an exact small int (hours since 2024-01-01) and y is value quantized
+    * to exact thousandths; the five moment sums are BIGINT (overflow-safe
+    * at these magnitudes — at open scale, DECIMAL(38,0)); slope/intercept/
+    * corr then come from identical scalar double expressions in both
+    * engines. Analytically equal to regr_slope/regr_intercept/corr on the
+    * quantized series. One map-side-combined shuffle. */
+  def q64Regression(spark: SparkSession, dir: String): DataFrame = {
+    val hoursEpoch2024 = 473352L // epoch('2024-01-01') / 3600
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (floor(unix_micros(col("ts")) / lit(3600000000L)) - hoursEpoch2024).as("x"),
+      round(col("value") * 1000, 0).cast("long").as("y"))
+    val m = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val syy = col("syy").cast("double")
+    val slope3 = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    m.select(col("event_type"), col("n"),
+      round(slope3 / 1000.0d, 6).as("slope"),
+      round((sy / (nd * 1000.0d)) - (slope3 / 1000.0d) * (sx / nd), 6).as("intercept"),
+      round((nd * sxy - sx * sy)
+        / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("corr"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q64_regression" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) - 473352 AS x,
+        |  CAST(round(value * 1000, 0) AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1000.0, 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0))
+        |    - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1000.0)
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM m""".stripMargin,
+
     "q62_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
