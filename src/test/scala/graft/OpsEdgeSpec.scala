@@ -39,6 +39,57 @@ class OpsEdgeSpec extends SparkSpec {
     assert(prof.count() === 0)
   }
 
+  test("q55/q61 degenerate docs: no bigrams -> NULL repetition stats, no PMI pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs").toString
+    Seq(
+      (0L, "solo", "en", "src0", 4L),            // 1 token: zero bigrams
+      (1L, "a a a a", "en", "src0", 7L),         // fully repeated
+      (2L, "w x y z w x", "en", "src1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = graft.queries.TextQueries.q55Repetition(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: 0 bigrams -> NULL fraction and NULL mode, not NaN/crash
+    assert(rep(0L).isNullAt(rep(0L).fieldIndex("dup_2gram_frac")))
+    assert(rep(0L).isNullAt(rep(0L).fieldIndex("top_2gram")))
+    // doc 1: 3 identical bigrams -> dup fraction 1 - 1/3
+    assert(rep(1L).getAs[Double]("dup_2gram_frac") === 0.6667)
+    assert(rep(1L).getAs[String]("top_2gram") === "a a")
+    // doc 2: the one repeated bigram wins the mode
+    assert(rep(2L).getAs[String]("top_2gram") === "w x")
+    // PMI: doc 0 contributes no pairs; threshold filters everything here
+    assert(graft.queries.TextQueries.q61PmiPairs(spark, dir).count() === 0)
+  }
+
+  test("q60 all-zero embedding: NULL scale and stats, never Infinity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
+    Seq((0L, Array(0.0f, 0.0f, 0.0f), 0), (1L, Array(1.0f, -2.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.SimilarityQueries.q60QuantizeAudit(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("scale")))
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("sse")))
+    val v1 = rows(1L)
+    assert(v1.getAs[Double]("max_abs") === 2.0)
+    assert(v1.getAs[Double]("scale") === 63.5)
+    assert(v1.getAs[Long]("n_sat") === 1L) // only the -2.0 element saturates
+  }
+
+  test("upsertRegionDim from an empty dimension numbers keys from 1") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String, String, Double, Double)]
+      .toDF("region_key", "region_name", "country_name", "lat", "long")
+    val batch = Seq(("R2", "C", 1.0, 2.0), ("R1", "C", 3.0, 4.0))
+      .toDF("region_name", "country_name", "lat", "long")
+    val dim = graft.ops.Dims.upsertRegionDim(empty, batch)
+      .orderBy("region_key").collect()
+    assert(dim.map(_.getAs[Int]("region_key")).toSeq === Seq(1, 2))
+    assert(dim.head.getAs[String]("region_name") === "R1") // natural-key order
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)
