@@ -79,7 +79,9 @@ object SparkEntry {
     "q61_pmi_pairs" -> (TextQueries.q61PmiPairs _),
     "q62_funnel" -> (DateTimeQueries.q62Funnel _),
     "q63_cohort_retention" -> (DateTimeQueries.q63CohortRetention _),
-    "q64_regression" -> (DateTimeQueries.q64Regression _)
+    "q64_regression" -> (DateTimeQueries.q64Regression _),
+    "q65_streaks" -> (DateTimeQueries.q65Streaks _),
+    "q66_normalize" -> (TextQueries.q66Normalize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -260,7 +260,47 @@ object DateTimeQueries {
         / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("corr"))
   }
 
+  /** Longest consecutive-active-day streak per user — the one query family
+    * where the TYPED Dataset API is the right tool (ladder rung (d)):
+    * streak length is inherently sequential per group, and a
+    * `groupByKey.mapGroups` over the DISTINCT (user, day) rows is clearer
+    * and no less scalable than window gymnastics — one shuffle, per-group
+    * state bounded by days-in-history (never raw events). The oracle
+    * computes the same streaks declaratively via the gaps-and-islands
+    * trick (day − row_number constant within a run), cross-checking the
+    * imperative fold against relational SQL. */
+  def q65Streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .as[(Long, java.sql.Date)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val days = it.map(_._2.toLocalDate.toEpochDay).toArray.sorted
+        var best = 1L
+        var cur = 1L
+        var i = 1
+        while (i < days.length) {
+          if (days(i) == days(i - 1) + 1) { cur += 1; if (cur > best) best = cur }
+          else cur = 1
+          i += 1
+        }
+        (uid, days.length.toLong, best)
+      }
+      .toDF("user_id", "n_active_days", "longest_streak")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q65_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT user_id, d,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM d),
+        |g AS (SELECT user_id, COUNT(*) AS len
+        |  FROM r GROUP BY user_id, d - CAST(rn AS INT))
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY user_id""".stripMargin,
+
     "q64_regression" ->
       """WITH e AS (SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) - 473352 AS x,

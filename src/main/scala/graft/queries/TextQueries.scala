@@ -434,6 +434,21 @@ object TextQueries {
           / (col("c_a").cast("double") * col("c_b").cast("double"))), 4).as("pmi"))
   }
 
+  /** C4-style text normalization — the canonical form keys dedup and
+    * overlap checks run on: lowercase, strip non-alphanumerics to spaces,
+    * collapse whitespace, trim, plus the md5 canonical key and the length
+    * delta. Pure narrow string expressions; Spark's regexp_replace is
+    * global by default and the oracle passes DuckDB's 'g' flag to match. */
+  def q66Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        md5(col("norm_text")).as("norm_key"),
+        length(col("norm_text")).cast("long").as("norm_len"))
+  }
+
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -720,6 +735,16 @@ object TextQueries {
          |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "q66_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_key,
+        |  CAST(len(norm_text) AS BIGINT) AS norm_len
+        |FROM n""".stripMargin,
 
     "q61_pmi_pairs" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents),
