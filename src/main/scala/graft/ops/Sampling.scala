@@ -74,10 +74,16 @@ object Sampling {
     -log(u) / weightCol.cast("double")
   }
 
+  /** Rows with NULL or non-positive weight are EXCLUDED up front (zero
+    * weight = never sampled). Without the guard they would silently win:
+    * NULL keys sort NULLS FIRST under Spark's asc (DuckDB ranks them
+    * last — an engine-divergence trap) and negative weights produce
+    * negative keys that always rank first. */
   def weightedSample(df: DataFrame, groupCol: Column, id: Column,
                      weightCol: Column, n: Int): DataFrame =
     graft.plans.TopK.perKey(
-      df.withColumn("es_key", weightedKey(id, weightCol)),
+      df.filter(weightCol.isNotNull && weightCol > 0)
+        .withColumn("es_key", weightedKey(id, weightCol)),
       Seq(groupCol), Seq(col("es_key").asc, id.asc), n)
 
   /** Stratified deterministic sample: exactly min(n, |class|) rows per

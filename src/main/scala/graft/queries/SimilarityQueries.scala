@@ -200,7 +200,10 @@ object SimilarityQueries {
     * double throughout in a fixed fold order, squares by self-multiply
     * (not pow), so the audit itself hash-matches the oracle; all-zero
     * vectors get NULL scale via nullif and report NULL stats rather than
-    * Infinity. */
+    * Infinity. `n_at_rail` counts elements landing ON the ±127 rail —
+    * with a symmetric per-vector scale nothing can exceed it (that's the
+    * point), so ≥1 by construction; a HIGH count means the distribution
+    * is rail-heavy and per-vector scaling is losing resolution. */
   def q60QuantizeAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = col("embedding")
     val maxAbs = aggregate(e, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
@@ -217,7 +220,7 @@ object SimilarityQueries {
       size(e).cast("long").as("n_dims"),
       round(col("max_abs"), 6).as("max_abs"),
       round(col("scale"), 6).as("scale"),
-      size(filter(col("qv"), qi => abs(qi) >= 127.0d)).cast("long").as("n_sat"),
+      size(filter(col("qv"), qi => abs(qi) >= 127.0d)).cast("long").as("n_at_rail"),
       round(aggregate(diff, lit(0.0d), (acc, d) => acc + d), 8).as("sse"))
   }
 
@@ -237,7 +240,7 @@ object SimilarityQueries {
         |  CAST(len(embedding) AS BIGINT) AS n_dims,
         |  ROUND(max_abs, 6) AS max_abs,
         |  ROUND(scale, 6) AS scale,
-        |  CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS BIGINT) AS n_sat,
+        |  CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS BIGINT) AS n_at_rail,
         |  ROUND(list_reduce(list_prepend(0.0::DOUBLE,
         |    list_transform(generate_series(1, len(embedding)),
         |      i -> (CAST(embedding[i] AS DOUBLE) - qv[i] / scale)

@@ -230,8 +230,11 @@ object TextQueries {
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
+        // agreement fraction over the ACTUAL signature width, not a
+        // hardcoded constant — stays correct if minhashSignature's k changes
         round(size(filter(zip_with(col("g1"), col("g2"), (a, b) => a === b),
-          x => x)).cast("double") / lit(12.0), 4).as("est_jaccard"),
+          x => x)).cast("double") / size(col("g1")).cast("double"), 4)
+          .as("est_jaccard"),
         round(Dedup.jaccard(col("t1"), col("t2")), 4).as("jaccard"))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
   }
@@ -766,7 +769,7 @@ object TextQueries {
       """WITH k AS (SELECT source, doc_id, n_chars,
         |  -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
         |      / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS ek
-        |  FROM documents),
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
         |r AS (SELECT source, doc_id, n_chars, ek,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY ek ASC, doc_id ASC) AS rn
         |  FROM k)
@@ -794,15 +797,15 @@ object TextQueries {
          |  FROM bands a JOIN bands c
          |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
          |SELECT p.doc1, p.doc2,
-         |  ROUND(CAST(len(list_filter(generate_series(1, 12),
-         |    i -> g1.g[i] = g2.g[i])) AS DOUBLE) / 12.0, 4) AS est_jaccard,
+         |  ROUND(CAST(len(list_filter(generate_series(1, len(g1.g)),
+         |    i -> g1.g[i] = g2.g[i])) AS DOUBLE) / CAST(len(g1.g) AS DOUBLE), 4) AS est_jaccard,
          |  ROUND(
          |    CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)
          |    / (CAST(len(list_distinct(t1.s)) AS DOUBLE) + CAST(len(list_distinct(t2.s)) AS DOUBLE)
          |       - CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)), 4) AS jaccard,
          |  ROUND(ABS(
-         |    ROUND(CAST(len(list_filter(generate_series(1, 12),
-         |      i -> g1.g[i] = g2.g[i])) AS DOUBLE) / 12.0, 4)
+         |    ROUND(CAST(len(list_filter(generate_series(1, len(g1.g)),
+         |      i -> g1.g[i] = g2.g[i])) AS DOUBLE) / CAST(len(g1.g) AS DOUBLE), 4)
          |    - ROUND(
          |      CAST(len(list_filter(list_distinct(t1.s), x -> list_contains(list_distinct(t2.s), x))) AS DOUBLE)
          |      / (CAST(len(list_distinct(t1.s)) AS DOUBLE) + CAST(len(list_distinct(t2.s)) AS DOUBLE)

@@ -85,11 +85,14 @@ object Streams {
     * the state-retention window: at 100 TB/day, maxAge IS the memory knob. */
   /** `joinType = "left_outer"` additionally emits unmatched left events
     * with NULL right columns — but only once the watermark proves no
-    * in-range right event can still arrive (l_ts + maxAge < watermark),
-    * so outer results trail the stream by the watermark delay. That lag
-    * is the price of a correct outer join on unbounded input; the same
-    * two requirements (both-side watermarks + the time bound) make it
-    * possible at all. */
+    * in-range right event can still arrive. The join bounds r_ts to
+    * [l_ts − maxAge, l_ts], so a left row is provably unmatched as soon
+    * as the watermark passes its own l_ts (the latest possible match is
+    * simultaneous); outer results therefore trail by the WATERMARK delay.
+    * maxAge bounds the RIGHT side's state retention instead (a right row
+    * can match left rows up to r_ts + maxAge). That lag is the price of
+    * a correct outer join on unbounded input; the same two requirements
+    * (both-side watermarks + the time bound) make it possible at all. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        key: String, maxAge: String = "30 minutes",
                        watermark: String = "1 hour",

@@ -75,7 +75,7 @@ class OpsEdgeSpec extends SparkSpec {
     val v1 = rows(1L)
     assert(v1.getAs[Double]("max_abs") === 2.0)
     assert(v1.getAs[Double]("scale") === 63.5)
-    assert(v1.getAs[Long]("n_sat") === 1L) // only the -2.0 element saturates
+    assert(v1.getAs[Long]("n_at_rail") === 1L) // only the -2.0 element hits the rail
   }
 
   test("upsertRegionDim from an empty dimension numbers keys from 1") {
