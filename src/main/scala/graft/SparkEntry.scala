@@ -81,7 +81,9 @@ object SparkEntry {
     "q63_cohort_retention" -> (DateTimeQueries.q63CohortRetention _),
     "q64_regression" -> (DateTimeQueries.q64Regression _),
     "q65_streaks" -> (DateTimeQueries.q65Streaks _),
-    "q66_normalize" -> (TextQueries.q66Normalize _)
+    "q66_normalize" -> (TextQueries.q66Normalize _),
+    "q67_edit_distance" -> (TextQueries.q67EditDistance _),
+    "q68_robust_outliers" -> (DateTimeQueries.q68RobustOutliers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -290,7 +290,49 @@ object DateTimeQueries {
       .toDF("user_id", "n_active_days", "longest_streak")
   }
 
+  /** Robust outlier detection per event_type: modified z-score on the
+    * median/MAD (median absolute deviation) — the data-quality gate that
+    * survives the skew and fat tails that break mean/stddev z-scores.
+    * Exact medians via the sort-based percentile aggregate (order-
+    * independent ⇒ cluster-deterministic, q49's machinery); the two tiny
+    * per-type stat frames broadcast back onto the event stream, so the
+    * scan stays narrow. 1.4826·MAD rescales to σ-equivalents under
+    * normality (the standard public constant); nullif guards MAD = 0
+    * (NULL rz rows filter out rather than dividing to Infinity). At
+    * 100 TB swap the exact percentile for percentile_approx and keep the
+    * identical plan shape. */
+  def q68RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+    val mad = withMed
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        round(abs(col("value") - col("med"))
+          / nullif(lit(1.4826d) * col("mad"), lit(0.0d)), 4).as("rz"))
+      .filter(col("rz") > 3.0)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q68_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        |z AS (SELECT e.event_type, e.event_id, e.value,
+        |  ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+        |  ROUND(abs(e.value - m.med) / NULLIF(1.4826 * d.mad, 0), 4) AS rz
+        |  FROM events e
+        |  JOIN med m USING (event_type)
+        |  JOIN mad d USING (event_type))
+        |SELECT event_type, event_id, value, med, mad, rz
+        |FROM z WHERE rz > 3.0""".stripMargin,
+
     "q65_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |r AS (SELECT user_id, d,

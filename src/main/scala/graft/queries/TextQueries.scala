@@ -437,6 +437,25 @@ object TextQueries {
           / (col("c_a").cast("double") * col("c_b").cast("double"))), 4).as("pmi"))
   }
 
+  /** Edit-distance verification on LSH candidates — the fuzzy-match
+    * complement to Jaccard (q20) and Hamming (q44): Levenshtein distance
+    * and a normalized similarity on lowercased 40-char prefixes, computed
+    * ONLY for pairs the banding already surfaced (never all-pairs; at any
+    * corpus size the O(len²) DP runs on |candidates| rows). Both engines
+    * implement the same unit-cost Levenshtein, so the audit is exact. */
+  def q67EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("pfx"))
+    val sim = lit(1.0) - levenshtein(col("p1"), col("p2")).cast("double") /
+      greatest(length(col("p1")), length(col("p2"))).cast("double")
+    Dedup.candidatePairs(bandedFrom(shingled(spark, dir)))
+      .join(docs.select(col("doc_id").as("doc1"), col("pfx").as("p1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("pfx").as("p2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"),
+        round(sim, 4).as("prefix_sim"))
+  }
+
   /** C4-style text normalization — the canonical form keys dedup and
     * overlap checks run on: lowercase, strip non-alphanumerics to spaces,
     * collapse whitespace, trim, plus the md5 canonical key and the length
@@ -738,6 +757,35 @@ object TextQueries {
          |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
          |FROM nodes n JOIN reach r ON r.a = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "q67_edit_distance" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |pfx AS (SELECT doc_id, substr(lower(text), 1, 40) AS pfx FROM documents)
+         |SELECT p.doc1, p.doc2,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+         |  ROUND(1.0::DOUBLE - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+         |    / CAST(GREATEST(len(a.pfx), len(b.pfx)) AS DOUBLE), 4) AS prefix_sim
+         |FROM pairs p
+         |JOIN pfx a ON a.doc_id = p.doc1
+         |JOIN pfx b ON b.doc_id = p.doc2""".stripMargin,
 
     "q66_normalize" ->
       """WITH n AS (SELECT doc_id,
