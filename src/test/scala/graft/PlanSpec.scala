@@ -157,6 +157,22 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("q58: weighted sampling plans onto the custom TopKPerKey operator") {
+    val p = planString(graft.queries.TextQueries.q58WeightedSample(spark, sfDir))
+    assert(p.contains("TopKPerKey"), p.take(600))
+  }
+
+  test("q64: regression moment sums are map-side combined") {
+    val p = planString(graft.queries.DateTimeQueries.q64Regression(spark, sfDir))
+    assert(p.contains("partial_sum"), "moments not partially aggregated:\n" + p.take(800))
+  }
+
+  test("q68: per-type median/MAD frames broadcast; no shuffle join on events") {
+    val p = planString(graft.queries.DateTimeQueries.q68RobustOutliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "stat join degraded to a shuffle join")
+  }
+
   test("q52: resample + gap fill is one shuffle end to end") {
     val df = graft.queries.DateTimeQueries.q52GapFill(spark, sfDir)
     val p = planString(df)

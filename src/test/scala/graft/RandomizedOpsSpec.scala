@@ -56,4 +56,28 @@ class RandomizedOpsSpec extends SparkSpec {
       assert(got === expect, s"trial=$trial k=$k")
     }
   }
+
+  test("upsertRegionDim invariants hold across random batch sequences") {
+    import spark.implicits._
+    val pool = (1 to 10).map(i => (s"R$i", s"C${i % 3}"))
+    var dim = Seq.empty[(Int, String, String, Double, Double)]
+      .toDF("region_key", "region_name", "country_name", "lat", "long")
+    var seenKeys = Map.empty[(String, String), Int]
+    for (batchNo <- 1 to 5) {
+      val batch = rnd.shuffle(pool).take(1 + rnd.nextInt(pool.size))
+        .map { case (r, c) => (r, c, rnd.nextInt(90).toDouble, rnd.nextInt(180).toDouble) }
+        .toDF("region_name", "country_name", "lat", "long")
+      dim = graft.ops.Dims.upsertRegionDim(dim, batch)
+      val rows = dim.collect().map(r =>
+        (r.getAs[String]("region_name"), r.getAs[String]("country_name")) ->
+          r.getAs[Int]("region_key")).toMap
+      // exactly one row per natural key; keys dense 1..n
+      assert(rows.values.toSeq.sorted === (1 to rows.size).toSeq, s"batch=$batchNo")
+      // every previously assigned key is unchanged
+      seenKeys.foreach { case (nk, k) =>
+        assert(rows(nk) === k, s"batch=$batchNo renumbered $nk")
+      }
+      seenKeys = rows
+    }
+  }
 }
