@@ -12,6 +12,12 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                        last_ts: java.sql.Timestamp)
 
+/** Per-user funnel state/output for [[Streams.streamingFunnel]]: the
+  * reached stage (1=view, 2=click, 3=purchase) and stage timestamps in
+  * epoch micros (q62's convention). */
+case class FunnelRow(user_id: Long, stage: Int, view_us: Option[Long],
+                     click_us: Option[Long], purchase_us: Option[Long])
+
 /** Structured Streaming operators.
   *
   * The reference is daily batch (SURVEY.md §2.8 — `dags/ETL_covid19_spark.py:76`
@@ -168,6 +174,42 @@ object Streams {
             .foldLeft(prev) { (s, e) =>
               UserRunning(uid, s.n_events + 1, s.total_value + e.value,
                 if (e.ts.after(s.last_ts)) e.ts else s.last_ts)
+            }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming strict-order funnel — the stateful stream twin of the batch
+    * q62 semantics (earliest view, earliest click AFTER it, earliest
+    * purchase AFTER that): per-user state is just the three stage
+    * timestamps (micros), updated by folding each micro-batch in event-time
+    * order. Emits the user's current funnel row on every update (Update-
+    * style consumers keep the latest). Honest limitation, documented not
+    * hidden: events arriving out of order ACROSS batches can be missed for
+    * a stage already advanced past them — exact cross-batch reordering
+    * needs a watermark-bounded event buffer in state; within-batch
+    * disorder is handled by the sort. */
+  def streamingFunnel(events: Dataset[Event]): Dataset[FunnelRow] = {
+    implicit val enc = Encoders.product[FunnelRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelRow, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelRow]) =>
+          // stage 0 = no view yet (batch q62 simply omits such users)
+          val prev = state.getOption.getOrElse(FunnelRow(uid, 0, None, None, None))
+          val next = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foldLeft(prev) { (s, e) =>
+              val us = e.ts.getTime * 1000L
+              e.event_type match {
+                case "view" if s.view_us.isEmpty =>
+                  s.copy(stage = 1, view_us = Some(us))
+                case "click" if s.view_us.exists(_ < us) && s.click_us.isEmpty =>
+                  s.copy(stage = 2, click_us = Some(us))
+                case "purchase" if s.click_us.exists(_ < us) && s.purchase_us.isEmpty =>
+                  s.copy(stage = 3, purchase_us = Some(us))
+                case _ => s
+              }
             }
           state.update(next)
           Iterator.single(next)

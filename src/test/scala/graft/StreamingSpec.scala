@@ -131,6 +131,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L) === None && rows(2L) === None)
   }
 
+  test("streamingFunnel advances per-user stages across micro-batches like the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view -> click -> purchase split ACROSS batches; user 2: click
+    // before any view never advances; user 3: view only
+    val b1 = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 2, "click", 1.0),
+      Event(3, ts(6), 3, "view", 1.0),
+      Event(4, ts(10), 1, "click", 1.0))
+    val b2 = Seq(
+      Event(5, ts(20), 1, "purchase", 9.0),
+      Event(6, ts(21), 2, "view", 1.0),
+      Event(7, ts(3), 1, "purchase", 9.0)) // before the click: must NOT count
+    val ms = MemoryStream[Event]
+    val q = Streams.streamingFunnel(ms.toDS())
+      .writeStream.format("memory").queryName("sfun")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // keep each user's FURTHEST emission — stage is monotonic, so max(stage)
+    // is the latest state without relying on collect() row order
+    val last = spark.table("sfun").collect()
+      .map(r => (r.getAs[Long]("user_id"), r))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(_._2).maxBy(_.getAs[Int]("stage"))
+      }
+    assert(last(1L).getAs[Int]("stage") === 3)
+    assert(last(1L).getAs[Long]("purchase_us") === ts(20).getTime * 1000L)
+    assert(last(2L).getAs[Int]("stage") === 1) // view finally arrived; early click ignored
+    assert(last(3L).getAs[Int]("stage") === 1)
+    // driver-side reference: same strict-order fold over ALL events sorted
+    val all = (b1 ++ b2).sortBy(e => (e.ts.getTime, e.event_id))
+    def ref(uid: Long): Int = {
+      var v, c, p = Option.empty[Long]
+      all.filter(_.user_id == uid).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        e.event_type match {
+          case "view" if v.isEmpty => v = Some(us)
+          case "click" if v.exists(_ < us) && c.isEmpty => c = Some(us)
+          case "purchase" if c.exists(_ < us) && p.isEmpty => p = Some(us)
+          case _ =>
+        }
+      }
+      Seq(v, c, p).count(_.isDefined)
+    }
+    Seq(1L, 2L, 3L).foreach(u =>
+      assert(last(u).getAs[Int]("stage") === ref(u), s"user $u"))
+  }
+
   test("runningUserStats accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
