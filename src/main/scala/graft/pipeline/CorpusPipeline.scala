@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextAnalysis => TA}
+
+/** The training-data twin of [[CovidPipeline]]: the nightly corpus intake
+  * as ONE composed, idempotent, incremental pipeline — normalize → quality
+  * + language gates → exact dedup → split assignment → split-partitioned
+  * lake write, all built from the standalone operators the oracle suite
+  * checks one by one (q66, q15/q16, q18, q40). Catalyst fuses the narrow
+  * stages into a single pass over the scan; the only shuffles are the
+  * dedup hash-aggregate and its keeper semi-join.
+  *
+  * Incrementality is the production shape the one-shot queries leave open:
+  * day-2 batches must dedup against THE CORPUS SO FAR, not just within
+  * themselves. [[runIncremental]] anti-joins incoming canonical keys
+  * against the existing lake's keys — an equi-join on the md5 key, so at
+  * 100 TB it is one co-partitioned shuffle (or a broadcast when the daily
+  * increment's key set is small) — then runs the same curation on the
+  * survivors and APPENDS. A doc's split assignment is a pure function of
+  * doc_id (never rand()), so increments never reshuffle old assignments.
+  */
+object CorpusPipeline {
+
+  final case class Result(kept: DataFrame, stats: DataFrame)
+
+  private val stopwords = Seq("the", "a")
+
+  /** Canonical key: md5 of the C4-normalized text (q66's form) — the key
+    * exact dedup and incremental anti-joins agree on. */
+  def canonicalKey(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+
+  /** Curate one batch: score → gate → dedup within the batch → split.
+    * Pure DataFrame => DataFrame; no writes. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val toks = col("toks")
+    val n = TA.tokenCount(toks).cast("double")
+    val d = TA.distinctTokenCount(toks)
+    val s = TA.stopwordCount(toks, stopwords)
+    val scored = docs
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+        TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+        round(lit(0.3) * (d.cast("double") / n)
+          + lit(0.3) * (lit(1.0) - s.cast("double") / n)
+          + lit(0.4) * least(lit(1.0), n / lit(100.0)), 4).as("quality_score"),
+        canonicalKey(col("text")).as("canonical_key"))
+      .filter(col("quality_score") >= minQuality)
+    // exact dedup within the batch: keep the lowest doc_id per canonical key
+    val keepers = scored.groupBy(col("canonical_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("split", Sampling.split(col("doc_id")))
+  }
+
+  /** Full build: curate and (over)write the lake partitioned by split.
+    * Overwrite makes the full build idempotent — rerunning replaces the
+    * corpus rather than doubling it. */
+  def run(spark: SparkSession, docs: DataFrame, lakePath: String,
+          minQuality: Double = 0.5): Result = {
+    val kept = curate(docs, minQuality)
+    kept.write.mode("overwrite").partitionBy("split").parquet(lakePath)
+    Result(kept, stats(spark.read.parquet(lakePath)))
+  }
+
+  /** Incremental append: drop incoming docs whose canonical key already
+    * exists in the lake (cross-batch exact dedup), curate the survivors,
+    * append. Returns only the newly landed rows. */
+  def runIncremental(spark: SparkSession, incoming: DataFrame,
+                     lakePath: String, minQuality: Double = 0.5): Result = {
+    val existingKeys = spark.read.parquet(lakePath).select("canonical_key")
+    val fresh = incoming
+      .withColumn("canonical_key", canonicalKey(col("text")))
+      .join(existingKeys, Seq("canonical_key"), "left_anti")
+      .drop("canonical_key")
+    val kept = curate(fresh, minQuality)
+    kept.write.mode("append").partitionBy("split").parquet(lakePath)
+    Result(kept, stats(spark.read.parquet(lakePath)))
+  }
+
+  /** Per-(split, source) intake report over the lake — row counts and
+    * char volume, the numbers a nightly run alerts on. */
+  def stats(lake: DataFrame): DataFrame =
+    lake.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+}
