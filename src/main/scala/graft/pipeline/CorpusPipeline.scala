@@ -47,7 +47,10 @@ object CorpusPipeline {
         round(lit(0.3) * (d.cast("double") / n)
           + lit(0.3) * (lit(1.0) - s.cast("double") / n)
           + lit(0.4) * least(lit(1.0), n / lit(100.0)), 4).as("quality_score"),
-        canonicalKey(col("text")).as("canonical_key"))
+        canonicalKey(col("text")).as("canonical_key"),
+        // the MATERIALIZED near-dup signature: stored in the lake so later
+        // increments band-join against it instead of re-digesting the corpus
+        graft.functions.SimHash(Dedup.shingles3(col("toks")), 32).as("simhash"))
       .filter(col("quality_score") >= minQuality)
     // exact dedup within the batch: keep the lowest doc_id per canonical key
     val keepers = scored.groupBy(col("canonical_key"))
@@ -66,17 +69,33 @@ object CorpusPipeline {
     Result(kept, stats(spark.read.parquet(lakePath)))
   }
 
-  /** Incremental append: drop incoming docs whose canonical key already
-    * exists in the lake (cross-batch exact dedup), curate the survivors,
-    * append. Returns only the newly landed rows. */
+  /** Incremental append with BOTH dedup levels against the corpus so far:
+    * exact (anti-join on canonical keys) and near-dup (band-join the
+    * incoming simhashes against the lake's MATERIALIZED signatures —
+    * the 100 TB design: the corpus is never re-digested, increments only
+    * touch band-key candidates; Hamming ≤ `maxHamming` drops the doc).
+    * Survivors are curated and appended. Returns only newly landed rows. */
   def runIncremental(spark: SparkSession, incoming: DataFrame,
-                     lakePath: String, minQuality: Double = 0.5): Result = {
-    val existingKeys = spark.read.parquet(lakePath).select("canonical_key")
+                     lakePath: String, minQuality: Double = 0.5,
+                     maxHamming: Int = 3): Result = {
+    val lake = spark.read.parquet(lakePath)
     val fresh = incoming
       .withColumn("canonical_key", canonicalKey(col("text")))
-      .join(existingKeys, Seq("canonical_key"), "left_anti")
+      .join(lake.select("canonical_key"), Seq("canonical_key"), "left_anti")
       .drop("canonical_key")
-    val kept = curate(fresh, minQuality)
+    val curated = curate(fresh, minQuality)
+    // near-dup gate: candidates = incoming x lake pairs sharing a simhash
+    // band (pigeonhole-lossless at Hamming <= bands-1 = 3), verified exact
+    def banded(df: DataFrame, idAs: String, simAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), col("simhash").as(simAs))
+      .withColumn("bb", explode(Dedup.simhashBands(col(simAs), bits = 32, bands = 4)))
+      .select(col(idAs), col(simAs),
+        col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    val nearDupIds = banded(curated, "in_id", "in_sim")
+      .join(banded(lake, "lake_id", "lake_sim"), Seq("band", "band_key"))
+      .filter(Dedup.hammingDistance(col("in_sim"), col("lake_sim")) <= maxHamming)
+      .select(col("in_id").as("doc_id")).distinct()
+    val kept = curated.join(nearDupIds, Seq("doc_id"), "left_anti")
     kept.write.mode("append").partitionBy("split").parquet(lakePath)
     Result(kept, stats(spark.read.parquet(lakePath)))
   }

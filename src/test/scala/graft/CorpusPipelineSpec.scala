@@ -56,6 +56,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(lake).count() === n)
   }
 
+  test("incremental near-dup gate drops simhash-close docs vs the lake's signatures") {
+    import spark.implicits._
+    val lake = freshLake()
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearText = base.replace("tok7", "tokX") // one word changed
+    val farText = (1 to 30).map(i => s"other$i").mkString(" ")
+    val day1 = Seq((1L, base, "en", "src0", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusPipeline.run(spark, day1, lake)
+    val day2 = Seq(
+      (100L, nearText, "en", "src0", nearText.length.toLong),
+      (101L, farText, "en", "src0", farText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusPipeline.runIncremental(spark, day2, lake)
+      .kept.select("doc_id").as[Long].collect().toSet
+    // contract check against the published ops: a doc is dropped exactly
+    // when its simhash is within Hamming 3 of a lake signature
+    val sims = Seq((1L, base), (100L, nearText), (101L, farText))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.SimHash(
+        graft.ops.Dedup.shingles3(graft.ops.TextAnalysis.tokens(col("text"))), 32).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(kept.contains(100L) === (ham(sims(1L), sims(100L)) > 3))
+    assert(kept.contains(101L) === (ham(sims(1L), sims(101L)) > 3))
+    // a fully different doc must land (deterministic md5-derived simhash)
+    assert(kept.contains(101L))
+  }
+
   test("stats report aggregates per (split, source) with exact counts") {
     val lake = freshLake()
     val r = CorpusPipeline.run(spark, Tables.documents(spark, sfDir), lake)
