@@ -83,7 +83,9 @@ object SparkEntry {
     "q65_streaks" -> (DateTimeQueries.q65Streaks _),
     "q66_normalize" -> (TextQueries.q66Normalize _),
     "q67_edit_distance" -> (TextQueries.q67EditDistance _),
-    "q68_robust_outliers" -> (DateTimeQueries.q68RobustOutliers _)
+    "q68_robust_outliers" -> (DateTimeQueries.q68RobustOutliers _),
+    "q69_ship_priority" -> (CoreQueries.q69ShipPriority _),
+    "q70_local_supplier_volume" -> (CoreQueries.q70LocalSupplierVolume _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

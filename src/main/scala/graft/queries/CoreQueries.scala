@@ -34,6 +34,50 @@ object CoreQueries {
         count(lit(1)).as("count_order"),
         round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customer ×
+    * orders × lineitem, revenue per open order, global top-10. Catalyst
+    * owns the join order; the revenue sum is exact decimal and the
+    * TakeOrderedAndProject ranks on the DECIMAL (order ties broken by
+    * date and key), with the double cast only at output — ordering never
+    * depends on float rounding. Adapted to the fixture's schema
+    * (o_orderpriority stands in for o_shippriority). */
+  def q69ShipPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit("1996-03-15")) &&
+        col("l_shipdate") > to_timestamp(lit("1996-03-15")))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_orderpriority"))
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-table star — customer,
+    * orders, lineitem, supplier, nation, region — with the local-supplier
+    * constraint c_nationkey = s_nationkey. The dims (supplier/nation/
+    * region/customer at fixture scale) broadcast; Catalyst reorders the
+    * join graph; revenue is exact decimal per nation. */
+  def q70LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+
   /** P-series: predicate filter + positive projection. Both the filter and
     * the 4-column ReadSchema push down to the parquet scan (verified via
     * explain: PushedFilters + pruned ReadSchema). */

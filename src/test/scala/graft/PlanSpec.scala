@@ -157,6 +157,15 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("q70: 6-table star joins broadcast every dim, no cartesian, top-level agg partial") {
+    val df = graft.queries.CoreQueries.q70LocalSupplierVolume(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "star dims not broadcast:\n" + p.take(1200))
+    assert(p.contains("partial_sum"))
+  }
+
   test("q58: weighted sampling plans onto the custom TopKPerKey operator") {
     val p = planString(graft.queries.TextQueries.q58WeightedSample(spark, sfDir))
     assert(p.contains("TopKPerKey"), p.take(600))
