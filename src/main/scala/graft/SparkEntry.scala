@@ -85,7 +85,10 @@ object SparkEntry {
     "q67_edit_distance" -> (TextQueries.q67EditDistance _),
     "q68_robust_outliers" -> (DateTimeQueries.q68RobustOutliers _),
     "q69_ship_priority" -> (CoreQueries.q69ShipPriority _),
-    "q70_local_supplier_volume" -> (CoreQueries.q70LocalSupplierVolume _)
+    "q70_local_supplier_volume" -> (CoreQueries.q70LocalSupplierVolume _),
+    "q71_bpe_merges" -> (TextQueries.q71BpeMerges _),
+    "q72_equidepth_hist" -> (CoreQueries.q72EquidepthHist _),
+    "q73_exists_lateship" -> (CoreQueries.q73LateShipExists _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -281,4 +281,55 @@ object CoreQueries {
         round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50"),
         round(expr("percentile(l_quantity, 0.75D)"), 4).as("p75"),
         count(lit(1)).as("n_rows"))
+
+  /** q72: equi-depth (quantile) binning — the feature-engineering step that
+    * turns a skewed numeric column into balanced categorical bins. Exact
+    * per-language quartile edges (one tiny row per language) broadcast back
+    * onto the scan, so bin assignment is a narrow map: one aggregate
+    * shuffle for the edges, one for the (lang, bin) counts, no sort of the
+    * full table. Bin membership compares n_chars against the UNROUNDED
+    * interpolated edges on both engines (rounding only in the output
+    * projection), so boundary docs land identically. At 100 TB the same
+    * plan holds with approx_percentile edges — the broadcast-back shape is
+    * what matters. */
+  def q72EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val edges = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.25D)").as("q1"),
+      expr("percentile(n_chars, 0.5D)").as("q2"),
+      expr("percentile(n_chars, 0.75D)").as("q3"))
+    docs.join(broadcast(edges), Seq("lang"))
+      .select(col("lang"), col("n_chars"), col("q1"), col("q2"), col("q3"),
+        (lit(1) + (col("n_chars") > col("q1")).cast("int")
+                + (col("n_chars") > col("q2")).cast("int")
+                + (col("n_chars") > col("q3")).cast("int")).as("bin"))
+      .groupBy("lang", "bin", "q1", "q2", "q3")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo"),
+        max("n_chars").as("hi"))
+      .select(col("lang"), col("bin"), col("n_docs"), col("lo"), col("hi"),
+        round(col("q1"), 4).as("p25"),
+        round(col("q2"), 4).as("p50"),
+        round(col("q3"), 4).as("p75"))
+  }
+
+  /** q73: correlated-EXISTS shape (TPC-H Q4 family) — orders with at least
+    * one line item shipped more than 90 days after the order date, counted
+    * per priority. The EXISTS decorrelates to a LEFT SEMI join on the order
+    * key with the date comparison as an extra join predicate: each order
+    * emits at most once no matter how many late lines it has (no fan-out,
+    * no distinct), and the semi join shuffles only (orderkey, two dates) —
+    * at 100 TB the payload columns never move. */
+  def q73LateShipExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("cutoff"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("cutoff"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
 }

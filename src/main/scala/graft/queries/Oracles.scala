@@ -170,6 +170,34 @@ object Oracles {
         |  CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax',
-        |  CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0""".stripMargin
+        |  CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_quantity >= 49.0""".stripMargin,
+
+    // bin membership compares against UNROUNDED interpolated edges, as the
+    // Spark side does; rounding only in the output projection
+    "q72_equidepth_hist" ->
+      """WITH e AS (SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q1,
+        |  quantile_cont(n_chars, 0.5) AS q2,
+        |  quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY lang),
+        |b AS (SELECT d.lang, d.n_chars, e.q1, e.q2, e.q3,
+        |  1 + CAST(d.n_chars > e.q1 AS INT)
+        |    + CAST(d.n_chars > e.q2 AS INT)
+        |    + CAST(d.n_chars > e.q3 AS INT) AS bin
+        |  FROM documents d JOIN e USING (lang))
+        |SELECT lang, CAST(bin AS INTEGER) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |  CAST(MAX(n_chars) AS BIGINT) AS hi,
+        |  ROUND(q1, 4) AS p25, ROUND(q2, 4) AS p50, ROUND(q3, 4) AS p75
+        |FROM b GROUP BY lang, bin, q1, q2, q3""".stripMargin,
+
+    "q73_exists_lateship" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -524,6 +524,71 @@ object TextQueries {
     graft.ops.Components.connectedComponents(
       q44SimhashNearDup(spark, dir).select("doc1", "doc2"))
 
+  /** Number of BPE merge steps q71 trains (oracle SQL is generated for the
+    * same constant, so the two sides can't drift). */
+  private val bpeSteps = 8
+
+  /** q71: BPE tokenizer-training merges — the vocabulary-building loop of a
+    * byte-pair-encoding tokenizer, run as `bpeSteps` iterations of "count
+    * adjacent symbol pairs, merge the globally most frequent one".
+    *
+    * Scale design: ONE corpus pass builds the (word, count) vocabulary
+    * (Heaps' law keeps distinct words orders of magnitude smaller than the
+    * corpus — this is why production BPE trainers operate on a word-count
+    * table, not raw text); every iteration after that touches only the
+    * persisted vocab. The per-step argmax is `orderBy.limit(1)` →
+    * TakeOrderedAndProject (per-partition top-1 + tiny driver merge), and
+    * the one collected row per step is the merge-table entry itself — the
+    * driver loop materializes exactly the artifact BPE training exists to
+    * produce, like q39's Lloyd step collects its centroid table.
+    *
+    * Merge application is flat-string `replace` over space-separated,
+    * space-padded symbol sequences: symbols never contain spaces, so
+    * " x y " → " xy " is unambiguous at symbol boundaries, and both Spark
+    * (UTF8String.replace) and the DuckDB oracle scan left-to-right without
+    * re-scanning the replacement — identical procedure on both sides.
+    * (Runs of 3+ identical symbols merge alternately rather than greedily
+    * re-pairing — a documented divergence from textbook BPE shared by both
+    * engines, so the oracle still checks value-exactly.)
+    * Ties on pair count break on (count DESC, pair ASC) — a total order,
+    * so the trained merge table is engine- and partition-order-independent. */
+  def q71BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("w"))
+      .select(col("w"),
+        concat(lit(" "),
+          trim(regexp_replace(col("token"), "(.)", "$1 ")),
+          lit(" ")).as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = vocab
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= bpeSteps && !exhausted) {
+        val pairs = graft.functions.WordShingles(split(trim(col("seq")), " "), 2)
+        val top = cur
+          .select(col("w"), explode(pairs).as("pair"))
+          .groupBy("pair").agg(sum("w").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val n = top(0).getLong(1)
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((step, a, b, a + b, n))
+          cur = cur.select(col("w"),
+            replace(col("seq"), lit(" " + pair + " "), lit(" " + a + b + " ")).as("seq"))
+          step += 1
+        }
+      }
+      merges.result().toDF("step", "sym_a", "sym_b", "merged", "pair_count")
+    } finally vocab.unpersist()
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -916,6 +981,8 @@ object TextQueries {
          |WHERE d.df BETWEEN 2 AND 20
          |GROUP BY p.gram, d.df""".stripMargin,
 
+    "q71_bpe_merges" -> bpeMergesSql,
+
     "q44_simhash_neardup" ->
       s"""WITH sim AS ($shingleSimhash32Sql),
          |banded AS (SELECT doc_id, u.b AS band,
@@ -931,6 +998,39 @@ object TextQueries {
          |JOIN sim s2 ON s2.doc_id = p.doc2
          |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""".stripMargin
   )
+
+  /** Oracle twin of q71: the same `bpeSteps` merge iterations unrolled as a
+    * CTE chain — per step, weighted pair counts (pK), the (count DESC, pair
+    * ASC) argmax (tK), and the merged sequences (sK); the merge table is the
+    * union of the tK rows. Same padded-space replace procedure as the Spark
+    * side, so the two engines run the identical training loop. */
+  private lazy val bpeMergesSql: String = {
+    val head =
+      s"""WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY 1),
+         |s0 AS (SELECT w,
+         |  ' ' || trim(regexp_replace(token, '(.)', '\\1 ', 'g')) || ' ' AS seq
+         |  FROM v)""".stripMargin
+    val steps = (1 to bpeSteps).map { k =>
+      s"""p$k AS (SELECT pair, CAST(SUM(w) AS BIGINT) AS n FROM (
+         |  SELECT w, unnest(list_transform(generate_series(1, len(sy) - 1),
+         |    i -> sy[i] || ' ' || sy[i + 1])) AS pair
+         |  FROM (SELECT w, string_split(trim(seq), ' ') AS sy FROM s${k - 1})
+         |  WHERE len(sy) >= 2) GROUP BY 1),
+         |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair ASC LIMIT 1),
+         |s$k AS (SELECT s.w,
+         |  replace(s.seq, ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ') AS seq
+         |  FROM s${k - 1} s CROSS JOIN t$k t)""".stripMargin
+    }
+    val out = (1 to bpeSteps).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS step,
+         |  string_split(pair, ' ')[1] AS sym_a,
+         |  string_split(pair, ' ')[2] AS sym_b,
+         |  replace(pair, ' ', '') AS merged,
+         |  n AS pair_count FROM t$k""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + "\n" + out.mkString("\nUNION ALL\n")
+  }
 
   private def simhashSqlBits(nBits: Int): String =
     s"""WITH t AS (SELECT doc_id,

@@ -90,6 +90,41 @@ class OpsEdgeSpec extends SparkSpec {
     assert(dim.head.getAs[String]("region_name") === "R1") // natural-key order
   }
 
+  test("q71 BPE merges: hand-computed merge table on a controlled vocabulary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_bpe").toString
+    // vocab: fast(w=3), fat(w=1) -> greedy merges resolve exactly:
+    //   step1 f+a (3+1=4), step2 fa+s vs s+t tie at 3 -> "fa s" wins on
+    //   pair ASC, step3 fas+t (3), step4 fa+t (1), then no pairs remain
+    Seq((0L, "fast fast fast fat", "en", "src0", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q71BpeMerges(spark, dir)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "f", "a", "fa", 4L),
+      (2, "fa", "s", "fas", 3L),
+      (3, "fas", "t", "fast", 3L),
+      (4, "fa", "t", "fat", 1L))) // exhausts after 4 of the 8 budgeted steps
+  }
+
+  test("q71 BPE merges: counts non-increasing and merged = sym_a + sym_b on the fixture corpus") {
+    import spark.implicits._
+    val got = graft.queries.TextQueries.q71BpeMerges(spark, sfDir)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.size === 8)
+    assert(got.map(_._1) === (1 to 8))
+    got.foreach { case (_, a, b, m, _) => assert(m === a + b) }
+    // a merged pair's count can never exceed an earlier step's top count
+    val counts = got.map(_._5)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"pair counts not non-increasing: $counts")
+    // merge table is a set: no pair trained twice
+    assert(got.map(t => (t._2, t._3)).distinct.size === got.size)
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)

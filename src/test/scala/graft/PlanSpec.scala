@@ -192,4 +192,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges key exchanges:\n" + p.take(1200))
     assert(!p.contains("Exchange rangepartitioning"), p.take(800))
   }
+
+  test("q72: quantile edges broadcast back onto the scan; no sort of the full table") {
+    val df = CoreQueries.q72EquidepthHist(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "edge join degraded to a shuffle join")
+    // bin assignment must not globally sort documents (equi-depth via
+    // edge comparison, not ntile-over-ordered-window)
+    assert(!p.contains("Window"), "binning fell back to a sorted window:\n" + p.take(800))
+  }
+
+  test("q73: correlated EXISTS plans as a semi join, no fan-out aggregate") {
+    val df = CoreQueries.q73LateShipExists(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
 }
