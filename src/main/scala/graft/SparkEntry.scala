@@ -88,7 +88,9 @@ object SparkEntry {
     "q70_local_supplier_volume" -> (CoreQueries.q70LocalSupplierVolume _),
     "q71_bpe_merges" -> (TextQueries.q71BpeMerges _),
     "q72_equidepth_hist" -> (CoreQueries.q72EquidepthHist _),
-    "q73_exists_lateship" -> (CoreQueries.q73LateShipExists _)
+    "q73_exists_lateship" -> (CoreQueries.q73LateShipExists _),
+    "q74_char_entropy" -> (TextQueries.q74CharEntropy _),
+    "q75_expectations" -> (CoreQueries.q75Expectations _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

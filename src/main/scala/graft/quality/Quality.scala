@@ -46,4 +46,75 @@ object Quality {
           min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** A row-level contract: a row violates when `predicate` is not TRUE
+    * (SQL CHECK inverts this — UNKNOWN passes a CHECK — so a not-null rule
+    * must say `col.isNotNull` explicitly; counting not-TRUE keeps nullable
+    * range rules like `price > 0` strict, which is what an intake gate
+    * wants). */
+  final case class RowRule(name: String, predicate: Column)
+
+  /** Key-uniqueness contract: violations = surplus rows beyond the first
+    * per non-null key group (rows with any NULL key column are exempt —
+    * they can't collide in SQL semantics either). */
+  final case class UniqueRule(name: String, keys: Seq[String])
+
+  /** Referential contract: child rows (with fully non-null keys — NULL FKs
+    * are legal) that match no parent row. */
+  final case class FkRule(name: String, keys: Seq[String],
+                          parent: DataFrame, parentKeys: Seq[String])
+
+  /** Declarative data-contract checks (the dbt-test / expectations family):
+    * evaluates every rule and returns one row per rule —
+    * `(rule, n_violations, n_checked)` — instead of throwing, so a pipeline
+    * can gate on the result, write it to an audit table, or alert.
+    *
+    * Plan shape: ALL row rules fuse into ONE aggregate pass over `df`
+    * (conditional sums sharing the scan), expanded to rows by a narrow
+    * `inline` over the single agg row. Each unique rule is one hash
+    * aggregate on its key (map-side combined); each FK rule is one
+    * left-anti join carrying only the key columns — at 100 TB the payload
+    * never moves, and Catalyst/AQE picks broadcast vs shuffle by parent
+    * size. Exact integer counts only: the audit row is engine-portable
+    * (q75's DuckDB oracle hash-matches it). */
+  def expectations(df: DataFrame, rowRules: Seq[RowRule],
+                   uniqueRules: Seq[UniqueRule] = Nil,
+                   fkRules: Seq[FkRule] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty || fkRules.nonEmpty,
+      "expectations: at least one rule required")
+    val rowPart: Seq[DataFrame] =
+      if (rowRules.isEmpty) Nil
+      else {
+        val aggs = rowRules.map(r =>
+          coalesce(sum(when(r.predicate, 0L).otherwise(1L)), lit(0L))
+            .as(s"__v_${r.name}")) :+ count(lit(1)).as("__n")
+        Seq(df.agg(aggs.head, aggs.tail: _*)
+          .select(inline(array(rowRules.map(r => struct(
+            lit(r.name).as("rule"),
+            col(s"__v_${r.name}").as("n_violations"),
+            col("__n").as("n_checked"))): _*))))
+      }
+    val uniquePart = uniqueRules.map { u =>
+      df.filter(u.keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(u.keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(
+          coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"),
+          coalesce(sum(col("__n")), lit(0L)).as("n_checked"))
+        .select(lit(u.name).as("rule"), col("n_violations"), col("n_checked"))
+    }
+    val fkPart = fkRules.map { f =>
+      val child = df
+        .filter(f.keys.map(col(_).isNotNull).reduce(_ && _))
+        .select(f.keys.map(col): _*).alias("__c")
+      val parent = f.parent.select(f.parentKeys.map(col): _*).alias("__p")
+      val cond = f.keys.zip(f.parentKeys)
+        .map { case (c, p) => col(s"__c.$c") === col(s"__p.$p") }
+        .reduce(_ && _)
+      child.join(parent, cond, "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(child.agg(count(lit(1)).as("n_checked")))
+        .select(lit(f.name).as("rule"), col("n_violations"), col("n_checked"))
+    }
+    (rowPart ++ uniquePart ++ fkPart).reduce(_ unionByName _)
+  }
 }

@@ -332,4 +332,27 @@ object CoreQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** q75: declarative data-contract audit over the orders intake
+    * ([[graft.quality.Quality.expectations]]) — not-null, domain, range,
+    * key-uniqueness, and referential rules evaluated to one
+    * (rule, n_violations, n_checked) row each. The range rule is
+    * deliberately strict enough to fire on the fixture (4,538 violations),
+    * so the audit path is exercised with real nonzero counts, not a
+    * vacuous all-zeros row set. All row rules share ONE aggregate pass;
+    * the FK rule carries only the key column through its anti join. */
+  def q75Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Quality
+    Quality.expectations(
+      Tables.orders(spark, dir),
+      rowRules = Seq(
+        Quality.RowRule("not_null_o_custkey", col("o_custkey").isNotNull),
+        Quality.RowRule("domain_o_orderstatus",
+          col("o_orderstatus").isin("F", "O", "P")),
+        Quality.RowRule("range_o_totalprice",
+          col("o_totalprice") > 0.0 && col("o_totalprice") <= 350000.0)),
+      uniqueRules = Seq(Quality.UniqueRule("unique_o_orderkey", Seq("o_orderkey"))),
+      fkRules = Seq(Quality.FkRule("fk_orders_customer", Seq("o_custkey"),
+        Tables.customer(spark, dir), Seq("c_custkey"))))
+  }
 }

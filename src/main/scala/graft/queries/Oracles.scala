@@ -192,6 +192,36 @@ object Oracles {
         |  ROUND(q1, 4) AS p25, ROUND(q2, 4) AS p50, ROUND(q3, 4) AS p75
         |FROM b GROUP BY lang, bin, q1, q2, q3""".stripMargin,
 
+    // violation = predicate not TRUE (NULL violates); FK/unique exempt
+    // NULL keys, mirroring Quality.expectations' documented semantics
+    "q75_expectations" ->
+      """SELECT 'not_null_o_custkey' AS rule,
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_checked
+        |FROM orders
+        |UNION ALL
+        |SELECT 'domain_o_orderstatus',
+        |  CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'range_o_totalprice',
+        |  CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice <= 350000 THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique_o_orderkey',
+        |  CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(n), 0) AS BIGINT)
+        |FROM (SELECT COUNT(*) AS n FROM orders
+        |      WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey = o_custkey) THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_custkey IS NOT NULL""".stripMargin,
+
     "q73_exists_lateship" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders o

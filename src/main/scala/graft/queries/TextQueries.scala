@@ -589,6 +589,38 @@ object TextQueries {
     } finally vocab.unpersist()
   }
 
+  /** q74: character-entropy quality signal — Shannon entropy (nats) of each
+    * document's character distribution, the "is this real text or noise"
+    * filter that length/stopword scores miss (random bytes score high,
+    * repeated filler scores near zero).
+    *
+    * Determinism: per-char counts are exact integers; the entropy fold runs
+    * over the counts SORTED by character (sort_array fixes collect_list's
+    * partition order), so the double summation order is identical on every
+    * run and engine — the same order-fixed-fold convention as q64.
+    *
+    * Scale: explode + map-side-combined (doc_id, char) counts collapse to
+    * at most |alphabet| rows per doc before the shuffle; the per-doc
+    * histogram list is alphabet-bounded (tiny), never the text itself. */
+  def q74CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), ""), c => length(c) > 0)).as("c"))
+    ch.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        collect_list(struct(col("c"), col("n"))).as("h"),
+        sum("n").as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"))
+      .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
+        round(aggregate(
+          transform(sort_array(col("h")), s => s.getField("n")),
+          lit(0.0),
+          (acc, n) => {
+            val p = n.cast("double") / col("n_chars_total").cast("double")
+            acc - p * log(p)
+          }), 4).as("entropy"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -982,6 +1014,25 @@ object TextQueries {
          |GROUP BY p.gram, d.df""".stripMargin,
 
     "q71_bpe_merges" -> bpeMergesSql,
+
+    // entropy fold runs over counts ORDERED BY character on both sides —
+    // identical double summation order, so ROUND(.,4) hash-matches
+    "q74_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(text)),
+        |    i -> substr(text, i, 1))) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ch GROUP BY 1, 2),
+        |h AS (SELECT doc_id, list(n ORDER BY c ASC) AS ns,
+        |  CAST(SUM(n) AS BIGINT) AS n_chars_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_chars_total, n_distinct_chars,
+        |  ROUND(list_reduce(list_prepend(0.0::DOUBLE, list_transform(ns,
+        |    n -> -(CAST(n AS DOUBLE) / CAST(n_chars_total AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(n_chars_total AS DOUBLE)))),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM h""".stripMargin,
 
     "q44_simhash_neardup" ->
       s"""WITH sim AS ($shingleSimhash32Sql),

@@ -125,6 +125,49 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got.map(t => (t._2, t._3)).distinct.size === got.size)
   }
 
+  test("expectations: seeded violations are counted exactly; NULL keys exempt from unique/FK") {
+    import spark.implicits._
+    val child = Seq(
+      (Some(1L), Some("ok"), 10.0),   // clean
+      (Some(1L), Some("ok"), 20.0),   // dup key 1
+      (Some(1L), Some("ok"), 30.0),   // dup key 1 again
+      (Some(9L), Some("ok"), 40.0),   // orphan FK
+      (None, Some("bad"), -5.0),      // null key + bad domain + bad range
+      (None, None, 50.0))             // null key + null domain (not TRUE -> violates)
+      .toDF("k", "status", "price")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = Quality.expectations(child,
+      rowRules = Seq(
+        Quality.RowRule("not_null_k", col("k").isNotNull),
+        Quality.RowRule("domain_status", col("status").isin("ok")),
+        Quality.RowRule("range_price", col("price") > 0.0)),
+      uniqueRules = Seq(Quality.UniqueRule("unique_k", Seq("k"))),
+      fkRules = Seq(Quality.FkRule("fk_parent", Seq("k"), parent, Seq("pk"))))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("not_null_k") === ((2L, 6L)))
+    assert(got("domain_status") === ((2L, 6L))) // NULL status is not TRUE -> violates
+    assert(got("range_price") === ((1L, 6L)))
+    assert(got("unique_k") === ((2L, 4L)))      // 3 rows of key 1 -> 2 surplus; NULLs exempt
+    assert(got("fk_parent") === ((1L, 4L)))     // only the orphan; NULL FKs legal
+  }
+
+  test("expectations: empty input yields zero violations, zero checked — not NULLs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Option[Long], Double)].toDF("k", "price")
+    val parent = Seq(1L).toDF("pk")
+    val got = Quality.expectations(empty,
+      rowRules = Seq(Quality.RowRule("range_price", col("price") > 0.0)),
+      uniqueRules = Seq(Quality.UniqueRule("unique_k", Seq("k"))),
+      fkRules = Seq(Quality.FkRule("fk_parent", Seq("k"), parent, Seq("pk"))))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "range_price" -> ((0L, 0L)),
+      "unique_k" -> ((0L, 0L)),
+      "fk_parent" -> ((0L, 0L))))
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)
