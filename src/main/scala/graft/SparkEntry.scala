@@ -90,7 +90,10 @@ object SparkEntry {
     "q72_equidepth_hist" -> (CoreQueries.q72EquidepthHist _),
     "q73_exists_lateship" -> (CoreQueries.q73LateShipExists _),
     "q74_char_entropy" -> (TextQueries.q74CharEntropy _),
-    "q75_expectations" -> (CoreQueries.q75Expectations _)
+    "q75_expectations" -> (CoreQueries.q75Expectations _),
+    "q76_full_outer" -> (CoreQueries.q76FullOuter _),
+    "q77_token_ids" -> (TextQueries.q77TokenIds _),
+    "q78_chunking" -> (TextQueries.q78Chunking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

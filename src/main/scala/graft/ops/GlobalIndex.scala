@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global dense ranking without a single-partition window.
+  *
+  * `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+  * row through ONE WindowExec partition — fine for 20 rows (q34 uses a
+  * broadcast self-count instead), fatal for a 100 M-row vocabulary. This
+  * operator assigns the identical global rank with bounded parallelism,
+  * the DataFrame twin of RDD zipWithIndex:
+  *
+  *   1. range-repartition by the sort key (Spark samples split points, so
+  *      every partition holds a contiguous key range),
+  *   2. rank locally per partition (the window partitions by
+  *      spark_partition_id — many small groups, never one global one),
+  *   3. add each partition's starting offset (cumulative partition counts —
+  *      a numPartitions-row frame, collected and broadcast as literals).
+  *
+  * The sampled range boundaries are not deterministic, but the OUTPUT is:
+  * rank = offset + local position depends only on the total sort order,
+  * not on where the partition cuts landed. Ties must be broken by the
+  * caller's sort columns forming a total order (enforce by including a
+  * unique column last).
+  */
+object GlobalIndex {
+
+  /** Appends `rankCol` = 1-based global rank of `sortCols` order. */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                     numPartitions: Int = 0): DataFrame = {
+    // localCheckpoint pins the sampled range boundaries: the offset
+    // collection below and the caller's later execution MUST see the same
+    // partitioning (RangePartitioner resamples per execution otherwise)
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+       else df.repartitionByRange(sortCols: _*))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+    // one pid-count row per partition: tiny by construction
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val off = (r.getInt(0), acc); acc += r.getLong(1); off
+    }.toSeq
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(e)
+    }
+    val local = row_number()
+      .over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*))
+    parted
+      .withColumn(rankCol, (offsetExpr + local).cast("long"))
+      .drop("__pid")
+  }
+}

@@ -333,6 +333,24 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** q76: FULL OUTER join — daily order activity vs daily shipping
+    * activity on calendars that don't fully overlap, so unmatched rows
+    * survive from BOTH sides (the join type q08/q09's semi/anti family
+    * doesn't cover). Both sides pre-aggregate to date grain BEFORE the
+    * join: the outer join sees two tiny (date, count) frames, never the
+    * fact tables — at 100 TB the full-outer exchange is on thousands of
+    * rows, not billions. USING-column semantics coalesce the key. */
+  def q76FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_shipped"))
+    o.join(l, Seq("d"), "full_outer")
+      .select(col("d"), col("n_orders"), col("n_shipped"))
+  }
+
   /** q75: declarative data-contract audit over the orders intake
     * ([[graft.quality.Quality.expectations]]) — not-null, domain, range,
     * key-uniqueness, and referential rules evaluated to one

@@ -192,6 +192,14 @@ object Oracles {
         |  ROUND(q1, 4) AS p25, ROUND(q2, 4) AS p50, ROUND(q3, 4) AS p75
         |FROM b GROUP BY lang, bin, q1, q2, q3""".stripMargin,
 
+    "q76_full_outer" ->
+      """WITH o AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shipped FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.d, l.d) AS d, o.n_orders, l.n_shipped
+        |FROM o FULL OUTER JOIN l ON o.d = l.d""".stripMargin,
+
     // violation = predicate not TRUE (NULL violates); FK/unique exempt
     // NULL keys, mirroring Quality.expectations' documented semantics
     "q75_expectations" ->

@@ -621,6 +621,58 @@ object TextQueries {
           }), 4).as("entropy"))
   }
 
+  /** q77: vocabulary encoding — build a token→id dictionary (id = global
+    * frequency rank, ties broken by token) and re-encode every document as
+    * its id sequence, the "tokenize to ids" step of dataset preparation.
+    *
+    * The dictionary rank comes from [[graft.ops.GlobalIndex.withGlobalRank]]
+    * — range-partition + per-partition window + broadcast offsets — NOT a
+    * partitionless ROW_NUMBER window, so a 100 M-token vocabulary ranks
+    * with full parallelism (q34's broadcast self-count trick is for top-20;
+    * this is the full-dictionary path). Re-encoding is posexplode → join on
+    * the token (dictionary broadcast or shuffled by Catalyst's sizing) →
+    * re-assemble ordered by position (sort_array fixes collect_list order).
+    * Ids emit as a comma-joined string: arrays break the driver's
+    * hash-compare (the q26 lesson) and a string round-trips exactly. */
+  def q77TokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+      .withColumnRenamed("col", "token")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val ids = graft.ops.GlobalIndex.withGlobalRank(
+      vocab, Seq(col("n").desc, col("token").asc), "token_id")
+    toks.join(ids.select("token", "token_id"), Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("token_id")))).as("s"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",",
+          transform(col("s"), x => x.getField("token_id").cast("string")))
+          .as("ids"))
+  }
+
+  /** q78: fixed-length sequence chunking — split each document's token
+    * stream into seq_len-32 training chunks (last chunk ragged). Fully
+    * narrow: per-row sequence + slice + explode, ZERO shuffles at any
+    * corpus size — chunking is embarrassingly parallel and the plan says
+    * so. Cross-document packing to a token budget is q43's cumulative-sum
+    * pattern; this is the per-document step that feeds it. */
+  def q78Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val L = 32
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) + (L - 1)) / lit(L)).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * L + 1, lit(L)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1014,6 +1066,34 @@ object TextQueries {
          |GROUP BY p.gram, d.df""".stripMargin,
 
     "q71_bpe_merges" -> bpeMergesSql,
+
+    // the oracle ranks with a plain global ROW_NUMBER (DuckDB is single
+    // node — that's fine THERE); hash-equality proves GlobalIndex's
+    // distributed range-partition rank assigns the identical ids
+    "q77_token_ids" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |  i -> struct_pack(pos := i, token := toks[i]))) AS pt FROM t),
+         |q AS (SELECT doc_id, pt.pos AS pos, pt.token AS token FROM p),
+         |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+         |ids AS (SELECT token,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id
+         |  FROM v)
+         |SELECT q.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  string_agg(CAST(ids.token_id AS VARCHAR), ',' ORDER BY q.pos) AS ids
+         |FROM q JOIN ids USING (token)
+         |GROUP BY q.doc_id""".stripMargin,
+
+    "q78_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0,
+         |    CAST(FLOOR((len(toks) + 31) / 32.0) AS INT) - 1)) AS chunk_idx
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ') AS chunk_text
+         |FROM c""".stripMargin,
 
     // entropy fold runs over counts ORDERED BY character on both sides —
     // identical double summation order, so ROUND(.,4) hash-matches

@@ -168,6 +168,27 @@ class OpsEdgeSpec extends SparkSpec {
       "fk_parent" -> ((0L, 0L))))
   }
 
+  test("GlobalIndex.withGlobalRank matches a driver-side global sort exactly") {
+    import spark.implicits._
+    // keys deliberately collide so the tie-break column matters
+    val df = (1 to 997).map(i => (i % 13, i)).toDF("k", "u")
+    val ranked = graft.ops.GlobalIndex
+      .withGlobalRank(df, Seq(col("k").desc, col("u").asc), "r", numPartitions = 7)
+      .as[(Int, Int, Long)].collect()
+    val expect = ranked.map(t => (t._1, t._2)).toSeq
+      .sortBy { case (k, u) => (-k, u) }.zipWithIndex
+      .map { case ((k, u), i) => ((k, u), i + 1L) }.toMap
+    ranked.foreach { case (k, u, r) => assert(r === expect((k, u)), s"key ($k,$u)") }
+    assert(ranked.map(_._3).sorted.toSeq === (1L to 997L))
+  }
+
+  test("GlobalIndex.withGlobalRank on empty input returns empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int)].toDF("k", "u")
+    assert(graft.ops.GlobalIndex
+      .withGlobalRank(empty, Seq(col("k").asc), "r").count() === 0)
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)

@@ -209,4 +209,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join:\n" + p.take(800))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
   }
+
+  test("q77: vocabulary ranking never runs a partitionless (single-partition) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.TextQueries.q77TokenIds(spark, sfDir)
+    df.collect() // materialize the final adaptive plan
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the per-partition rank window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global-rank window lost its partition spec (single-partition funnel)"))
+  }
+
+  test("q78: per-document chunking is fully narrow — zero shuffles") {
+    val df = graft.queries.TextQueries.q78Chunking(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("Exchange"), "chunking introduced a shuffle:\n" + p.take(800))
+  }
 }
