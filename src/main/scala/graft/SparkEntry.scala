@@ -93,7 +93,9 @@ object SparkEntry {
     "q75_expectations" -> (CoreQueries.q75Expectations _),
     "q76_full_outer" -> (CoreQueries.q76FullOuter _),
     "q77_token_ids" -> (TextQueries.q77TokenIds _),
-    "q78_chunking" -> (TextQueries.q78Chunking _)
+    "q78_chunking" -> (TextQueries.q78Chunking _),
+    "q79_embed_dim_stats" -> (SimilarityQueries.q79EmbedDimStats _),
+    "q80_window_distribution" -> (CoreQueries.q80WindowDistribution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -333,6 +333,28 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** q80: distribution window functions — ntile / percent_rank / cume_dist
+    * / nth_value / first-last over an explicit unbounded frame, completing
+    * the window surface beyond q36's lag/lead/rank family. The ordering
+    * (totalprice, orderkey) is a total order, so every rank-derived value
+    * is engine-deterministic; all six functions share one partitioned sort
+    * (a single window exchange, never a global one). */
+  def q80WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"))
+  }
+
   /** q76: FULL OUTER join — daily order activity vs daily shipping
     * activity on calendars that don't fully overlap, so unmatched rows
     * survive from BOTH sides (the join type q08/q09's semi/anti family

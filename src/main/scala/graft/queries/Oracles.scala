@@ -192,6 +192,23 @@ object Oracles {
         |  ROUND(q1, 4) AS p25, ROUND(q2, 4) AS p50, ROUND(q3, 4) AS p75
         |FROM b GROUP BY lang, bin, q1, q2, q3""".stripMargin,
 
+    "q80_window_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER wf AS last_key
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW
+        |  w AS (PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_orderstatus
+        |         ORDER BY o_totalprice ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
     "q76_full_outer" ->
       """WITH o AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),

@@ -224,7 +224,58 @@ object SimilarityQueries {
       round(aggregate(diff, lit(0.0d), (acc, d) => acc + d), 8).as("sse"))
   }
 
+  /** q79: per-dimension embedding statistics — the feature-normalization
+    * audit (mean/std/min/max per dimension) that decides whether a corpus'
+    * embeddings need centering or whitening before ANN indexing.
+    *
+    * Determinism: moments accumulate over values QUANTIZED to 1e-6
+    * resolution as exact integers (decimal-accumulated, so no long
+    * overflow at any corpus size — q39's quantized-sum convention);
+    * floating point enters only in the final per-dimension scalars, in a
+    * fixed expression shape the oracle mirrors. One posexplode + one
+    * map-side-combined shuffle of (dim, partial sums) — 64 output rows
+    * regardless of corpus size. */
+  def q79EmbedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = floor(col("v").cast("double") * 1e6).cast("long")
+    val nd = col("n").cast("double")
+    val meanRaw = col("s1").cast("double") / 1e6 / nd
+    val ex2 = col("s2").cast("double") / 1e12 / nd
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")))
+      .withColumnRenamed("col", "v")
+      .select(col("pos").as("dim"), col("v"), q.as("q"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s1"),
+        sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)")).as("s2"),
+        min(col("v").cast("double")).as("v_min"),
+        max(col("v").cast("double")).as("v_max"))
+      .select(col("dim"), col("n"),
+        round(meanRaw, 6).as("mean"),
+        round(sqrt(greatest(lit(0.0), ex2 - meanRaw * meanRaw)), 6).as("std"),
+        col("v_min"), col("v_max"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // same quantized-integer moments, same final-scalar expression shape
+    "q79_embed_dim_stats" ->
+      """WITH p AS (SELECT unnest(list_transform(generate_series(1, len(embedding)),
+        |  i -> struct_pack(dim := i - 1, v := embedding[i]))) AS s FROM embeddings),
+        |e AS (SELECT CAST(s.dim AS INT) AS dim, CAST(s.v AS DOUBLE) AS v,
+        |  CAST(FLOOR(CAST(s.v AS DOUBLE) * 1e6) AS BIGINT) AS q FROM p),
+        |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(q) AS s1, SUM(q * q) AS s2,
+        |  MIN(v) AS v_min, MAX(v) AS v_max FROM e GROUP BY dim)
+        |SELECT dim, n,
+        |  ROUND(CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS mean,
+        |  ROUND(SQRT(GREATEST(0.0,
+        |    CAST(s2 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))), 6) AS std,
+        |  v_min, v_max
+        |FROM a""".stripMargin,
+
     "q60_quantize_audit" ->
       """WITH m AS (SELECT vec_id, embedding,
         |  CAST(list_reduce(list_prepend(0.0::DOUBLE,
