@@ -95,7 +95,8 @@ object SparkEntry {
     "q77_token_ids" -> (TextQueries.q77TokenIds _),
     "q78_chunking" -> (TextQueries.q78Chunking _),
     "q79_embed_dim_stats" -> (SimilarityQueries.q79EmbedDimStats _),
-    "q80_window_distribution" -> (CoreQueries.q80WindowDistribution _)
+    "q80_window_distribution" -> (CoreQueries.q80WindowDistribution _),
+    "q81_big_orders" -> (CoreQueries.q81BigOrders _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

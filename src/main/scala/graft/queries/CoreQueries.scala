@@ -333,6 +333,29 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** q81: TPC-H Q18 shape (large-volume orders) — orders whose total line
+    * quantity clears a HAVING threshold, joined back to order and customer
+    * detail. The aggregate-then-filter side collapses lineitem to one row
+    * per qualifying order BEFORE any wide join (exact-decimal sum, so the
+    * threshold cut is engine-deterministic); the surviving set is small by
+    * construction, and the customer dim joins broadcast. The classic
+    * IN-(grouped-subquery) decorrelation, with the aggregate carried
+    * through instead of recomputed. */
+  def q81BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+  }
+
   /** q80: distribution window functions — ntile / percent_rank / cume_dist
     * / nth_value / first-last over an explicit unbounded frame, completing
     * the window surface beyond q36's lag/lead/rank family. The ordering

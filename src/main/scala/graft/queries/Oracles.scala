@@ -192,6 +192,19 @@ object Oracles {
         |  ROUND(q1, 4) AS p25, ROUND(q2, 4) AS p50, ROUND(q3, 4) AS p75
         |FROM b GROUP BY lang, bin, q1, q2, q3""".stripMargin,
 
+    "q81_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(b.sq AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+
     "q80_window_distribution" ->
       """SELECT o_orderstatus, o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,

@@ -156,6 +156,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming data-contract audit: evaluates
+    * [[graft.quality.Quality.expectations]] row rules on EVERY micro-batch
+    * and appends the (batch_id, rule, n_violations, n_checked) audit rows
+    * to a parquet table — the intake gate as a living stream, not a
+    * nightly batch job. The per-batch audit is a handful of rows (one per
+    * rule), so the sink write is trivially cheap regardless of stream
+    * volume; batch_id makes replayed batches (same at-least-once caveat as
+    * the sinks above) identifiable for dedup-on-read. */
+  def auditExpectations(events: DataFrame,
+                        rowRules: Seq[graft.quality.Quality.RowRule],
+                        path: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.quality.Quality.expectations(batch, rowRules)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Custom keyed state: per-user running (count, sum, last-seen) emitted on
     * every update — the `flatMapGroupsWithState` pattern for state machines
     * the built-in windows can't express. State is one small case class per

@@ -122,4 +122,35 @@ class StreamingFileSpec extends SparkSpec {
     assert(back.count() === 3)
     assert(back.filter(col("user_id") === 1).count() === 2)
   }
+
+  test("foreachBatch audits data-contract expectations per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, Streams}
+    import graft.quality.Quality
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_audit").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_audit").toString
+    val ms = MemoryStream[Event]
+    val q = Streams.auditExpectations(ms.toDF(), Seq(
+      Quality.RowRule("positive_value", col("value") > 0.0),
+      Quality.RowRule("known_type", col("event_type").isin("click", "view"))),
+      out, ckpt)
+    ms.addData(Seq( // batch 0: one negative value
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", -2.0),
+      Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 3.0)))
+    q.processAllAvailable()
+    ms.addData(Seq( // batch 1: one unknown event type
+      Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 2, "purchase", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val audit = spark.read.parquet(out)
+      .as[(String, Long, Long, Long)].collect() // rule, violations, checked, batch_id
+      .map(r => (r._4, r._1) -> ((r._2, r._3))).toMap
+    assert(audit((0L, "positive_value")) === ((1L, 3L)))
+    assert(audit((0L, "known_type")) === ((0L, 3L)))
+    assert(audit((1L, "positive_value")) === ((0L, 1L)))
+    assert(audit((1L, "known_type")) === ((1L, 1L)))
+  }
 }
