@@ -96,7 +96,9 @@ object SparkEntry {
     "q78_chunking" -> (TextQueries.q78Chunking _),
     "q79_embed_dim_stats" -> (SimilarityQueries.q79EmbedDimStats _),
     "q80_window_distribution" -> (CoreQueries.q80WindowDistribution _),
-    "q81_big_orders" -> (CoreQueries.q81BigOrders _)
+    "q81_big_orders" -> (CoreQueries.q81BigOrders _),
+    "q82_chunk_dedup" -> (TextQueries.q82ChunkDedup _),
+    "q83_embed_decontam" -> (SimilarityQueries.q83EmbedDecontam _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

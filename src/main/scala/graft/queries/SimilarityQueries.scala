@@ -257,7 +257,63 @@ object SimilarityQueries {
         col("v_min"), col("v_max"))
   }
 
+  /** q83: embedding-space decontamination — flag corpus vectors whose
+    * cosine to ANY benchmark vector (label 0 stands in for the eval set)
+    * clears the threshold: the embedding twin of q54's n-gram decontam,
+    * catching paraphrased eval leakage that exact n-grams miss.
+    *
+    * Scale shape: the benchmark side is bounded by definition (same
+    * argument as q54), so its SRP buckets AND its (vector, norm) table
+    * broadcast; corpus vectors meet candidates only through the
+    * (table, bucket) equi-join — never a cross product — and, as in q28,
+    * the codegen'd cosine scores the duplicated candidate stream map-side
+    * with only the ≥τ survivors deduped and aggregated. */
+  def q83EmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def bandsOf(df: DataFrame) = df
+      .select(col("vec_id"),
+        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val bench = emb.filter(col("label") === 0)
+    val corpus = emb.filter(col("label") =!= 0)
+    val cand = bandsOf(corpus)
+      .join(broadcast(bandsOf(bench).withColumnRenamed("vec_id", "bid")),
+        Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("bid"))
+    val cos = Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding").as("e1"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n1")), Seq("vec_id"))
+      .join(broadcast(bench.select(col("vec_id").as("bid"), col("embedding").as("e2"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n2"))), Seq("bid"))
+      .select(col("vec_id"), col("bid"), cos.as("cs"))
+      .filter(col("cs") >= 0.3)
+      .distinct()
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), round(max(col("cs")), 6).as("max_cos"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q83_embed_decontam" ->
+      s"""WITH bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |cand AS (SELECT DISTINCT c.vec_id AS vid, b.vec_id AS bid
+         |  FROM tb c JOIN tb b ON c.tbl = b.tbl AND c.bucket = b.bucket
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ec.label <> 0 AND eb.label = 0),
+         |s AS (SELECT cand.vid, cand.bid,
+         |  ${cosSql("e1.embedding", "e2.embedding")} AS cs
+         |  FROM cand
+         |  JOIN embeddings e1 ON e1.vec_id = cand.vid
+         |  JOIN embeddings e2 ON e2.vec_id = cand.bid)
+         |SELECT vid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  ROUND(MAX(cs), 6) AS max_cos
+         |FROM s WHERE cs >= 0.3 GROUP BY vid""".stripMargin,
+
     // same quantized-integer moments, same final-scalar expression shape
     "q79_embed_dim_stats" ->
       """WITH p AS (SELECT unnest(list_transform(generate_series(1, len(embedding)),

@@ -673,6 +673,31 @@ object TextQueries {
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
 
+  /** q82: chunk-level exact dedup — the passage/line-granular dedup layer
+    * (RefinedWeb-style) between doc-level exact dedup (q18) and fuzzy
+    * near-dup (q19/q44): per document, what fraction of its seq-len-32
+    * chunks (q78's chunking) appear anywhere else in the corpus. Duplicate
+    * boilerplate that doc-level dedup can't see shows up here.
+    *
+    * Plan: narrow chunking → one hash-agg shuffle on the chunk md5 for
+    * corpus frequencies → frequency joins back on the same key
+    * partitioning → per-doc aggregate. The chunk TEXT never shuffles —
+    * only its 16-byte digest does, which is what makes this affordable at
+    * 100 TB. */
+  def q82ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = q78Chunking(spark, dir)
+      .select(col("doc_id"), md5(col("chunk_text")).as("k"))
+    val freq = keyed.groupBy("k").agg(count(lit(1)).as("nk"))
+    keyed.join(freq, Seq("k"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 4)
+          .as("dup_chunk_frac"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1083,6 +1108,22 @@ object TextQueries {
          |  string_agg(CAST(ids.token_id AS VARCHAR), ',' ORDER BY q.pos) AS ids
          |FROM q JOIN ids USING (token)
          |GROUP BY q.doc_id""".stripMargin,
+
+    "q82_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0,
+         |    CAST(FLOOR((len(toks) + 31) / 32.0) AS INT) - 1)) AS chunk_idx
+         |  FROM t WHERE len(toks) > 0),
+         |x AS (SELECT doc_id,
+         |  md5(array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')) AS k
+         |  FROM c),
+         |f AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM x GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN nk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  ROUND(CAST(SUM(CASE WHEN nk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 4) AS dup_chunk_frac
+         |FROM x JOIN f USING (k) GROUP BY doc_id""".stripMargin,
 
     "q78_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
