@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.{CovidFixture, CovidPipeline}
-import graft.queries.{CoreQueries, DateTimeQueries, MediaQueries, Oracles, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, DateTimeQueries, MediaQueries, Oracles, SimilarityQueries, SqlQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -98,12 +98,15 @@ object SparkEntry {
     "q80_window_distribution" -> (CoreQueries.q80WindowDistribution _),
     "q81_big_orders" -> (CoreQueries.q81BigOrders _),
     "q82_chunk_dedup" -> (TextQueries.q82ChunkDedup _),
-    "q83_embed_decontam" -> (SimilarityQueries.q83EmbedDecontam _)
+    "q83_embed_decontam" -> (SimilarityQueries.q83EmbedDecontam _),
+    "q84_sql_tpch10" -> (SqlQueries.q84SqlTpch10 _),
+    "q85_scalar_subquery" -> (SqlQueries.q85ScalarSubquery _),
+    "q86_grouping_sets" -> (SqlQueries.q86GroupingSets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.core ++ DateTimeQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles ++ MediaQueries.oracles
+      SimilarityQueries.oracles ++ MediaQueries.oracles ++ SqlQueries.oracles
 }

@@ -48,7 +48,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all fixture tables as temp views for `spark.sql` queries. */
+  /** Register all fixture tables as temp views for `spark.sql` queries.
+    * `events` must go through its nanos-aware loader — a raw parquet read
+    * of TIMESTAMP(NANOS) fails at schema inference without the legacy
+    * conf, and the view should expose the converted micros column anyway
+    * (same shape SQL authors get from the DataFrame API). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
