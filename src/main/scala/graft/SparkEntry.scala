@@ -101,7 +101,12 @@ object SparkEntry {
     "q83_embed_decontam" -> (SimilarityQueries.q83EmbedDecontam _),
     "q84_sql_tpch10" -> (SqlQueries.q84SqlTpch10 _),
     "q85_scalar_subquery" -> (SqlQueries.q85ScalarSubquery _),
-    "q86_grouping_sets" -> (SqlQueries.q86GroupingSets _)
+    "q86_grouping_sets" -> (SqlQueries.q86GroupingSets _),
+    "q87_token_maps" -> (TextQueries.q87TokenMaps _),
+    "q88_snapshot_diff" -> (DateTimeQueries.q88SnapshotDiff _),
+    "q89_unigram_logprob" -> (TextQueries.q89UnigramLogprob _),
+    "q90_hard_negatives" -> (SimilarityQueries.q90HardNegatives _),
+    "q91_shard_pack" -> (TextQueries.q91ShardPack _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

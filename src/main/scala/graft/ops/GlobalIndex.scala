@@ -54,4 +54,39 @@ object GlobalIndex {
       .withColumn(rankCol, (offsetExpr + local).cast("long"))
       .drop("__pid")
   }
+
+  /** Appends `cumCol` = EXCLUSIVE global prefix sum of `valueCol` in
+    * `sortCols` order (sum over all strictly-earlier rows; the first row
+    * gets 0). Same bounded-parallelism scheme as [[withGlobalRank]]: the
+    * per-partition offset is the running total of whole-partition sums (a
+    * numPartitions-row collect), and the within-partition prefix is a
+    * window partitioned by pid — never one global partition. This is the
+    * scan primitive behind sequence/shard packing: at 100 TB a
+    * `SUM() OVER (ORDER BY ...)` with no PARTITION BY would funnel the
+    * corpus through one WindowExec task. */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                       cumCol: String, numPartitions: Int = 0): DataFrame = {
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+       else df.repartitionByRange(sortCols: _*))
+        .withColumn("__v", valueCol.cast("long"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val offsets = sums.map { r =>
+      val off = (r.getInt(0), acc); acc += r.getLong(1); off
+    }.toSeq
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(cumCol,
+        (offsetExpr + coalesce(sum(col("__v")).over(w), lit(0L))).cast("long"))
+      .drop("__pid", "__v")
+  }
 }

@@ -317,7 +317,46 @@ object DateTimeQueries {
       .filter(col("rz") > 3.0)
   }
 
+  /** q88: CDC snapshot diff — the incremental-lake audit that answers
+    * "which keys changed between yesterday's build and today's?". Two
+    * snapshot states (last event time per user, as of T1 and T2) are
+    * full-outer joined on the key and classified added / updated /
+    * unchanged ('removed' can't occur on an append-only log, and the shape
+    * covers it via the v2-NULL branch). Snapshot state here is max(ts) —
+    * one hash agg each, then one equi-join on user_id; at 100 TB both
+    * snapshots partition by the same key so AQE plans a co-located join.
+    * Timestamps output as epoch micros (exact integers, no string-format
+    * drift between engines). */
+  def q88SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def snap(upTo: String, outCol: String) =
+      ev.filter(col("ts") < to_timestamp(lit(upTo)))
+        .groupBy(col("user_id"))
+        .agg(unix_micros(max(col("ts"))).as(outCol))
+    snap("2024-01-15 00:00:00", "v1_us")
+      .join(snap("2024-01-25 00:00:00", "v2_us"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("v1_us").isNull, lit("added"))
+          .when(col("v2_us").isNull, lit("removed"))
+          .when(col("v1_us") === col("v2_us"), lit("unchanged"))
+          .otherwise(lit("updated")).as("change_type"),
+        col("v1_us"), col("v2_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q88_snapshot_diff" ->
+      """WITH v1 AS (SELECT user_id, epoch_us(max(ts)) AS v1_us FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+        |v2 AS (SELECT user_id, epoch_us(max(ts)) AS v2_us FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1)
+        |SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+        |  CASE WHEN v1_us IS NULL THEN 'added'
+        |       WHEN v2_us IS NULL THEN 'removed'
+        |       WHEN v1_us = v2_us THEN 'unchanged'
+        |       ELSE 'updated' END AS change_type,
+        |  v1_us, v2_us
+        |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id""".stripMargin,
+
     "q68_robust_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),

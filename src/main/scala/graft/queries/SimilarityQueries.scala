@@ -172,6 +172,34 @@ object SimilarityQueries {
       .select(col("label"), col("pos").as("dim"), col("n"),
         (col("s").cast("double") / 1e6 / col("n")).as("mean"))
 
+  /** q90: hard-negative mining for contrastive training — for each query
+    * vector, the single most similar vector carrying a DIFFERENT label
+    * (the classic "hard negative": close in embedding space, wrong class).
+    * Exact top-1 over the broadcast query set, so it is oracle-checkable;
+    * semantics and output contract are what the pipeline needs. At 100 TB
+    * the candidate stream comes from SRP-LSH buckets (q23's shape) and
+    * this exact scorer re-ranks candidates only — the scoring projection
+    * and top-1-per-qid tail are unchanged. The corpus side never
+    * shuffles: score map-side, keep 1 row per (partition, qid) before the
+    * tiny final shuffle. */
+  def q90HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("neg_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("q_label"), col("neg_id"), col("neg_label"),
+        round(col("cs"), 6).as("cos"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -294,6 +322,18 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q90_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c AS (SELECT q.qid, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+         |  ${cosSql("q.qe", "e.embedding")} AS cs
+         |  FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label),
+         |r AS (SELECT qid, q_label, neg_id, neg_label, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neg_id ASC) AS rn
+         |  FROM c)
+         |SELECT qid, q_label, neg_id, neg_label, ROUND(cs, 6) AS cos
+         |FROM r WHERE rn = 1""".stripMargin,
+
     "q83_embed_decontam" ->
       s"""WITH bl AS (SELECT vec_id,
          |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs

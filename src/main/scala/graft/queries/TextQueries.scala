@@ -698,6 +698,72 @@ object TextQueries {
           .as("dup_chunk_frac"))
   }
 
+  /** q87: MapType column workflow — the per-doc term-frequency map the
+    * reference's jsonb stage column plays at row level, done with Spark's
+    * map functions end to end: build `token -> count` per document
+    * (map_from_entries over SORTED entries, so map order is deterministic),
+    * then interrogate it with map_values/map_keys/map_filter — all
+    * codegen-friendly collection expressions, zero UDFs. The map stays
+    * per-row (never shuffled as a map): the only shuffle is the (doc_id,
+    * token) count agg that feeds it. */
+  def q87TokenMaps(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("token"), col("cnt"))))).as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_distinct"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("n_tokens"),
+        concat_ws(",",
+          array_sort(map_keys(map_filter(col("m"), (_, v) => v >= 4))))
+          .as("frequent_tokens"))
+  }
+
+  /** q89: unigram language-model quality score (CCNet-style LM filter):
+    * score each document by the mean log-probability of its tokens under
+    * the corpus's own unigram model. Low scorers are gibberish/boilerplate
+    * candidates. The model (token -> count) is broadcast — at this SF the
+    * whole vocabulary fits; at 100 TB you broadcast the top-K vocabulary
+    * with an OOV floor, or shuffle-join on token (the per-token join is an
+    * equi-join either way). Determinism: ln(p) is quantized to integer
+    * micro-nats with floor() BEFORE the per-doc sum, so the aggregate is
+    * exact integer arithmetic, independent of partition order; doubles
+    * appear only in the final one-division projection. */
+  def q89UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+    val model = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(model), Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("cnt").cast("double") / col("n_total").cast("double")) * lit(1e6))
+          .cast("long").as("lp_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_q")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / lit(1e6) / col("n_tokens").cast("double"), 4)
+          .as("avg_logprob"))
+  }
+
+  /** q91: training-shard packing — lay the corpus out as one global token
+    * stream (doc_id order) and assign each document a shard id + byte
+    * offset from its EXCLUSIVE prefix sum of n_chars. This is the layout
+    * step before writing fixed-size training shards. The prefix sum uses
+    * [[graft.ops.GlobalIndex.withGlobalCumSum]] (range partition + per-
+    * partition scan + broadcast partition offsets) because the naive
+    * `SUM() OVER (ORDER BY doc_id)` is a single-partition window — the
+    * same scale bug q34 avoids. Shard size 50k chars. */
+  def q91ShardPack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalIndex.withGlobalCumSum(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), col("n_chars"), "start_off")
+      .select(col("doc_id"), col("n_chars"), col("start_off"),
+        expr("start_off DIV 50000").as("shard_id"),
+        (col("start_off") % 50000L).as("offset_in_shard"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -710,6 +776,38 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q87_token_maps" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  COALESCE(string_agg(CASE WHEN cnt >= 4 THEN token END, ','
+         |    ORDER BY token), '') AS frequent_tokens
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // floor-quantized micro-nats before the sum: integer agg, exact compare
+    "q89_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |m AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_total FROM t),
+         |q AS (SELECT doc_id,
+         |  CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+         |  FROM t JOIN m USING (token) CROSS JOIN n)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(lp_q) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_logprob
+         |FROM q GROUP BY doc_id""".stripMargin,
+
+    "q91_shard_pack" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT doc_id, n_chars, start_off,
+        |  start_off // 50000 AS shard_id,
+        |  start_off % 50000 AS offset_in_shard
+        |FROM c""".stripMargin,
+
     "q15_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |m AS (SELECT doc_id,

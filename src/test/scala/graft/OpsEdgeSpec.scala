@@ -182,6 +182,20 @@ class OpsEdgeSpec extends SparkSpec {
     assert(ranked.map(_._3).sorted.toSeq === (1L to 997L))
   }
 
+  test("GlobalIndex.withGlobalCumSum matches a driver-side prefix sum exactly") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => (i % 13, i, (i * 7) % 101)).toDF("k", "u", "v")
+    val got = graft.ops.GlobalIndex
+      .withGlobalCumSum(df, Seq(col("k").desc, col("u").asc), col("v"), "c",
+        numPartitions = 7)
+      .as[(Int, Int, Int, Long)].collect()
+    var acc = 0L
+    val expect = got.map(t => (t._1, t._2, t._3)).toSeq
+      .sortBy { case (k, u, _) => (-k, u) }
+      .map { case (k, u, v) => val e = ((k, u), acc); acc += v; e }.toMap
+    got.foreach { case (k, u, _, c) => assert(c === expect((k, u)), s"key ($k,$u)") }
+  }
+
   test("GlobalIndex.withGlobalRank on empty input returns empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Int, Int)].toDF("k", "u")
