@@ -106,7 +106,10 @@ object SparkEntry {
     "q88_snapshot_diff" -> (DateTimeQueries.q88SnapshotDiff _),
     "q89_unigram_logprob" -> (TextQueries.q89UnigramLogprob _),
     "q90_hard_negatives" -> (SimilarityQueries.q90HardNegatives _),
-    "q91_shard_pack" -> (TextQueries.q91ShardPack _)
+    "q91_shard_pack" -> (TextQueries.q91ShardPack _),
+    "q92_skyline" -> (CoreQueries.q92Skyline _),
+    "q93_golden_record" -> (TextQueries.q93GoldenRecord _),
+    "q94_split_leakage" -> (TextQueries.q94SplitLeakage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

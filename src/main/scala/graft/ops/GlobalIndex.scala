@@ -89,4 +89,43 @@ object GlobalIndex {
         (offsetExpr + coalesce(sum(col("__v")).over(w), lit(0L))).cast("long"))
       .drop("__pid", "__v")
   }
+
+  /** Appends `maxCol` = EXCLUSIVE global running max of `valueCol` in
+    * `sortCols` order (max over all strictly-earlier rows; NULL for the
+    * global first row). Same scheme again — prefix max composes over
+    * partitions exactly like prefix sum: per-partition offset = max of all
+    * earlier partitions' maxima. This is the scan behind sort-based
+    * skyline/frontier queries (q92), where the textbook global
+    * `MAX() OVER (ORDER BY ...)` would be one WindowExec partition. */
+  def withGlobalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                           maxCol: String, numPartitions: Int = 0): DataFrame = {
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+       else df.repartitionByRange(sortCols: _*))
+        .withColumn("__v", valueCol.cast("long"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+    val maxes = parted.groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__m"))
+      .orderBy(col("__pid")).collect()
+    var acc: Option[Long] = None
+    val offsets = maxes.map { r =>
+      val off = (r.getInt(0), acc)
+      val m = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      acc = (acc ++ m).reduceOption(_ max _)
+      off
+    }.toSeq
+    val offsetExpr = offsets.foldLeft(lit(null).cast("long")) {
+      case (e, (pid, off)) =>
+        when(col("__pid") === pid,
+          off.map(lit(_).cast("long")).getOrElse(lit(null).cast("long")))
+          .otherwise(e)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(maxCol,
+        greatest(offsetExpr, max(col("__v")).over(w))) // greatest skips NULLs
+      .drop("__pid", "__v")
+  }
 }

@@ -418,4 +418,32 @@ object CoreQueries {
       fkRules = Seq(Quality.FkRule("fk_orders_customer", Seq("o_custkey"),
         Tables.customer(spark, dir), Seq("c_custkey"))))
   }
+
+  /** q92: skyline (Pareto frontier) of parts — cheapest-for-their-size
+    * parts: minimize p_retailprice, maximize p_size, a part is dominated
+    * if another is <= on price AND >= on size with one strict. The naive
+    * formulation is an O(n^2) non-equi self-join; this one is
+    * aggregation-shaped: collapse to one row per distinct price (max size
+    * — the only candidate at that price), take the EXCLUSIVE running max
+    * of size over cheaper prices
+    * ([[graft.ops.GlobalIndex.withGlobalRunningMax]] — range-partitioned
+    * scan, no single-partition window even on the already-shrunk
+    * distinct-price table), and keep rows that beat it.
+    * The parts join back on price — an equi-join, broadcastable since the
+    * frontier-candidate side only shrinks. The oracle deliberately uses
+    * the OTHER algorithm (NOT EXISTS dominator) — two independent
+    * formulations agreeing is the point. */
+  def q92Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val perPrice = parts.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"))
+    val frontier = graft.ops.GlobalIndex
+      .withGlobalRunningMax(perPrice, Seq(col("p_retailprice")),
+        col("best_size"), "prev_best")
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      .select(col("p_retailprice"), col("best_size"))
+    parts.join(broadcast(frontier), Seq("p_retailprice"))
+      .filter(col("p_size") === col("best_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+  }
 }

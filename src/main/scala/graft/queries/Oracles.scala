@@ -266,6 +266,15 @@ object Oracles {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // deliberately the OTHER algorithm (quadratic NOT EXISTS dominator)
+    // than the Spark side's sort-based running-max frontier
+    "q92_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin
   )
 }

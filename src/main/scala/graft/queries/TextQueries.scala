@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextAnalysis => TA}
 import graft.sources.Tables
@@ -764,10 +765,75 @@ object TextQueries {
         expr("start_off DIV 50000").as("shard_id"),
         (col("start_off") % 50000L).as("offset_in_shard"))
 
+  /** q93: dedup survivorship ("golden record") — for every exact-dup
+    * cluster (q18's 120-char-prefix key), the full member->canonical
+    * mapping under an explicit survivorship rule: keep the LONGEST text,
+    * ties to the lowest doc_id. q18 answers "how many dups"; this emits
+    * the remap table an actual lake rewrite would join against. One
+    * shuffle on the 16-byte key; windows partition by cluster key (many
+    * small groups — never global). */
+  def q93GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.ops.Dedup.normKey(col("text")).as("k"))
+    val byLen = Window.partitionBy(col("k"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    keyed
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("cluster_size") > 1)
+      .withColumn("canonical_id", first(col("doc_id")).over(byLen))
+      .select(col("k").as("dedup_key"), col("doc_id"), col("canonical_id"),
+        col("cluster_size"), (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** q94: train/eval leakage audit — near-duplicate pairs (q19's
+    * MinHash-LSH candidates) that CROSS the deterministic corpus split
+    * (q40): an eval doc with a near-dup in train is contamination that
+    * inflates benchmark scores. Split labels are recomputed inline from
+    * doc ids (a narrow md5 projection — no join against the split table
+    * at all), so the audit costs exactly one LSH pass regardless of
+    * corpus size. Composition of two already-verified operators; the
+    * oracle recomposes the same thing in SQL. */
+  def q94SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    q19MinhashLsh(spark, dir)
+      .select(col("doc1"), col("doc2"),
+        graft.ops.Sampling.split(col("doc1")).as("split1"),
+        graft.ops.Sampling.split(col("doc2")).as("split2"))
+      .filter(col("split1") =!= col("split2"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+
+  /** q40's deterministic split rule as SQL over an id column. */
+  private def splitCaseSql(c: String) =
+    s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** q19's MinHash-LSH candidate pairs — also nested by q94. */
+  private val minhashPairsSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END AS s FROM t),
+       |hp AS (SELECT doc_id, list_transform(s, x ->
+       |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+       |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |  list_transform(generate_series(0, 11),
+       |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+       |  FROM hp),
+       |bands AS (SELECT doc_id, u.b AS band,
+       |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u)
+       |SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+       |FROM bands a JOIN bands c
+       |  ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id""".stripMargin
 
   private def occSql(m: String) =
     s"((len(text) - len(replace(text, '$m', ''))) // ${m.length})"
@@ -850,26 +916,30 @@ object TextQueries {
         |  MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q19_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_transform(generate_series(1, len(toks) - 2),
-         |           i -> array_to_string(toks[i:i+2], ' '))
-         |    ELSE [] END AS s FROM t),
-         |hp AS (SELECT doc_id, list_transform(s, x ->
-         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
-         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
-         |sig AS (SELECT doc_id,
-         |  list_transform(generate_series(0, 11),
-         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
-         |  FROM hp),
-         |bands AS (SELECT doc_id, u.b AS band,
-         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
-         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u)
-         |SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-         |FROM bands a JOIN bands c
-         |  ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id""".stripMargin,
+    "q19_minhash_lsh" -> minhashPairsSql,
+
+    // q19's pair SQL nested verbatim + q40's split CASE on both ids
+    "q94_split_leakage" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |lab AS (SELECT doc1, doc2,
+         |  ${splitCaseSql("doc1")} AS split1,
+         |  ${splitCaseSql("doc2")} AS split2
+         |  FROM pairs)
+         |SELECT doc1, doc2, split1, split2 FROM lab
+         |WHERE split1 <> split2""".stripMargin,
+
+    "q93_golden_record" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  md5(lower(substr(text, 1, 120))) AS dedup_key FROM documents),
+        |c AS (SELECT dedup_key, doc_id,
+        |  COUNT(*) OVER (PARTITION BY dedup_key) AS cluster_size,
+        |  FIRST_VALUE(doc_id) OVER (PARTITION BY dedup_key
+        |    ORDER BY n_chars DESC, doc_id ASC) AS canonical_id
+        |  FROM k)
+        |SELECT dedup_key, doc_id, canonical_id,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  doc_id = canonical_id AS is_canonical
+        |FROM c WHERE cluster_size > 1""".stripMargin,
 
     "q20_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -196,6 +196,23 @@ class OpsEdgeSpec extends SparkSpec {
     got.foreach { case (k, u, _, c) => assert(c === expect((k, u)), s"key ($k,$u)") }
   }
 
+  test("GlobalIndex.withGlobalRunningMax matches a driver-side scan exactly") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => (i % 13, i, (i * 31) % 257)).toDF("k", "u", "v")
+    val got = graft.ops.GlobalIndex
+      .withGlobalRunningMax(df, Seq(col("k").asc, col("u").desc), col("v"), "m",
+        numPartitions = 7)
+      .as[(Int, Int, Int, Option[Long])].collect()
+    var acc: Option[Long] = None
+    val expect = got.map(t => (t._1, t._2, t._3)).toSeq
+      .sortBy { case (k, u, _) => (k, -u) }
+      .map { case (k, u, v) =>
+        val e = ((k, u), acc); acc = (acc ++ Seq(v.toLong)).reduceOption(_ max _); e
+      }.toMap
+    got.foreach { case (k, u, _, m) => assert(m === expect((k, u)), s"key ($k,$u)") }
+    assert(got.count(_._4.isEmpty) === 1) // exactly the global first row
+  }
+
   test("GlobalIndex.withGlobalRank on empty input returns empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Int, Int)].toDF("k", "u")
