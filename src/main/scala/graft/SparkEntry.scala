@@ -109,7 +109,10 @@ object SparkEntry {
     "q91_shard_pack" -> (TextQueries.q91ShardPack _),
     "q92_skyline" -> (CoreQueries.q92Skyline _),
     "q93_golden_record" -> (TextQueries.q93GoldenRecord _),
-    "q94_split_leakage" -> (TextQueries.q94SplitLeakage _)
+    "q94_split_leakage" -> (TextQueries.q94SplitLeakage _),
+    "q95_scd2_history" -> (DateTimeQueries.q95Scd2History _),
+    "q96_class_balance" -> (TextQueries.q96ClassBalance _),
+    "q97_rank_normalize" -> (SimilarityQueries.q97RankNormalize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -343,7 +343,37 @@ object DateTimeQueries {
         col("v1_us"), col("v2_us"))
   }
 
+  /** q95: SCD2 history build from an event log — compress each user's
+    * event stream into validity intervals [valid_from, valid_to) of their
+    * current state (event_type), the slowly-changing-dimension table a
+    * warehouse would maintain incrementally. Two windows over the same
+    * (user_id, ts) partitioned sort — Catalyst plans ONE sort+window
+    * exchange, per-user groups never a global partition. Open intervals
+    * (current state) carry NULL valid_to. Epoch-micros output, exact
+    * integers in both engines. */
+  def q95Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byTs))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q95_scd2_history" ->
+      """WITH s AS (SELECT user_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_state
+        |  FROM events),
+        |c AS (SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+        |  FROM s WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
+        |FROM c""".stripMargin,
+
     "q88_snapshot_diff" ->
       """WITH v1 AS (SELECT user_id, epoch_us(max(ts)) AS v1_us FROM events
         |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),

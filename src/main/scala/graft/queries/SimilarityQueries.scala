@@ -200,6 +200,33 @@ object SimilarityQueries {
         round(col("cs"), 6).as("cos"))
   }
 
+  /** q97: per-dimension rank (quantile) normalization — the
+    * distribution-free feature transform (each value becomes its empirical
+    * quantile within its dimension) used to whiten embedding columns
+    * before indexing/clustering. Restricted to the first 8 dims to keep
+    * the output a report, not a rewrite. The window partitions by dim —
+    * at this dim count each partition holds one dimension's column; for
+    * web-scale corpora the per-dim rank switches to the
+    * [[graft.ops.GlobalIndex]] range-partitioned scan per dimension (same
+    * output contract). Ranks are ints, the quantile is one exact division
+    * rounded at output — engine-portable. Ties broken by vec_id: raw
+    * float sort keys compare identically in both engines (same binary
+    * values from the same parquet). */
+  def q97RankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .filter(col("pos") < 8)
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("v").asc, col("vec_id").asc)
+    val n = Window.partitionBy(col("dim"))
+    flat
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("vec_id"), col("dim"), col("rk"),
+        round((col("rk") - 1).cast("double")
+          / (col("n") - 1).cast("double"), 6).as("qnorm"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -322,6 +349,18 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_rank_normalize" ->
+      """WITH f AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, embedding[u.i] AS v
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 8)) AS i) u),
+        |r AS (SELECT vec_id, dim, v,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v ASC, vec_id ASC) AS INT) AS rk,
+        |  COUNT(*) OVER (PARTITION BY dim) AS n
+        |  FROM f)
+        |SELECT vec_id, dim, rk,
+        |  ROUND(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS qnorm
+        |FROM r""".stripMargin,
+
     "q90_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
          |  FROM embeddings WHERE vec_id % 25 = 0),

@@ -802,6 +802,27 @@ object TextQueries {
       .filter(col("split1") =!= col("split2"))
   }
 
+  /** q96: class-balanced downsampling to the RAREST class — every language
+    * keeps exactly min-class-count docs, chosen in deterministic hash
+    * order (q41's ordering, so the subset is unbiased w.r.t. any data
+    * attribute and identical in every engine). Unlike q41's fixed n-per-
+    * class, the threshold here is DATA-DEPENDENT: a per-class count agg
+    * reduced to a 1-row min, broadcast into the filter — no driver-side
+    * collect, no second pass over the corpus. The rank window partitions
+    * by class (many groups); at 100 TB the count agg is map-side combined
+    * and the broadcast is one row. */
+  def q96ClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val minN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("rk") <= col("min_n"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -927,6 +948,15 @@ object TextQueries {
          |  FROM pairs)
          |SELECT doc1, doc2, split1, split2 FROM lab
          |WHERE split1 <> split2""".stripMargin,
+
+    "q96_class_balance" ->
+      """WITH m AS (SELECT MIN(n) AS min_n FROM
+        |  (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r CROSS JOIN m WHERE rk <= min_n""".stripMargin,
 
     "q93_golden_record" ->
       """WITH k AS (SELECT doc_id, n_chars,
