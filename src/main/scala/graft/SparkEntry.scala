@@ -112,7 +112,10 @@ object SparkEntry {
     "q94_split_leakage" -> (TextQueries.q94SplitLeakage _),
     "q95_scd2_history" -> (DateTimeQueries.q95Scd2History _),
     "q96_class_balance" -> (TextQueries.q96ClassBalance _),
-    "q97_rank_normalize" -> (SimilarityQueries.q97RankNormalize _)
+    "q97_rank_normalize" -> (SimilarityQueries.q97RankNormalize _),
+    "q98_sig_union" -> (TextQueries.q98SigUnion _),
+    "q99_triangles" -> (TextQueries.q99Triangles _),
+    "q100_report_card" -> (TextQueries.q100ReportCard _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

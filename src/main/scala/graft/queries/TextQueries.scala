@@ -823,6 +823,90 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** q98: per-source MinHash sketch union via the custom typed Aggregator
+    * [[graft.functions.ElementwiseMinLong]] (`functions.udaf`) — merge all
+    * of a source's document signatures into ONE source-level signature
+    * (union of sketched shingle sets = per-position min). This is how a
+    * 100 TB pipeline summarizes corpus slices cheaply: the shuffle carries
+    * one 12-long buffer per source (partial agg map-side), never the
+    * documents. Output exploded to (source, pos, min_hash) — exact
+    * integers, oracle-exact. */
+  def q98SigUnion(spark: SparkSession, dir: String): DataFrame = {
+    val sigMin = udaf(graft.functions.ElementwiseMinLong)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
+      .select(col("source"), Dedup.minhashSignature(col("sh")).as("sig"))
+      .groupBy(col("source"))
+      .agg(count(col("sig")).as("n_sigs"), sigMin(col("sig")).as("msig"))
+      .select(col("source"), col("n_sigs"), posexplode(col("msig")))
+      .select(col("source"), col("n_sigs"), col("pos"), col("col").as("min_hash"))
+  }
+
+  /** q99: triangle enumeration on the near-dup candidate graph — the
+    * structural signal between pairwise near-dups (q19) and whole
+    * components (q51): a triangle means three documents are mutually
+    * near-duplicate, the densest template/boilerplate clusters. Edges are
+    * canonically ordered (doc1 < doc2), so joining ab⋈bc on the shared
+    * middle vertex and closing with ac enumerates each triangle exactly
+    * once, ordered a<b<c — two equi-joins, no enumeration of
+    * non-triangles. At web scale the standard refinement orients edges by
+    * degree instead of id (caps the join fan-out on hub vertices); the
+    * plan shape — join on middle vertex, semi-close on the third edge —
+    * is unchanged. */
+  def q99Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = q19MinhashLsh(spark, dir)
+    val ab = e.select(col("doc1").as("a"), col("doc2").as("b"))
+    val bc = e.select(col("doc1").as("b"), col("doc2").as("c"))
+    val ac = e.select(col("doc1").as("a"), col("doc2").as("c"))
+    ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** q100: the corpus report card — the one-page health dashboard a data
+    * team reads before a training run, per (source, lang) cell: volume
+    * (docs, tokens), mean quality (q50's formula), exact-dup exposure
+    * (docs whose q18 dedup key collides corpus-wide), and corpus share.
+    * One wide scan computes all per-doc features; one hash agg on the
+    * 16-byte dup key; one cell agg; a 1-row broadcast for shares. Mean
+    * quality is summed as floor-quantized 1e-4 ints (partition-order
+    * exact), divided once at output — the q89/q64 determinism rule. */
+  def q100ReportCard(spark: SparkSession, dir: String): DataFrame = {
+    val n = TA.tokenCount(col("toks")).cast("double")
+    val d = TA.distinctTokenCount(col("toks"))
+    val s = TA.stopwordCount(col("toks"), stopwords)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TA.tokens(col("text")).as("toks"), Dedup.normKey(col("text")).as("k"))
+      .select(col("source"), col("lang"), col("k"),
+        TA.tokenCount(col("toks")).as("n_tok"),
+        floor((lit(0.3) * (d.cast("double") / n)
+          + lit(0.3) * (lit(1.0) - s.cast("double") / n)
+          + lit(0.4) * least(lit(1.0), n / lit(100.0))) * lit(1e4))
+          .cast("long").as("q4"))
+    val keyCounts = base.groupBy(col("k")).agg(count(lit(1)).as("kc"))
+    val cells = base.join(keyCounts, Seq("k"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("q4")).as("sq"),
+        sum(when(col("kc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val total = cells.agg(sum(col("n_docs")).as("total_docs"))
+    // half-up rounding done in INTEGER space — round(double, n) is a trap
+    // here: Spark rounds the shortest decimal repr (BigDecimal.valueOf),
+    // DuckDB rounds the binary double, and means land on exact halves
+    // often enough to diverge (hit at sf0.01). (2a+b) DIV (2b) is exact
+    // half-up of a/b for non-negative ints in both engines.
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (expr("(2 * sq + n_docs) DIV (2 * n_docs)").cast("double") / lit(1e4))
+          .as("mean_quality"),
+        col("n_dup_docs"),
+        (expr("(2 * n_docs * 10000 + total_docs) DIV (2 * total_docs)")
+          .cast("double") / lit(100.0)).as("share_pct"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -948,6 +1032,57 @@ object TextQueries {
          |  FROM pairs)
          |SELECT doc1, doc2, split1, split2 FROM lab
          |WHERE split1 <> split2""".stripMargin,
+
+    "q100_report_card" ->
+      s"""WITH b AS (SELECT doc_id, source, lang,
+         |  md5(lower(substr(text, 1, 120))) AS k,
+         |  $toksSql AS toks FROM documents),
+         |f AS (SELECT source, lang, k,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(FLOOR((0.3::DOUBLE * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    + 0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE)) * 1e4) AS BIGINT) AS q4
+         |  FROM b),
+         |kc AS (SELECT k, COUNT(*) AS kc FROM f GROUP BY 1),
+         |c AS (SELECT source, lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(q4) AS BIGINT) AS sq,
+         |  CAST(SUM(CASE WHEN kc.kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM f JOIN kc USING (k) GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM c)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  CAST((2 * sq + n_docs) // (2 * n_docs) AS DOUBLE) / 1e4 AS mean_quality,
+         |  n_dup_docs,
+         |  CAST((2 * n_docs * 10000 + total_docs) // (2 * total_docs) AS DOUBLE) / 100.0 AS share_pct
+         |FROM c CROSS JOIN t""".stripMargin,
+
+    "q98_sig_union" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT source,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT source, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+         |sig AS (SELECT source, CASE WHEN len(hs) > 0 THEN
+         |  list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007)))
+         |  ELSE NULL END AS g FROM hp),
+         |n AS (SELECT source, CAST(COUNT(g) AS BIGINT) AS n_sigs FROM sig GROUP BY 1)
+         |SELECT source, n_sigs, CAST(u.i - 1 AS INT) AS pos, MIN(g[u.i]) AS min_hash
+         |FROM sig JOIN n USING (source)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS i) u
+         |WHERE g IS NOT NULL
+         |GROUP BY source, n_sigs, pos""".stripMargin,
+
+    "q99_triangles" ->
+      s"""WITH e AS ($minhashPairsSql)
+         |SELECT ab.doc1 AS a, ab.doc2 AS b, bc.doc2 AS c
+         |FROM e ab JOIN e bc ON ab.doc2 = bc.doc1
+         |JOIN e ac ON ac.doc1 = ab.doc1 AND ac.doc2 = bc.doc2""".stripMargin,
 
     "q96_class_balance" ->
       """WITH m AS (SELECT MIN(n) AS min_n FROM
