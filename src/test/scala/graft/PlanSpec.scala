@@ -232,4 +232,66 @@ class PlanSpec extends SparkSpec {
     val p = planString(df)
     assert(!p.contains("Exchange"), "chunking introduced a shuffle:\n" + p.take(800))
   }
+
+  test("q84 (SQL front end): the SQL text plans the same shapes as the DataFrame API") {
+    val df = graft.queries.SqlQueries.q84SqlTpch10(spark, sfDir)
+    val p = planString(df)
+    // dims broadcast, date filter pushed to the orders scan, top-20 is
+    // TakeOrderedAndProject — the SQL path lands in the same Catalyst
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY not top-k planned")
+    val pushed = scans(df).map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"), s"date filter not pushed: $pushed")
+  }
+
+  test("q85: correlated scalar subquery decorrelates to an aggregate + join (no per-row subquery)") {
+    val p = planString(graft.queries.SqlQueries.q85ScalarSubquery(spark, sfDir))
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      "subquery survived decorrelation:\n" + p.take(800))
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")), p.take(800))
+  }
+
+  test("q90: corpus never shuffles — query set broadcasts, top-1 keeps k rows per partition") {
+    val df = SimilarityQueries.q90HardNegatives(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast cross join of the tiny query side:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for a join")
+  }
+
+  test("q92: frontier joins back by broadcast; no O(n^2) dominator self-join anywhere") {
+    val df = CoreQueries.q92Skyline(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "skyline degenerated to the quadratic formulation")
+  }
+
+  test("q96: data-dependent threshold stays a broadcast, rank windows stay partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.TextQueries.q96ClassBalance(spark, sfDir)
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    windows(df.queryExecution.executedPlan).foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "class-rank window lost its partition spec"))
+    val p = planString(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row min-count frame was not broadcast:\n" + p.take(800))
+  }
+
+  test("q98: custom UDAF aggregates partially (map-side) like a built-in agg") {
+    val p = planString(graft.queries.TextQueries.q98SigUnion(spark, sfDir))
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "no partial+final aggregate pair for the UDAF:\n" + p.take(800))
+    assert(p.contains("partial_"), "UDAF skipped map-side partial aggregation")
+  }
 }
