@@ -31,6 +31,25 @@ object Quality {
     actual
   }
 
+  /** Zero-extra-pass quality metrics via the [[org.apache.spark.sql.Observation]]
+    * API: attaches row count + per-column null counts to `df` so they are
+    * collected AS A SIDE EFFECT of whatever action the caller already
+    * runs — at 100 TB the difference between this and [[profile]] is a
+    * whole extra scan of the input. `profile` remains the right tool for
+    * grouped/min-max reports; this is the always-on telemetry a pipeline
+    * attaches to its write. Read the metrics from the returned Observation
+    * AFTER the action completes (`obs.get`). */
+  def withObservedStats(df: DataFrame, nullChecked: Seq[String],
+                        name: String = "quality")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+        nullChecked.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Column-level quality profile per group: row count, per-column null
     * counts, and numeric min/max — everything a corpus intake gate alerts
     * on, in ONE pass / one shuffle (all aggregates share the groupBy).

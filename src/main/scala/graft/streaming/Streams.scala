@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One event of the `events` fixture stream (see TESTDATA.md). */
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -236,5 +237,47 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** [[runningUserStats]] re-expressed on the arbitrary-stateful-v2 API
+    * (`transformWithState`, Spark 4): a [[StatefulProcessor]] holding one
+    * typed [[ValueState]] per user. Same semantics as the
+    * flatMapGroupsWithState form (StreamingSpec asserts equality); what
+    * the v2 API buys at scale:
+    *  - state schema is declared to the store (RocksDB provider required),
+    *    enabling schema evolution and state rebalancing,
+    *  - per-state TTL ([[TTLConfig]]) instead of whole-group timeouts —
+    *    the store expires cold users without a timer per key,
+    *  - multiple independent state variables per key if the operator
+    *    grows (value/list/map state), not one monolithic case class. */
+  class RunningStatsProcessor extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var st: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (st.exists()) st.get()
+        else UserRunning(key, 0L, 0.0, new java.sql.Timestamp(0L))
+      val next = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(prev) { (s, e) =>
+          UserRunning(key, s.n_events + 1, s.total_value + e.value,
+            if (e.ts.after(s.last_ts)) e.ts else s.last_ts)
+        }
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState needs the RocksDB state store; set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * on the session before starting the query. */
+  def runningUserStatsV2(events: Dataset[Event]): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

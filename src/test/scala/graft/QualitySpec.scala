@@ -14,6 +14,26 @@ class QualitySpec extends SparkSpec {
     assert(!Quality.withinTolerance(245, 240, 0.02))
   }
 
+  test("withObservedStats piggybacks metrics on the caller's action (no extra job)") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, null), (3L, "fr"), (4L, null))
+      .toDF("doc_id", "lang")
+    // baseline: how many Spark jobs a plain count() costs (AQE splits it)
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobs
+    df.count()
+    val baseline = jobs - j0
+    val (observed, obs) = Quality.withObservedStats(df, Seq("lang"))
+    val j1 = jobs
+    val n = observed.count() // the ONLY action — metrics ride along
+    assert(n === 4)
+    assert(obs.get("n_rows") === 4L)
+    assert(obs.get("lang_nulls") === 2L)
+    // profile() would cost a second scan; observe costs zero extra jobs
+    assert(jobs - j1 === baseline,
+      s"observation triggered extra jobs: ${jobs - j1} vs baseline $baseline")
+  }
+
   test("countGate returns count on pass, throws on fail") {
     import spark.implicits._
     val df = (1 to 100).toDF("n")

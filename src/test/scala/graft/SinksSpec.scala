@@ -139,4 +139,30 @@ class SinksSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(scan.metrics("numFiles").value === filesOnDisk)
   }
+
+  test("csv and json round-trip with explicit schema preserve values") {
+    import spark.implicits._
+    // hostile-but-legal content: delimiter, quote, newline escape, unicode
+    val rows = Seq(
+      (1L, "plain", 1.5, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")),
+      (2L, "a,b\"q\nnl", -0.25, java.sql.Timestamp.valueOf("2024-06-30 23:59:59.0")),
+      (3L, "unicode £é中", 0.0, java.sql.Timestamp.valueOf("2024-12-31 00:00:00.0")))
+    val df = rows.toDF("id", "s", "v", "ts")
+    for (fmt <- Seq("csv", "json")) {
+      val dir = Files.createTempDirectory(s"graft_$fmt").toString
+      // default csv timestampFormat truncates to millis — pin micros
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      df.write.mode("overwrite")
+        .option("header", "true") // csv-only; json ignores it
+        .option("multiLine", "true")
+        .option("timestampFormat", tsFmt)
+        .format(fmt).save(dir)
+      val back = spark.read.schema(df.schema) // explicit contract, no inference
+        .option("header", "true").option("multiLine", "true")
+        .option("timestampFormat", tsFmt)
+        .format(fmt).load(dir)
+        .as[(Long, String, Double, java.sql.Timestamp)].collect().toSet
+      assert(back === rows.toSet, s"$fmt round-trip mangled values")
+    }
+  }
 }

@@ -199,4 +199,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._1).max === 5L)
     assert(rows.find(_._1 == 5L).get._2 === (1.0 + 2.0 + 3.0 + 4.0 + 3.0))
   }
+
+  test("transformWithState (state v2, RocksDB store) matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = Streams.runningUserStatsV2(ms.toDS())
+        .writeStream.format("memory").queryName("runv2")
+        .outputMode(OutputMode.Update).start()
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      q.stop()
+      // identical final state to the v1 (flatMapGroupsWithState) operator:
+      // user 1 folds 5 events totalling 13.0, user 2 folds 2 views
+      val u1 = spark.table("runv2").filter(col("user_id") === 1)
+        .select("n_events", "total_value").as[(Long, Double)].collect()
+      assert(u1.map(_._1).max === 5L)
+      assert(u1.find(_._1 == 5L).get._2 === 13.0)
+      val u2 = spark.table("runv2").filter(col("user_id") === 2)
+        .select("n_events", "total_value").as[(Long, Double)].collect()
+      assert(u2.map(_._1).max === 2L)
+      assert(u2.find(_._1 == 2L).get._2 === 30.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
