@@ -115,7 +115,10 @@ object SparkEntry {
     "q97_rank_normalize" -> (SimilarityQueries.q97RankNormalize _),
     "q98_sig_union" -> (TextQueries.q98SigUnion _),
     "q99_triangles" -> (TextQueries.q99Triangles _),
-    "q100_report_card" -> (TextQueries.q100ReportCard _)
+    "q100_report_card" -> (TextQueries.q100ReportCard _),
+    "q101_markov_transitions" -> (DateTimeQueries.q101MarkovTransitions _),
+    "q102_session_paths" -> (DateTimeQueries.q102SessionPaths _),
+    "q103_equiwidth_hist" -> (DateTimeQueries.q103EquiwidthHist _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

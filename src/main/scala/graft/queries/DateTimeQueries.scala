@@ -363,7 +363,114 @@ object DateTimeQueries {
         col("valid_from_us"), col("valid_to_us"))
   }
 
+  /** q101: first-order Markov transition matrix over each user's event
+    * sequence — the behavioral fingerprint (what follows what) that feeds
+    * sequence models and anomaly scores. lead() over the per-user time
+    * sort pairs consecutive events (one partitioned window), then one
+    * count agg on (from, to); the transition probability is normalized
+    * per from-state with the integer half-up rule (q100's (2a+b) DIV 2b —
+    * round(double) diverges between engines on halves). The per-from
+    * totals window partitions on from_type — bounded small groups. */
+  def q101MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (expr("(2 * n * 10000 + tot) DIV (2 * tot)").cast("double") / lit(1e4))
+          .as("p"))
+  }
+
+  /** q102: session path strings — each session's event-type sequence
+    * flattened to one "view->click->purchase" string, the input to funnel
+    * mining and next-action models. Reuses q14's gap sessionization; the
+    * path is built per-row-group with collect_list over structs sorted by
+    * (ts, event_id) — a TOTAL order, so the string is deterministic even
+    * with per-partition arrival disorder. Paths aggregate to
+    * (path, n_sessions) — the corpus-level path distribution. */
+  def q102SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws("->",
+        transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** q103: equi-width histogram WITH the empty-bin spine — the
+    * fixed-range complement of q72's equi-depth bins: 10 buckets of width
+    * 50 over [0, 500) plus an overflow bucket, and absent buckets emitted
+    * as zero (a sequence-generated spine left-joined to the counts; a
+    * plain GROUP BY silently drops empty bins and plots lie). One count
+    * agg + an 11-row broadcast spine join. */
+  def q103EquiwidthHist(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .select(least(floor(col("value") / 50.0).cast("int"), lit(10)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(0, 11)
+      .select(col("id").cast("int").as("bin"))
+    spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin") * 50).cast("double").as("lo"),
+        when(col("bin") === 10, lit(null).cast("double"))
+          .otherwise((col("bin") * 50 + 50).cast("double")).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q101_markov_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, to_type, n,
+        |  SUM(n) OVER (PARTITION BY from_type) AS tot FROM c)
+        |SELECT from_type, to_type, n,
+        |  CAST((2 * n * 10000 + tot) // (2 * tot) AS DOUBLE) / 1e4 AS p
+        |FROM t""".stripMargin,
+
+    "q102_session_paths" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  epoch_us(lag(ts) OVER w) AS prev_us,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, event_id, event_type,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |paths AS (SELECT user_id, session_id,
+        |  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        |  FROM g GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY 1""".stripMargin,
+
+    "q103_equiwidth_hist" ->
+      """WITH b AS (SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 10) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(0, 10)) AS INT) AS bin)
+        |SELECT spine.bin,
+        |  CAST(spine.bin * 50 AS DOUBLE) AS lo,
+        |  CASE WHEN spine.bin = 10 THEN NULL
+        |       ELSE CAST(spine.bin * 50 + 50 AS DOUBLE) END AS hi,
+        |  COALESCE(n, 0) AS n
+        |FROM spine LEFT JOIN b ON spine.bin = b.bin""".stripMargin,
+
     "q95_scd2_history" ->
       """WITH s AS (SELECT user_id, ts, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_state
