@@ -118,7 +118,10 @@ object SparkEntry {
     "q100_report_card" -> (TextQueries.q100ReportCard _),
     "q101_markov_transitions" -> (DateTimeQueries.q101MarkovTransitions _),
     "q102_session_paths" -> (DateTimeQueries.q102SessionPaths _),
-    "q103_equiwidth_hist" -> (DateTimeQueries.q103EquiwidthHist _)
+    "q103_equiwidth_hist" -> (DateTimeQueries.q103EquiwidthHist _),
+    "q104_shard_blobs" -> (TextQueries.q104ShardBlobs _),
+    "q105_stopword_induction" -> (TextQueries.q105StopwordInduction _),
+    "q106_contrastive_triplets" -> (SimilarityQueries.q106ContrastiveTriplets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

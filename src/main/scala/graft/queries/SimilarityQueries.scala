@@ -227,6 +227,39 @@ object SimilarityQueries {
           / (col("n") - 1).cast("double"), 6).as("qnorm"))
   }
 
+  /** q106: contrastive training triplets — for each anchor, the hardest
+    * positive (top same-label neighbor) AND hardest negative (top
+    * different-label neighbor, q90) from ONE scoring pass: score the
+    * broadcast anchor set once, rank within (anchor, same-label?) — two
+    * bounded groups per anchor — and pivot the two rank-1 rows to columns.
+    * The margin (pos − neg cosine) is the triplet-loss signal; anchors
+    * with small or negative margin are the valuable hard examples. Corpus
+    * never shuffles; only #anchors × 2 rows reach the final agg. */
+  def q106ContrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("vec_id").as("nid"),
+        (col("label") === col("q_label")).as("same"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
+    val w = Window.partitionBy(col("qid"), col("same"))
+      .orderBy(col("cs").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("qid"), col("q_label"))
+      .agg(
+        max(when(col("same"), col("nid"))).as("pos_id"),
+        max(when(col("same"), col("cs"))).as("pos_cs"),
+        max(when(!col("same"), col("nid"))).as("neg_id"),
+        max(when(!col("same"), col("cs"))).as("neg_cs"))
+      .select(col("qid"), col("q_label"), col("pos_id"), col("neg_id"),
+        round(col("pos_cs"), 6).as("pos_cos"),
+        round(col("neg_cs"), 6).as("neg_cos"),
+        round(col("pos_cs") - col("neg_cs"), 6).as("margin"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -349,6 +382,25 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q106_contrastive_triplets" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c AS (SELECT q.qid, q.q_label, e.vec_id AS nid,
+         |  e.label = q.q_label AS same,
+         |  ${cosSql("q.qe", "e.embedding")} AS cs
+         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, q_label, nid, same, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cs DESC, nid ASC) AS rn
+         |  FROM c)
+         |SELECT qid, q_label,
+         |  MAX(CASE WHEN same THEN nid END) AS pos_id,
+         |  MAX(CASE WHEN NOT same THEN nid END) AS neg_id,
+         |  ROUND(MAX(CASE WHEN same THEN cs END), 6) AS pos_cos,
+         |  ROUND(MAX(CASE WHEN NOT same THEN cs END), 6) AS neg_cos,
+         |  ROUND(MAX(CASE WHEN same THEN cs END)
+         |    - MAX(CASE WHEN NOT same THEN cs END), 6) AS margin
+         |FROM r WHERE rn = 1 GROUP BY qid, q_label""".stripMargin,
+
     "q97_rank_normalize" ->
       """WITH f AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, embedding[u.i] AS v
         |  FROM embeddings CROSS JOIN

@@ -907,6 +907,53 @@ object TextQueries {
           .cast("double") / lit(100.0)).as("share_pct"))
   }
 
+  /** q104: shard blob assembly — the completion of q91's packing: per
+    * shard, the documents concatenated in stream order with an explicit
+    * boundary token, plus shard fill stats. (Output carries each doc's
+    * 16-char head, not full text — the report stays a report; the
+    * full-text write is the same plan with `text` in the struct.) The
+    * blob is built from a TOTAL-order struct sort (doc_id), so bytes are
+    * deterministic; groups are shard-sized by construction, so
+    * collect_list is bounded by the shard budget — the one place
+    * collect_list is safe at scale. */
+  def q104ShardBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        substring(col("text"), 1, 16).as("head16"))
+    graft.ops.GlobalIndex
+      .withGlobalCumSum(docs, Seq(col("doc_id")), col("n_chars"), "start_off")
+      .select(col("doc_id"), col("head16"), col("n_chars"),
+        expr("start_off DIV 50000").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("head16")))),
+            x => x.getField("head16")),
+          "<|doc|>").as("blob_head"))
+  }
+
+  /** q105: corpus-adaptive stopword induction — tokens appearing in more
+    * than half of all documents are this corpus's function words; real
+    * pipelines induce the list from the data rather than shipping a fixed
+    * English list (the fixture's `stopwords` Seq stands in for exactly
+    * this output). One distinct-token explode + df agg + a broadcast
+    * 1-row corpus count; share computed with the integer half-up rule. */
+  def q105StopwordInduction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dfreq = docs
+      .select(col("doc_id"), explode(array_distinct(TA.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    dfreq.crossJoin(broadcast(n))
+      .filter(col("df") * 2 > col("n_docs"))
+      .select(col("token"), col("df"), col("n_docs"),
+        (expr("(2 * df * 10000 + n_docs) DIV (2 * n_docs)").cast("double") / lit(1e4))
+          .as("df_share"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1056,6 +1103,26 @@ object TextQueries {
          |  n_dup_docs,
          |  CAST((2 * n_docs * 10000 + total_docs) // (2 * total_docs) AS DOUBLE) / 100.0 AS share_pct
          |FROM c CROSS JOIN t""".stripMargin,
+
+    "q104_shard_blobs" ->
+      """WITH c AS (SELECT doc_id, n_chars, substr(text, 1, 16) AS head16,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT start_off // 50000 AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q105_stopword_induction" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+         |  FROM documents),
+         |d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT token, df, n_docs,
+         |  CAST((2 * df * 10000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1e4 AS df_share
+         |FROM d CROSS JOIN n WHERE df * 2 > n_docs""".stripMargin,
 
     "q98_sig_union" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),

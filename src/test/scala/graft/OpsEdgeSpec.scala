@@ -62,6 +62,51 @@ class OpsEdgeSpec extends SparkSpec {
     assert(graft.queries.TextQueries.q61PmiPairs(spark, dir).count() === 0)
   }
 
+  test("q92 skyline edge: identical prices keep ALL max-size ties, dominated rows drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_part").toString
+    Seq(
+      (1L, "p1", "B1", "T", 10, 5.0),  // frontier (cheapest, size 10)
+      (2L, "p2", "B1", "T", 10, 5.0),  // same point: tie, also frontier
+      (3L, "p3", "B1", "T", 9, 5.0),   // dominated: same price, smaller
+      (4L, "p4", "B1", "T", 12, 7.0),  // frontier (bigger, pricier)
+      (5L, "p5", "B1", "T", 11, 9.0))  // dominated by 4 (pricier, smaller)
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = graft.queries.CoreQueries.q92Skyline(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
+
+  test("q103 histogram edge: empty events still emit the full 11-bin zero spine") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_events").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.DateTimeQueries.q103EquiwidthHist(spark, dir)
+      .orderBy("bin").collect()
+    assert(rows.length === 11)
+    assert(rows.forall(_.getAs[Long]("n") === 0L))
+    assert(rows.last.isNullAt(rows.last.fieldIndex("hi"))) // overflow bin open
+  }
+
+  test("q104 packing edge: one oversized doc straddles shards deterministically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs2").toString
+    Seq(
+      (0L, "aaaa", "en", "src0", 60000L), // alone fills shard 0 and spills
+      (1L, "bbbb", "en", "src0", 10L),    // starts at 60000 -> shard 1
+      (2L, "cccc", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q104ShardBlobs(spark, dir)
+      .orderBy("shard_id")
+      .select("shard_id", "n_docs", "blob_head")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((0L, 1L, "aaaa"), (1L, 2L, "bbbb<|doc|>cccc")))
+  }
+
   test("q60 all-zero embedding: NULL scale and stats, never Infinity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
