@@ -121,7 +121,11 @@ object SparkEntry {
     "q103_equiwidth_hist" -> (DateTimeQueries.q103EquiwidthHist _),
     "q104_shard_blobs" -> (TextQueries.q104ShardBlobs _),
     "q105_stopword_induction" -> (TextQueries.q105StopwordInduction _),
-    "q106_contrastive_triplets" -> (SimilarityQueries.q106ContrastiveTriplets _)
+    "q106_contrastive_triplets" -> (SimilarityQueries.q106ContrastiveTriplets _),
+    "q107_trailing_1h" -> (DateTimeQueries.q107Trailing1h _),
+    "q108_dup_degree_dist" -> (TextQueries.q108DupDegreeDist _),
+    "q109_source_mix" -> (TextQueries.q109SourceMix _),
+    "q110_value_quantiles" -> (DateTimeQueries.q110ValueQuantiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

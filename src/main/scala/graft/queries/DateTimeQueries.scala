@@ -431,7 +431,92 @@ object DateTimeQueries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** q107: trailing time-RANGE window aggregate — per event, the 1-hour
+    * trailing sum/count of `value` for the same user. The frame is a RANGE
+    * (interval) frame over epoch-micros, not a ROWS frame: peers at the
+    * boundary are included by time, which is the contract monitoring and
+    * feature-engineering pipelines actually want. Value is quantized to
+    * integer cents BEFORE the frame sum, so the windowed total is exact
+    * integer arithmetic — engine-portable regardless of frame evaluation
+    * order. One user_id shuffle; the frame scan is a per-partition
+    * two-pointer pass over the sorted run. */
+  def q107Trailing1h(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+    e.select(col("event_id"), col("user_id"), col("ts_us"),
+      (sum(col("cents")).over(w).cast("double") / lit(100.0)).as("trailing_sum"),
+      count(lit(1)).over(w).as("trailing_n"))
+  }
+
+  /** q110: discrete percentiles + mode per group — completes q49's
+    * percentile_cont contract with the DISC form (smallest actual value
+    * whose cumulative fraction reaches p; never interpolated, so the
+    * output is always a real data point) and a deterministically
+    * tie-broken mode (count desc, value asc — engines disagree on raw
+    * mode() ties). All selection happens on integer cents and integer
+    * cumulative counts (`cum*100 >= tot*p` — no ceil, no FP); one
+    * (type, cents) pre-agg shrinks the window input to the distinct-value
+    * stream, then one type-partitioned sort serves the cumulative sum,
+    * the total, and the mode rank. */
+  def q110ValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("n"))
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byFreq = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("cents").asc)
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(byVal))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("rn", row_number().over(byFreq))
+    cum.groupBy(col("event_type"))
+      .agg(
+        max(col("tot")).as("n_events"),
+        min(when(col("cum") * 100 >= col("tot") * 25, col("cents"))).as("p25c"),
+        min(when(col("cum") * 100 >= col("tot") * 50, col("cents"))).as("p50c"),
+        min(when(col("cum") * 100 >= col("tot") * 90, col("cents"))).as("p90c"),
+        max(when(col("rn") === 1, col("cents"))).as("modec"),
+        max(when(col("rn") === 1, col("n"))).as("mode_n"))
+      .select(col("event_type"), col("n_events"),
+        (col("p25c").cast("double") / 100).as("p25"),
+        (col("p50c").cast("double") / 100).as("p50"),
+        (col("p90c").cast("double") / 100).as("p90"),
+        (col("modec").cast("double") / 100).as("mode_value"),
+        col("mode_n"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q107_trailing_1h" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS trailing_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q110_value_quantiles" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, cents, n,
+        |  SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(n) OVER (PARTITION BY event_type) AS tot,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, cents ASC) AS rn FROM c)
+        |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 25 THEN cents END) AS DOUBLE) / 100 AS p25,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN cents END) AS DOUBLE) / 100 AS p50,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN cents END) AS DOUBLE) / 100 AS p90,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100 AS mode_value,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS mode_n
+        |FROM w GROUP BY event_type""".stripMargin,
+
     "q101_markov_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type

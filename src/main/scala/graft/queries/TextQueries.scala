@@ -954,6 +954,52 @@ object TextQueries {
           .as("df_share"))
   }
 
+  /** q108: near-dup graph degree distribution — per-document degree over
+    * the q19 LSH candidate edges, aggregated to (degree, n_docs). The
+    * shape of this distribution is the dedup health check at scale: a
+    * heavy tail means template/boilerplate hubs that LSH banding will
+    * grind on (q99's degree-orientation refinement exists for exactly
+    * those). Edges stream straight out of the band join; both aggs are
+    * map-side combined; the distribution itself is tiny. */
+  def q108DupDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q19MinhashLsh(spark, dir)
+    pairs.select(col("doc1").as("doc_id"))
+      .unionAll(pairs.select(col("doc2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** q109: temperature-scaled source mixing — the multinomial
+    * mixture-weighting step of corpus assembly: per-source char share,
+    * α=0.5-tempered sampling weight w_s ∝ share^α (upweights small
+    * sources without letting them dominate), and the implied epochs-per-
+    * source (w/share — how many passes over each source one pass over
+    * the mixture makes). Shares and weights are quantized to 1e-6 BEFORE
+    * the cross-source normalizing sum, so every division is a ratio of
+    * exact integers and the 5-row result is engine-bit-identical; sqrt
+    * is IEEE-exact on both engines. Two tiny aggs + two 1-row broadcast
+    * joins; the corpus is scanned once. (Char totals here fit comfortably
+    * in int64; a >1e12-char corpus would swap the quantized longs for
+    * DECIMAL accumulators, q39's convention.) */
+  def q109SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_chars")).as("c_total"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share_q", expr("(2 * n_chars * 1000000 + c_total) DIV (2 * c_total)"))
+      .withColumn("sq",
+        floor(sqrt(col("share_q").cast("double") / lit(1e6)) * lit(1e6)).cast("long"))
+    val qtot = shared.agg(sum(col("sq")).as("q_total"))
+    shared.crossJoin(broadcast(qtot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        (col("share_q").cast("double") / lit(1e6)).as("share"),
+        (expr("(2 * sq * 1000000 + q_total) DIV (2 * q_total)").cast("double")
+          / lit(1e6)).as("weight"),
+        (expr("(2 * sq * 1000000 * 10000 + q_total * share_q) DIV (2 * q_total * share_q)")
+          .cast("double") / lit(1e4)).as("epochs"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1114,6 +1160,30 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q108_dup_degree_dist" ->
+      s"""WITH e AS ($minhashPairsSql),
+         |d AS (SELECT doc1 AS doc_id FROM e UNION ALL SELECT doc2 FROM e),
+         |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM d GROUP BY 1)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM deg GROUP BY 1""".stripMargin,
+
+    "q109_source_mix" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS c_total FROM per),
+        |s AS (SELECT per.*, c_total,
+        |  CAST((2 * n_chars * 1000000 + c_total) // (2 * c_total) AS BIGINT) AS share_q
+        |  FROM per CROSS JOIN tot),
+        |s2 AS (SELECT *, CAST(FLOOR(SQRT(share_q / 1e6) * 1e6) AS BIGINT) AS sq FROM s),
+        |qt AS (SELECT CAST(SUM(sq) AS BIGINT) AS q_total FROM s2)
+        |SELECT source, n_docs, n_chars,
+        |  CAST(share_q AS DOUBLE) / 1e6 AS share,
+        |  CAST((2 * sq * 1000000 + q_total) // (2 * q_total) AS DOUBLE) / 1e6 AS weight,
+        |  CAST((2 * sq * 1000000 * 10000 + q_total * share_q)
+        |    // (2 * q_total * share_q) AS DOUBLE) / 1e4 AS epochs
+        |FROM s2 CROSS JOIN qt""".stripMargin,
 
     "q105_stopword_induction" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token

@@ -107,6 +107,40 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, "aaaa"), (1L, 2L, "bbbb<|doc|>cccc")))
   }
 
+  test("q107 RANGE frame edge: an event exactly 1h back is IN the trailing window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_ev107").toString
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    t2.setNanos(1000) // +1us: pushes the first event just out of range
+    Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.00, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "view", 2.00, "{}"),
+      (2L, t2, 1L, "view", 4.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.DateTimeQueries.q107Trailing1h(spark, dir)
+      .orderBy("event_id").select("trailing_sum", "trailing_n")
+      .as[(Double, Long)].collect().toSeq
+    // event 1: exactly -1h peer included (RANGE boundary is inclusive);
+    // event 2: event 1 is 3600.000001s back -> excluded, window is itself only
+    assert(got === Seq((1.00, 1L), (3.00, 2L), (4.00, 1L)))
+  }
+
+  test("q110 mode edge: frequency ties break to the LOWER value, disc percentiles are data points") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_ev110").toString
+    Seq(1.00, 1.00, 2.00, 2.00, 3.00).zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"), 1L, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.DateTimeQueries.q110ValueQuantiles(spark, dir).collect().head
+    assert(r.getAs[Double]("mode_value") === 1.00) // tie 1.0 vs 2.0 -> lower wins
+    assert(r.getAs[Long]("mode_n") === 2L)
+    assert(r.getAs[Double]("p25") === 1.00)
+    assert(r.getAs[Double]("p50") === 2.00) // disc: a real data point, not 1.5
+    assert(r.getAs[Double]("p90") === 3.00)
+  }
+
   test("q60 all-zero embedding: NULL scale and stats, never Infinity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
