@@ -125,7 +125,10 @@ object SparkEntry {
     "q107_trailing_1h" -> (DateTimeQueries.q107Trailing1h _),
     "q108_dup_degree_dist" -> (TextQueries.q108DupDegreeDist _),
     "q109_source_mix" -> (TextQueries.q109SourceMix _),
-    "q110_value_quantiles" -> (DateTimeQueries.q110ValueQuantiles _)
+    "q110_value_quantiles" -> (DateTimeQueries.q110ValueQuantiles _),
+    "q111_lang_topic_chisq" -> (TextQueries.q111LangTopicChisq _),
+    "q112_class_separation" -> (SimilarityQueries.q112ClassSeparation _),
+    "q113_containment" -> (TextQueries.q113Containment _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

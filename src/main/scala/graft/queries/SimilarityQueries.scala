@@ -260,6 +260,39 @@ object SimilarityQueries {
         round(col("pos_cs") - col("neg_cs"), 6).as("margin"))
   }
 
+  /** q112: embedding class-separation audit — per label, the mean cosine
+    * of members to their OWN centroid vs to the best OTHER centroid, and
+    * the margin between them. Negative or small margins flag label classes
+    * the embedding space cannot actually separate — the go/no-go check
+    * before trusting labels for hard-negative mining (q90/q106). Centroids
+    * are q39's quantized means (bit-exact cross-engine), broadcast as a
+    * 10-row table; the corpus is scanned once and never shuffles until the
+    * per-label agg of quantized cosines (integer sums, doubles only at
+    * output — the margin is an integer difference, immune to summation
+    * order). */
+  def q112ClassSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val cent = q39Centroids(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("centroid"))
+    val scored = Tables.embeddings(spark, dir).crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        (col("label") === col("c_label")).as("own"),
+        Similarity.cosine(col("embedding"), col("centroid")).as("cs"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("own"), col("cs"))).as("own_cs"),
+        max(when(!col("own"), col("cs"))).as("other_cs"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("own_cs") * 1e6).cast("long")).as("iq"),
+        sum(floor(col("other_cs") * 1e6).cast("long")).as("oq"))
+      .select(col("label"), col("n"),
+        (col("iq").cast("double") / 1e6 / col("n")).as("intra_cos"),
+        (col("oq").cast("double") / 1e6 / col("n")).as("inter_cos"),
+        ((col("iq") - col("oq")).cast("double") / 1e6 / col("n")).as("margin"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -382,6 +415,29 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q112_class_separation" ->
+      s"""WITH cm AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+         |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / COUNT(*) AS mean
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u
+         |  GROUP BY label, i),
+         |cent AS (SELECT label AS c_label, list(mean ORDER BY dim) AS centroid
+         |  FROM cm GROUP BY 1),
+         |sc AS (SELECT e.vec_id, e.label, e.label = c.c_label AS own,
+         |  ${cosSql("e.embedding", "c.centroid")} AS cs
+         |  FROM embeddings e CROSS JOIN cent c),
+         |p AS (SELECT vec_id, label,
+         |  MAX(CASE WHEN own THEN cs END) AS own_cs,
+         |  MAX(CASE WHEN NOT own THEN cs END) AS other_cs
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(FLOOR(own_cs * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS intra_cos,
+         |  CAST(SUM(CAST(FLOOR(other_cs * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS inter_cos,
+         |  CAST(SUM(CAST(FLOOR(own_cs * 1e6) AS BIGINT))
+         |    - SUM(CAST(FLOOR(other_cs * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS margin
+         |FROM p GROUP BY label""".stripMargin,
+
     "q106_contrastive_triplets" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
          |  FROM embeddings WHERE vec_id % 25 = 0),

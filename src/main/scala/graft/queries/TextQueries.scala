@@ -1000,6 +1000,63 @@ object TextQueries {
           .cast("double") / lit(1e4)).as("epochs"))
   }
 
+  /** q111: categorical-association audit — the chi-square contingency
+    * table between the document's METADATA label (lang) and its
+    * CONTENT-derived topic (q16's predictor): observed count, expected
+    * count under independence, and the per-cell chi-square contribution.
+    * Large contributions localize where metadata and content disagree —
+    * the drill-down behind a label-noise alarm. Zero cells are emitted
+    * via the row×column spine (q103's lesson: GROUP BY alone drops them,
+    * and a chi-square over missing cells is wrong). All arithmetic is
+    * integer until the output divide: E = R·C/N and (O·N − R·C)²/(R·C·N)
+    * with the half-up rule, so the statistic is engine-exact. One corpus
+    * scan; everything after is broadcast joins over ≤ |langs|×|topics|
+    * rows. */
+  def q111LangTopicChisq(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TA.langScores(col("text"), profiles)
+    val obs = Tables.documents(spark, dir)
+      .select(col("lang"), TA.langPredict(scores).as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n_obs"))
+    val rowTot = obs.groupBy(col("lang")).agg(sum(col("n_obs")).as("r_tot"))
+    val colTot = obs.groupBy(col("predicted")).agg(sum(col("n_obs")).as("c_tot"))
+    val nTot = obs.agg(sum(col("n_obs")).as("n_tot"))
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq("lang", "predicted"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("d", col("n_obs") * col("n_tot") - col("r_tot") * col("c_tot"))
+      .select(col("lang"), col("predicted"), col("n_obs"),
+        (expr("(2 * r_tot * c_tot * 10000 + n_tot) DIV (2 * n_tot)")
+          .cast("double") / lit(1e4)).as("expected"),
+        (expr("(2 * d * d * 100 + r_tot * c_tot * n_tot) DIV (2 * r_tot * c_tot * n_tot)")
+          .cast("double") / lit(1e2)).as("chi2_contrib"))
+  }
+
+  /** q113: containment (asymmetric Jaccard) on the LSH candidate pairs —
+    * |A∩B|/|A| and |A∩B|/|B| over 3-shingle sets. Symmetric Jaccard
+    * (q20) misses sub-document duplication: a short doc fully quoted
+    * inside a long one scores low Jaccard but containment ≈ 1 on the
+    * short side — the signal quote/boilerplate dedup actually needs.
+    * Same band-bucket candidate stream and verify-join shape as q20
+    * (and the same measured no-persist decision); ratios via the
+    * integer half-up rule. */
+  def q113Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    Dedup.candidatePairs(bandedFrom(docs))
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("s1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("s2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        size(array_distinct(col("s1"))).cast("long").as("n1"),
+        size(array_distinct(col("s2"))).cast("long").as("n2"),
+        size(filter(array_distinct(col("s1")), x => array_contains(col("s2"), x)))
+          .cast("long").as("inter"))
+      .withColumn("contain1",
+        expr("(2 * inter * 10000 + n1) DIV (2 * n1)").cast("double") / lit(1e4))
+      .withColumn("contain2",
+        expr("(2 * inter * 10000 + n2) DIV (2 * n2)").cast("double") / lit(1e4))
+      .filter(greatest(col("contain1"), col("contain2")) >= 0.3)
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1160,6 +1217,50 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q111_lang_topic_chisq" ->
+      s"""WITH o AS (SELECT lang,
+         |  CASE
+         |    WHEN ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(1)._2)}
+         |     AND ${scoreSql(profiles(0)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'qry'
+         |    WHEN ${scoreSql(profiles(1)._2)} >= ${scoreSql(profiles(2)._2)} THEN 'str'
+         |    ELSE 'tab'
+         |  END AS predicted,
+         |  CAST(COUNT(*) AS BIGINT) AS n_obs FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS r_tot FROM o GROUP BY 1),
+         |c AS (SELECT predicted, CAST(SUM(n_obs) AS BIGINT) AS c_tot FROM o GROUP BY 1),
+         |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM o),
+         |g AS (SELECT r.lang, c.predicted, r.r_tot, c.c_tot, n.n_tot,
+         |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+         |  FROM r CROSS JOIN c CROSS JOIN n
+         |  LEFT JOIN o ON o.lang = r.lang AND o.predicted = c.predicted),
+         |d AS (SELECT *, n_obs * n_tot - r_tot * c_tot AS d FROM g)
+         |SELECT lang, predicted, n_obs,
+         |  CAST((2 * r_tot * c_tot * 10000 + n_tot) // (2 * n_tot) AS DOUBLE) / 1e4 AS expected,
+         |  CAST((2 * d * d * 100 + r_tot * c_tot * n_tot)
+         |    // (2 * r_tot * c_tot * n_tot) AS DOUBLE) / 1e2 AS chi2_contrib
+         |FROM d""".stripMargin,
+
+    "q113_containment" ->
+      s"""WITH e AS ($minhashPairsSql),
+         |st AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ss AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM st),
+         |j AS (SELECT e.doc1, e.doc2, a.s AS s1, b.s AS s2 FROM e
+         |  JOIN ss a ON a.doc_id = e.doc1 JOIN ss b ON b.doc_id = e.doc2),
+         |m AS (SELECT doc1, doc2,
+         |  CAST(len(list_distinct(s1)) AS BIGINT) AS n1,
+         |  CAST(len(list_distinct(s2)) AS BIGINT) AS n2,
+         |  CAST(len(list_filter(list_distinct(s1), x -> list_contains(s2, x))) AS BIGINT) AS inter
+         |  FROM j),
+         |f AS (SELECT doc1, doc2, n1, n2, inter,
+         |  CAST((2 * inter * 10000 + n1) // (2 * n1) AS DOUBLE) / 1e4 AS contain1,
+         |  CAST((2 * inter * 10000 + n2) // (2 * n2) AS DOUBLE) / 1e4 AS contain2
+         |  FROM m)
+         |SELECT * FROM f WHERE GREATEST(contain1, contain2) >= 0.3""".stripMargin,
 
     "q108_dup_degree_dist" ->
       s"""WITH e AS ($minhashPairsSql),
