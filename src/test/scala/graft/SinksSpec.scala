@@ -165,4 +165,27 @@ class SinksSpec extends SparkSpec {
       assert(back === rows.toSet, s"$fmt round-trip mangled values")
     }
   }
+
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    import spark.implicits._
+    // orc is the columnar interchange twin of parquet (both ship in Spark
+    // core) — same typed round-trip contract, plus predicate pushdown:
+    // the lake must not lose either property when the format changes.
+    val rows = Seq(
+      (1L, "plain", 1.5, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")),
+      (2L, "a,b\"q\nnl", -0.25, java.sql.Timestamp.valueOf("2024-06-30 23:59:59.0")),
+      (3L, "unicode £é中", 0.0, java.sql.Timestamp.valueOf("2024-12-31 00:00:00.0")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    rows.toDF("id", "s", "v", "ts").write.mode("overwrite").orc(dir)
+    val back = spark.read.schema("id BIGINT, s STRING, v DOUBLE, ts TIMESTAMP")
+      .orc(dir)
+    assert(back.as[(Long, String, Double, java.sql.Timestamp)].collect().toSet
+      === rows.toSet, "orc round-trip mangled values")
+    val plan = back.filter(col("id") > 1L).select("id", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"orc scan did not push the filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"orc scan did not prune columns:\n$plan")
+  }
 }
