@@ -245,19 +245,21 @@ object SimilarityQueries {
       .select(col("qid"), col("q_label"), col("vec_id").as("nid"),
         (col("label") === col("q_label")).as("same"),
         Similarity.cosine(col("qe"), col("embedding")).as("cs"))
-    val w = Window.partitionBy(col("qid"), col("same"))
-      .orderBy(col("cs").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("qid"), col("q_label"))
+    // top-1 per (anchor, same?) as a struct-MAX, not a window: (cs, -nid)
+    // orders lexicographically = (cs desc, nid asc) rank 1, but aggregates
+    // partially map-side — the shuffle carries one partial state per
+    // (anchor, side) per partition instead of the whole 2·|anchors|-times-
+    // duplicated scored stream a row_number window would sort.
+    val best = struct(col("cs"), (-col("nid")).as("neg_nid"))
+    scored.groupBy(col("qid"), col("q_label"))
       .agg(
-        max(when(col("same"), col("nid"))).as("pos_id"),
-        max(when(col("same"), col("cs"))).as("pos_cs"),
-        max(when(!col("same"), col("nid"))).as("neg_id"),
-        max(when(!col("same"), col("cs"))).as("neg_cs"))
-      .select(col("qid"), col("q_label"), col("pos_id"), col("neg_id"),
-        round(col("pos_cs"), 6).as("pos_cos"),
-        round(col("neg_cs"), 6).as("neg_cos"),
-        round(col("pos_cs") - col("neg_cs"), 6).as("margin"))
+        max(when(col("same"), best)).as("p"),
+        max(when(!col("same"), best)).as("n"))
+      .select(col("qid"), col("q_label"),
+        (-col("p.neg_nid")).as("pos_id"), (-col("n.neg_nid")).as("neg_id"),
+        round(col("p.cs"), 6).as("pos_cos"),
+        round(col("n.cs"), 6).as("neg_cos"),
+        round(col("p.cs") - col("n.cs"), 6).as("margin"))
   }
 
   /** q112: embedding class-separation audit — per label, the mean cosine

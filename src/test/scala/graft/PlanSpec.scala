@@ -288,6 +288,82 @@ class PlanSpec extends SparkSpec {
       "1-row min-count frame was not broadcast:\n" + p.take(800))
   }
 
+  private def walkWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      walkWindows(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walkWindows(q.plan)
+    case w: org.apache.spark.sql.execution.window.WindowExec =>
+      w +: w.children.flatMap(walkWindows)
+    case other => other.children.flatMap(walkWindows)
+  }
+
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      countShuffles(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => countShuffles(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      1 + s.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
+
+  test("q104: shard blob assembly never runs a partitionless window") {
+    val df = graft.queries.TextQueries.q104ShardBlobs(spark, sfDir)
+    df.collect()
+    val ws = walkWindows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the GlobalIndex per-partition rank window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "cumulative-sum window lost its partition spec (single-partition funnel)"))
+  }
+
+  test("q106: triplet mining is broadcast-only — no window sort, corpus never shuffles pre-agg") {
+    val df = SimilarityQueries.q106ContrastiveTriplets(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "anchor set should broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for a join")
+    assert(walkWindows(df.queryExecution.executedPlan).isEmpty,
+      "top-1 should be a struct-max aggregate, not a row_number window")
+    assert(p.contains("partial_"), "top-1 aggregate lost map-side combine")
+  }
+
+  test("q107: trailing RANGE window is ONE user_id shuffle, frame partitioned") {
+    val df = graft.queries.DateTimeQueries.q107Trailing1h(spark, sfDir)
+    df.collect()
+    assert(countShuffles(df.queryExecution.executedPlan) === 1,
+      "expected exactly one exchange (hash by user_id)")
+    val ws = walkWindows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "RANGE frame must stay partitioned by user_id")
+  }
+
+  test("q110: quantile windows ride ONE event_type exchange, all partitioned") {
+    val df = graft.queries.DateTimeQueries.q110ValueQuantiles(spark, sfDir)
+    df.collect()
+    val ws = walkWindows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "cumulative/mode windows must stay partitioned by event_type")
+  }
+
+  test("q112: centroids broadcast; corpus joins nothing by shuffle") {
+    val df = SimilarityQueries.q112ClassSeparation(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "10-row centroid table should broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for a join")
+    assert(p.contains("partial_"), "per-vector reduce lost map-side combine")
+  }
+
+  test("q113: containment candidates come from the band equi-join, never a cartesian") {
+    val df = graft.queries.TextQueries.q113Containment(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment degenerated to an all-pairs product:\n" + p.take(800))
+  }
+
   test("q98: custom UDAF aggregates partially (map-side) like a built-in agg") {
     val p = planString(graft.queries.TextQueries.q98SigUnion(spark, sfDir))
     assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
