@@ -489,7 +489,65 @@ object DateTimeQueries {
         col("mode_n"))
   }
 
+  /** q114: winsorization audit — per event_type, the p01/p99 discrete
+    * thresholds (q110's integer machinery), the rows each tail clips, and
+    * the raw vs winsorized totals. The audit a feature pipeline runs
+    * BEFORE committing to clipping: if n_clip or the total shift is large,
+    * the thresholds are wrong, not the data. Thresholds come off the
+    * (type, cents) count agg and broadcast back over the event stream —
+    * two scans of events (threshold + clip), the price of any
+    * data-dependent clip; all totals are integer cents. */
+  def q114Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = ev.groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(byVal))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") * 100 >= col("tot") * 1, col("cents"))).as("lo_c"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("cents"))).as("hi_c"))
+    ev.join(broadcast(thr), Seq("event_type"))
+      .withColumn("clipped", greatest(col("lo_c"), least(col("hi_c"), col("cents"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("cents")).as("raw_c"), sum(col("clipped")).as("win_c"),
+        max(col("lo_c")).as("lo"), max(col("hi_c")).as("hi"))
+      .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        (col("lo").cast("double") / 100).as("p01"),
+        (col("hi").cast("double") / 100).as("p99"),
+        (col("raw_c").cast("double") / 100).as("raw_sum"),
+        (col("win_c").cast("double") / 100).as("winsorized_sum"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q114_winsorize" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, cents, n,
+        |  SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(n) OVER (PARTITION BY event_type) AS tot FROM c),
+        |thr AS (SELECT event_type,
+        |  MIN(CASE WHEN cum * 100 >= tot * 1 THEN cents END) AS lo_c,
+        |  MIN(CASE WHEN cum * 100 >= tot * 99 THEN cents END) AS hi_c
+        |  FROM w GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(MAX(lo_c) AS DOUBLE) / 100 AS p01,
+        |  CAST(MAX(hi_c) AS DOUBLE) / 100 AS p99,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS raw_sum,
+        |  CAST(SUM(GREATEST(lo_c, LEAST(hi_c, cents))) AS DOUBLE) / 100 AS winsorized_sum
+        |FROM e JOIN thr USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+
     "q107_trailing_1h" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)

@@ -1057,6 +1057,38 @@ object TextQueries {
       .filter(greatest(col("contain1"), col("contain2")) >= 0.3)
   }
 
+  /** q115: bigram-LM quality scoring — per-doc mean conditional log-prob
+    * ln(c(w1,w2)/c(w1·)) over consecutive token pairs, the next step up
+    * from q89's unigram model (predictable local word order scores high;
+    * shuffled/garbled text scores low even when its unigrams are common).
+    * c(w1·) is the pair-prefix marginal, so probabilities sum to 1 per
+    * prefix with no end-of-doc special case. The pair stream, the bigram
+    * count, and the count-join all share the (w1,w2) hash partitioning;
+    * the prefix marginal broadcasts (vocab-bounded). ln is floor-
+    * quantized to integer micro-nats BEFORE the per-doc sum (q89's
+    * engine-portability rule). 100 TB path: same as q89 — top-K bigram
+    * table broadcast + OOV floor, or keep the shuffle join. */
+  def q115BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2) // Spark sequence(1,0) counts DOWN
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs.join(bi, Seq("w1", "w2")).join(broadcast(uni), Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c2").cast("double") / col("c1").cast("double")) * lit(1e6))
+          .cast("long").as("lp_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lp_q")).as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("s").cast("double") / lit(1e6) / col("n_pairs").cast("double"), 4)
+          .as("avg_logprob"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1217,6 +1249,22 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q115_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p0 AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS pr
+         |  FROM t),
+         |p AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p0),
+         |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY 1, 2),
+         |uni AS (SELECT w1, COUNT(*) AS c1 FROM p GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |  CAST(FLOOR(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+         |  FROM p JOIN bi USING (w1, w2) JOIN uni USING (w1))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(SUM(lp_q) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_logprob
+         |FROM q GROUP BY doc_id""".stripMargin,
 
     "q111_lang_topic_chisq" ->
       s"""WITH o AS (SELECT lang,

@@ -141,6 +141,27 @@ class OpsEdgeSpec extends SparkSpec {
     assert(r.getAs[Double]("p90") === 3.00)
   }
 
+  test("q115 bigram edge: single-token docs emit no row (Spark sequence(1,0) counts DOWN)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs115").toString
+    Seq(
+      (0L, "lone", "en", "src0", 4L),        // 1 token: no pairs, no row
+      (1L, "ab ab cd", "en", "src0", 8L),    // pairs: (ab,ab), (ab,cd)
+      (2L, "ab cd", "en", "src0", 5L))       // pair: (ab,cd)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q115BigramLogprob(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // model: c(ab,ab)=1, c(ab,cd)=2, c(ab .)=3  ->  lp(ab,ab)=ln(1/3), lp(ab,cd)=ln(2/3)
+    val q = (x: Double) => math.floor(math.log(x) * 1e6) / 1e6
+    def avg(v: Double*) = BigDecimal(v.sum / v.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) === Seq(1L, 2L)) // doc 0 absent, not a crash or a NaN row
+    assert(got === Seq(
+      (1L, 2L, avg(q(1.0 / 3), q(2.0 / 3))),
+      (2L, 1L, avg(q(2.0 / 3)))))
+  }
+
   test("q60 all-zero embedding: NULL scale and stats, never Infinity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
