@@ -446,4 +446,55 @@ object CoreQueries {
       .filter(col("p_size") === col("best_size"))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
   }
+
+  /** q116: TPC-H Q21 shape — the triple-correlated EXISTS / NOT-EXISTS
+    * query ("suppliers who were the ONLY supplier with a returned item in
+    * a multi-supplier finished order"), decorrelated the way a warehouse
+    * must run it: ONE per-order aggregate computes the distinct-supplier
+    * and distinct-returned-supplier counts, and both correlated
+    * predicates collapse to filters on that aggregate — lineitem is
+    * scanned once, not three times, and nothing is re-probed per row.
+    * The oracle deliberately runs the LITERAL EXISTS/NOT EXISTS
+    * formulation (q92's two-formulations rule: independent algorithms
+    * must agree). Top-10 on a total order (numwait desc, s_name) plans
+    * as TakeOrderedAndProject. */
+  def q116SoleReturnedSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val fLi = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+    val qualifying = fLi.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+      .select(col("l_orderkey"))
+    fLi.filter(col("l_returnflag") === "R")
+      .join(qualifying, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
+  /** q117: TPC-H Q16 shape — supplier diversity per part family with a
+    * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
+    * join (the blacklist is bounded); the (part, supplier) association is
+    * deduplicated BEFORE the part join so the distinct-count shuffle
+    * carries association keys, not lineitem rows. */
+  def q117PartSupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val blacklist = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
 }

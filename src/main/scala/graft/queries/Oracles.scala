@@ -275,6 +275,38 @@ object Oracles {
         |FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
+
+    // deliberately the literal triple-correlated EXISTS / NOT EXISTS
+    // formulation — the Spark side runs the single-pass aggregate
+    // decorrelation; two independent formulations must agree
+    "q116_sole_returned_supplier" ->
+      """WITH f AS (SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM f l1
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM f l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM f l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_returnflag = 'R')
+        |) w JOIN supplier ON s_suppkey = w.l_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "q117_part_supplier_diversity" ->
+      """SELECT p_brand, p_type,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin
   )
 }
