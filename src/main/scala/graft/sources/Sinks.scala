@@ -116,4 +116,24 @@ object Sinks {
   def readDatePartition(spark: SparkSession, path: String, ds: String,
                         dateCol: String = "day_of_data"): DataFrame =
     spark.read.parquet(path).filter(col(dateCol) === ds)
+
+  /** Small-file compaction of ONE date partition — the OPTIMIZE step of a
+    * streaming/incremental lake: micro-batch appends accumulate tiny files
+    * (open-file cost dominates the scan; a 100 TB table of 8 MB files is
+    * unreadable), so periodically a partition is rewritten into
+    * `targetFiles` files, re-sorted on the cluster key so the compaction
+    * also RESTORES the row-group-stat tightness interleaved appends
+    * destroyed. Read → repartition → sortWithinPartitions → dynamic
+    * overwrite of just that partition; readers before/after see the same
+    * rows (idempotent, content-preserving). At 100 TB this runs per
+    * partition, embarrassingly parallel across dates. */
+  def compactDatePartition(spark: SparkSession, path: String, ds: String,
+                           targetFiles: Int, clusterBy: String,
+                           dateCol: String = "day_of_data"): Unit = {
+    val part = readDatePartition(spark, path, ds, dateCol)
+      .repartition(targetFiles)
+      .sortWithinPartitions(col(clusterBy))
+      .localCheckpoint() // materialize BEFORE the overwrite deletes inputs
+    overwriteDatePartition(part, path, dateCol)
+  }
 }

@@ -118,6 +118,19 @@ object Streams {
       .drop("r_key")
   }
 
+  /** Stream-static enrichment join — the streaming twin of J1's broadcast
+    * dimension join: every micro-batch left-joins the bounded dimension
+    * table, keeping stream rows with no match (NULL dim columns) rather
+    * than dropping them mid-pipeline. No watermark and no join state —
+    * the static side is not stateful; it is RE-PLANNED each micro-batch,
+    * so a file-backed dimension picks up upserts (Dims.upsertRegionDim)
+    * between batches without restarting the query. At scale this is the
+    * same broadcast the batch mart join uses — the stream never
+    * shuffles. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Stream -> date-partitioned parquet lake via foreachBatch: each
     * micro-batch appends into `day_of_data=<date>` partitions
     * ([[graft.sources.Sinks.appendDatePartition]]'s layout), so downstream

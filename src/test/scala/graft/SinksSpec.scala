@@ -166,6 +166,31 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites a partition to N sorted files, preserving rows exactly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = (0 until 2000).map(i => ((i * 7919) % 2000, s"v$i", "2024-03-01"))
+    // simulate micro-batch litter: two appends of 8 files each, unsorted
+    for (half <- rows.grouped(1000))
+      graft.sources.Sinks.appendDatePartition(
+        half.toDF("k", "v", "day_of_data").repartition(8), path)
+    def partFiles = new java.io.File(s"$path/day_of_data=2024-03-01")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(partFiles.length === 16, "setup should litter 16 small files")
+    val before = spark.read.parquet(path).as[(Int, String, String)].collect().sorted
+    graft.sources.Sinks.compactDatePartition(spark, path, "2024-03-01",
+      targetFiles = 2, clusterBy = "k")
+    assert(partFiles.length === 2, "compaction must hit the target file count")
+    val after = spark.read.parquet(path).as[(Int, String, String)].collect().sorted
+    assert(after === before, "compaction changed the data")
+    // the rewrite must also restore clustering: each file sorted on k
+    for (f <- partFiles) {
+      val ks = spark.read.parquet(f.getAbsolutePath).select("k").as[Int].collect()
+      assert(ks.zip(ks.tail).forall { case (a, b) => a <= b },
+        s"${f.getName} not sorted on the cluster key")
+    }
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     import spark.implicits._
     // orc is the columnar interchange twin of parquet (both ship in Spark

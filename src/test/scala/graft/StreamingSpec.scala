@@ -24,9 +24,10 @@ class StreamingSpec extends SparkSpec {
     Event(6, ts(25), 1, "click", 4.0),
     Event(4, ts(11), 1, "click", 3.0)) // duplicate event_id 4
 
-  private def runComplete(stream: DataFrame, name: String): DataFrame = {
+  private def runComplete(stream: DataFrame, name: String,
+                          mode: OutputMode = OutputMode.Complete): DataFrame = {
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+      .outputMode(mode).start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
   }
@@ -106,6 +107,21 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((4L, 10L)))
     assert(!pairs.exists(_._2 == 11L))
+  }
+
+  test("enrichWithDim: stream-static broadcast join, stream == batch, unmatched keep NULL") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (99L, "unused")).toDF("user_id", "tier")
+    val streamed = runComplete(
+      Streams.enrichWithDim(feed(batch1), dim), "enrich",
+      OutputMode.Append)
+    val batch = Streams.enrichWithDim(batch1.toDF(), dim)
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    assert(streamed.count() === batch1.size.toLong, "left join must not drop or fan out")
+    val byUser = streamed.select("user_id", "tier").distinct()
+      .as[(Long, Option[String])].collect().toMap
+    assert(byUser(1L) === Some("gold"))
+    assert(byUser(2L) === None, "unmatched stream rows must keep NULL tier, not drop")
   }
 
   test("streamStreamJoin left_outer: unmatched left rows emit NULLs after watermark expiry") {
