@@ -1089,6 +1089,54 @@ object TextQueries {
           .as("avg_logprob"))
   }
 
+  /** q118: token-distribution drift — per-token KL(P‖Q) contribution
+    * between a candidate slice of the corpus (sources src0–src4, standing
+    * in for "the new crawl batch") and the rest, with add-1 smoothing
+    * over the union vocabulary so no side divides by zero. This is the
+    * drift monitor that catches a scraper change or an injected spam
+    * campaign before it trains: large positive contributions are tokens
+    * the new batch over-represents. One token-count shuffle; totals and
+    * vocab size ride back as a broadcast 1-row frame; ln runs on exact
+    * integer ratios so the contribution is engine-deterministic, floor-
+    * quantized to 1e-9 nats. */
+  def q118TokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(
+      col("source").isin("src0", "src1", "src2", "src3", "src4").as("in_a"),
+      explode(TA.tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val tots = counts.agg(
+      sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tots))
+      .withColumn("p", (col("cnt_a") + 1).cast("double")
+        / (col("n_a") + col("v")).cast("double"))
+      .withColumn("q", (col("cnt_b") + 1).cast("double")
+        / (col("n_b") + col("v")).cast("double"))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        (floor(col("p") * log(col("p") / col("q")) * lit(1e9)) / lit(1e9))
+          .as("kl_contrib"))
+  }
+
+  /** q119: cross-source near-dup matrix — q19's candidate pairs rolled up
+    * by (source, source): which sources duplicate each other (mirrors,
+    * syndication, scraper overlap) vs only themselves. The matrix drives
+    * source-level dedup policy before doc-level dedup spends compute.
+    * Pair endpoints join to the doc→source map on the doc_id key; the
+    * unordered (a,b) cell is canonicalized with least/greatest so each
+    * pair lands in exactly one cell. */
+  def q119SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    q19MinhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")), Seq("doc1"))
+      .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")), Seq("doc2"))
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1249,6 +1297,34 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q118_token_drift" ->
+      s"""WITH t AS (SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
+         |  unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token,
+         |  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |  CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+         |  FROM t GROUP BY 1),
+         |s AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         |  CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM c)
+         |SELECT token, cnt_a, cnt_b,
+         |  CAST(FLOOR(
+         |    (CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))
+         |       / (CAST(cnt_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE)))
+         |    * 1e9) AS BIGINT) / 1e9 AS kl_contrib
+         |FROM c CROSS JOIN s""".stripMargin,
+
+    "q119_source_overlap" ->
+      s"""WITH e AS ($minhashPairsSql)
+         |SELECT LEAST(a.source, b.source) AS source_a,
+         |  GREATEST(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM e
+         |JOIN documents a ON a.doc_id = e.doc1
+         |JOIN documents b ON b.doc_id = e.doc2
+         |GROUP BY 1, 2""".stripMargin,
 
     "q115_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
