@@ -482,6 +482,32 @@ object CoreQueries {
       .limit(10)
   }
 
+  /** q120: TPC-H Q22 shape — "well-funded idle customers" per nation:
+    * a scalar-aggregate subquery (the mean positive balance) gates the
+    * customer set, an anti join removes everyone with a PENDING order
+    * (every fixture customer has SOME order, so the status filter is what
+    * keeps the anti join non-vacuous), and the survivors aggregate by
+    * nation. The mean comparison never leaves integer space:
+    * `cents·n > sum_cents` is exactly "strictly above the mean" without a
+    * division, so the threshold is engine-exact. The 1-row aggregate
+    * broadcasts; the anti join ships only the filtered o_custkey set. */
+  def q120InactiveRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+    val thr = cust.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("cents") * col("n_pos") > col("s"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("cents")).cast("double") / 100).as("totacctbal"))
+  }
+
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
     * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
     * join (the blacklist is bounded); the (part, supplier) association is

@@ -300,6 +300,20 @@ object Oracles {
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
 
+    "q120_inactive_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pos FROM c WHERE cents > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS totacctbal
+        |FROM c CROSS JOIN t
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE cents * n_pos > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY n_name""".stripMargin,
+
     "q117_part_supplier_diversity" ->
       """SELECT p_brand, p_type,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -1137,6 +1137,27 @@ object TextQueries {
       .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** q121: curriculum ordering — every document's global training order
+    * and phase under an easy→hard schedule (shorter documents first, the
+    * classic length-based curriculum). The global rank runs on
+    * [[graft.ops.GlobalIndex]] (range partition + per-partition window +
+    * broadcast offsets — never a single-partition global window); phase
+    * boundaries are integer thirds of the corpus count, broadcast as a
+    * 1-row frame. The oracle is the declarative ROW_NUMBER twin — the
+    * distributed rank must agree with the single-node window exactly. */
+  def q121Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val ranked = graft.ops.GlobalIndex.withGlobalRank(
+      docs, Seq(col("n_chars"), col("doc_id")), "train_order")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_chars"), col("train_order"),
+        expr("CASE WHEN train_order * 3 <= n_docs THEN 'easy' " +
+          "WHEN train_order * 3 <= 2 * n_docs THEN 'medium' " +
+          "ELSE 'hard' END").as("phase"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1297,6 +1318,17 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  string_agg(head16, '<|doc|>' ORDER BY doc_id) AS blob_head
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q121_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS train_order
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, n_chars, train_order,
+        |  CASE WHEN train_order * 3 <= n_docs THEN 'easy'
+        |       WHEN train_order * 3 <= 2 * n_docs THEN 'medium'
+        |       ELSE 'hard' END AS phase
+        |FROM r CROSS JOIN n""".stripMargin,
 
     "q118_token_drift" ->
       s"""WITH t AS (SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
