@@ -295,6 +295,29 @@ object SimilarityQueries {
         ((col("iq") - col("oq")).cast("double") / 1e6 / col("n")).as("margin"))
   }
 
+  /** q122: higher-order-function surface — the array-HOF inventory
+    * (filter / exists / forall / transform / aggregate) pinned as one
+    * oracle-checked query instead of being exercised only implicitly:
+    * per vector, the positive-dim count, a sparsity flag, a range
+    * invariant, the L1 norm and max |x| — all computed WITHOUT exploding
+    * (the whole point of HOFs at scale: 64 dims stay one row, zero
+    * Generators, zero shuffles). Norms fold over 1e-6-quantized integers
+    * so the aggregate is order-exact. */
+  def q122HofSurface(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val absQ = transform(e, x =>
+      floor(abs(x.cast("double")) * lit(1e6)).cast("long"))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      // compare in DOUBLE: a float-vs-float compare against 0.9f would
+      // test a different threshold (0.90000004...) than the oracle's 0.9
+      size(filter(e, x => x.cast("double") > lit(0.0))).cast("long").as("n_pos"),
+      exists(e, x => x.cast("double") > lit(0.32)).as("has_big"),
+      forall(e, x => abs(x.cast("double")) < lit(0.4)).as("in_range"),
+      (aggregate(absQ, lit(0L), (a, v) => a + v).cast("double") / 1e6).as("l1"),
+      (array_max(absQ).cast("double") / 1e6).as("max_abs"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** Same left-to-right double fold as Similarity.dot. */
@@ -417,6 +440,20 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q122_hof_surface" ->
+      """WITH q AS (SELECT vec_id, embedding AS e,
+        |  list_transform(embedding,
+        |    x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)) AS aq
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(e, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(e, x -> CAST(x AS DOUBLE) > 0.32)) > 0 AS has_big,
+        |  len(list_filter(e, x -> NOT (ABS(CAST(x AS DOUBLE)) < 0.4))) = 0 AS in_range,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), aq),
+        |    (a, b) -> a + b) AS DOUBLE) / 1e6 AS l1,
+        |  CAST(list_max(aq) AS DOUBLE) / 1e6 AS max_abs
+        |FROM q""".stripMargin,
+
     "q112_class_separation" ->
       s"""WITH cm AS (SELECT label, CAST(i - 1 AS INT) AS dim,
          |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)

@@ -191,6 +191,42 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: added column merges across partitions, old rows read NULL") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // day 1 written before the `score` column existed; day 2 after
+    Seq((1L, "a", "2024-04-01"), (2L, "b", "2024-04-01"))
+      .toDF("id", "v", "day_of_data")
+      .write.partitionBy("day_of_data").mode("append").parquet(path)
+    Seq((3L, "c", 0.5, "2024-04-02"))
+      .toDF("id", "v", "score", "day_of_data")
+      .write.partitionBy("day_of_data").mode("append").parquet(path)
+    // default read infers ONE file's schema and silently loses the column
+    // on a mixed table — mergeSchema is the explicit evolution contract
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet === Set("id", "v", "score", "day_of_data"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-evolution rows must read NULL")
+    assert(rows(3L) === Some(0.5))
+  }
+
+  test("corrupt file in the lake: ignoreCorruptFiles reads around it, default read fails") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    Seq((1L, "ok"), (2L, "ok2")).toDF("id", "v")
+      .repartition(1).write.mode("append").parquet(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-corrupt.parquet"),
+      "this is not parquet".getBytes)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(path).collect() // fail-fast is the right DEFAULT
+    }
+    val survivors = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .select("id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 2L), "good files must still read")
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     import spark.implicits._
     // orc is the columnar interchange twin of parquet (both ship in Spark
