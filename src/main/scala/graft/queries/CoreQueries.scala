@@ -508,6 +508,60 @@ object CoreQueries {
         (sum(col("cents")).cast("double") / 100).as("totacctbal"))
   }
 
+  /** q123: TPC-H Q14 shape — promo revenue share per ship month: one
+    * conditional-aggregate pass computes the PROMO slice and the total in
+    * the same shuffle (no second scan, no join of two aggregates), exact
+    * DECIMAL revenue, and the percentage formed with the integer half-up
+    * rule — a ratio of two decimal sums never touches FP until the final
+    * 2-decimal output. */
+  def q123PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+    val rev = dec("l_extendedprice") *
+      (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))
+    li.groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
+          * 10000).cast("long").as("promo_q"),
+        (sum(rev) * 10000).cast("long").as("tot_q"))
+      .select(col("ship_month"),
+        (col("promo_q").cast("double") / 1e4).as("promo_revenue"),
+        (col("tot_q").cast("double") / 1e4).as("total_revenue"),
+        (expr("(2 * promo_q * 10000 + tot_q) DIV (2 * tot_q)").cast("double") / 1e2)
+          .as("promo_pct"))
+  }
+
+  /** q124: TPC-H Q7 shape — trade volume between two specific nations per
+    * order year, both directions. The fact tables join each other on
+    * their keys; every dimension (supplier, customer, nation) broadcasts,
+    * and the two-nation filter is applied on the broadcast dims BEFORE
+    * the fact join, so only qualifying suppliers'/customers' rows flow.
+    * Exact DECIMAL revenue. */
+  def q124NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val rev = dec("l_extendedprice") *
+      (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
     * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
     * join (the blacklist is bounded); the (part, supplier) association is

@@ -314,6 +314,43 @@ object Oracles {
         |    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY n_name""".stripMargin,
 
+    "q123_promo_share" ->
+      """WITH l AS (SELECT EXTRACT(MONTH FROM l_shipdate)::INT AS ship_month,
+        |  p_type,
+        |  CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |a AS (SELECT ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS promo_q,
+        |  CAST(SUM(rev) * 10000 AS BIGINT) AS tot_q
+        |  FROM l GROUP BY 1)
+        |SELECT ship_month,
+        |  CAST(promo_q AS DOUBLE) / 1e4 AS promo_revenue,
+        |  CAST(tot_q AS DOUBLE) / 1e4 AS total_revenue,
+        |  CAST((2 * promo_q * 10000 + tot_q) // (2 * tot_q) AS DOUBLE) / 1e2 AS promo_pct
+        |FROM a""".stripMargin,
+
+    "q124_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  EXTRACT(YEAR FROM o_orderdate)::INT AS order_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "q117_part_supplier_diversity" ->
       """SELECT p_brand, p_type,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
