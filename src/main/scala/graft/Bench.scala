@@ -114,8 +114,15 @@ object Bench {
     val gc = results.map { case (k, (_, _, g)) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    // the round-1 bench covered q01-q44; the suite has since tripled, so
+    // the grand total is not comparable across rounds. Emit the r1-surface
+    // subtotal and the query count so totals compare like for like.
+    val r1Total = results.collect {
+      case (k, (v, _, _)) if v >= 0 &&
+        k.drop(1).takeWhile(_.isDigit).toInt <= 44 => v
+    }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_bytes":$sh,"gc_ms":$gc,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_q01_q44":$r1Total,"queries":$qs,"shuffle_write_bytes":$sh,"gc_ms":$gc,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
