@@ -562,6 +562,37 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q125: hierarchical percent-of-parent — revenue per nation with its
+    * share of the region and of the grand total, the drill-down report
+    * every BI layer asks of a geography hierarchy. Both denominators are
+    * re-aggregations of the tiny per-nation frame (25 rows) joined back
+    * by broadcast — never a partitionless window, never a second fact
+    * scan; shares use integer cents and the half-up rule. Customer is
+    * joined un-hinted (a real dimension at scale — AQE picks broadcast
+    * when it fits); nation/region broadcast explicitly. */
+  def q125HierarchyShare(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("c"), count(lit(1)).as("n_orders"))
+    val perRegion = perNation.groupBy(col("r_name")).agg(sum(col("c")).as("rc"))
+    val total = perNation.agg(sum(col("c")).as("tc"))
+    perNation.join(broadcast(perRegion), Seq("r_name"))
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("n_orders"),
+        (col("c").cast("double") / 100).as("revenue"),
+        (expr("(2 * c * 10000 + rc) DIV (2 * rc)").cast("double") / 1e2)
+          .as("pct_of_region"),
+        (expr("(2 * c * 10000 + tc) DIV (2 * tc)").cast("double") / 1e2)
+          .as("pct_of_total"))
+  }
+
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
     * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
     * join (the blacklist is bounded); the (part, supplier) association is

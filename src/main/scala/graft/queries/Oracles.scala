@@ -351,6 +351,23 @@ object Oracles {
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q125_hierarchy_share" ->
+      """WITH pn AS (SELECT r_name, n_name,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT r_name, CAST(SUM(c) AS BIGINT) AS rc FROM pn GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM pn)
+        |SELECT r_name, n_name, n_orders,
+        |  CAST(c AS DOUBLE) / 100 AS revenue,
+        |  CAST((2 * c * 10000 + rc) // (2 * rc) AS DOUBLE) / 1e2 AS pct_of_region,
+        |  CAST((2 * c * 10000 + tc) // (2 * tc) AS DOUBLE) / 1e2 AS pct_of_total
+        |FROM pn JOIN pr USING (r_name) CROSS JOIN t""".stripMargin,
+
     "q117_part_supplier_diversity" ->
       """SELECT p_brand, p_type,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
