@@ -464,19 +464,19 @@ object CoreQueries {
     val fOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val fLi = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
-    val qualifying = fLi.groupBy(col("l_orderkey"))
+    // a qualifying order has EXACTLY ONE returned supplier, so the same
+    // aggregate that proves it also names them — no join back onto
+    // lineitem, ONE fact scan total (PlanSpec-asserted)
+    fLi.groupBy(col("l_orderkey"))
       .agg(
         countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+          .as("n_ret_supp"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supp"))
       .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
-      .select(col("l_orderkey"))
-    fLi.filter(col("l_returnflag") === "R")
-      .join(qualifying, Seq("l_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .groupBy(col("ret_supp")).agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey"))
+        col("ret_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(10)

@@ -364,6 +364,40 @@ class PlanSpec extends SparkSpec {
       "containment degenerated to an all-pairs product:\n" + p.take(800))
   }
 
+  test("q116: Q21 shape decorrelates — lineitem scanned once, no per-row re-probe") {
+    val df = CoreQueries.q116SoleReturnedSupplier(spark, sfDir)
+    df.collect()
+    assert(scans(df).count(_.toString.contains("lineitem")) === 1,
+      "decorrelation must not re-scan lineitem per correlated predicate")
+    val p = planString(df)
+    assert(p.contains("TakeOrderedAndProject"), "top-10 should not globally sort")
+  }
+
+  test("q120: Q22 shape — threshold broadcasts, anti join ships keys only") {
+    val df = CoreQueries.q120InactiveRich(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row mean aggregate should broadcast:\n" + p.take(800))
+    assert(p.contains("LeftAnti"), "NOT EXISTS should plan as an anti join")
+  }
+
+  test("q124: Q7 shape — all dims broadcast, facts join on keys, no cartesian") {
+    val df = CoreQueries.q124NationTrade(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), "nation-pair filter degenerated")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("partial_"), "revenue agg lost map-side combine")
+  }
+
+  test("q125: percent-of-parent never runs a partitionless window") {
+    val df = CoreQueries.q125HierarchyShare(spark, sfDir)
+    df.collect()
+    assert(walkWindows(df.queryExecution.executedPlan).isEmpty,
+      "shares must come from broadcast re-aggregation, not a global window")
+  }
+
   test("q98: custom UDAF aggregates partially (map-side) like a built-in agg") {
     val p = planString(graft.queries.TextQueries.q98SigUnion(spark, sfDir))
     assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
