@@ -117,6 +117,44 @@ object Sinks {
                         dateCol: String = "day_of_data"): DataFrame =
     spark.read.parquet(path).filter(col(dateCol) === ds)
 
+  /** Right-to-be-forgotten: rewrite the lake WITHOUT the tombstoned keys
+    * and report how many rows each partition dropped — the audit trail a
+    * deletion request requires. The tombstone set broadcasts into an anti
+    * join (erasure requests are bounded); only partitions that actually
+    * contained a tombstoned key are rewritten — the pre-scan that finds
+    * them is a key-column-pruned read, and untouched partitions keep
+    * their files byte-identical (no needless churn of a 100 TB lake).
+    * Plain parquet gives no atomic multi-partition swap — each partition
+    * flips atomically via dynamic overwrite, which is the same guarantee
+    * the nightly backfill relies on.
+    *
+    * Returns (partition value, rows_deleted) for partitions rewritten. */
+  def forgetKeys(spark: SparkSession, path: String, keyCol: String,
+                 keys: DataFrame, dateCol: String = "day_of_data"): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.broadcast
+    val lake = spark.read.parquet(path)
+    val hit = lake.select(col(dateCol).cast("string").as("__p"), col(keyCol))
+      .join(broadcast(keys), Seq(keyCol))
+      .groupBy(col("__p")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    for ((p, _) <- hit) {
+      val kept = lake.filter(col(dateCol).cast("string") === p)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .localCheckpoint() // materialize before overwriting our own input
+      if (kept.isEmpty) {
+        // dynamic overwrite only replaces partitions PRESENT in the new
+        // data — an entirely-erased partition would silently keep its old
+        // files, which for a deletion request is the one unacceptable
+        // failure. Remove the partition directory explicitly.
+        val dir = new org.apache.hadoop.fs.Path(s"$path/$dateCol=$p")
+        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dir, true)
+      } else overwriteDatePartition(kept, path, dateCol)
+    }
+    hit
+  }
+
   /** Small-file compaction of ONE date partition — the OPTIMIZE step of a
     * streaming/incremental lake: micro-batch appends accumulate tiny files
     * (open-file cost dominates the scan; a 100 TB table of 8 MB files is

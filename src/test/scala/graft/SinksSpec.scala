@@ -227,6 +227,32 @@ class SinksSpec extends SparkSpec {
     assert(survivors === Set(1L, 2L), "good files must still read")
   }
 
+  test("forgetKeys erases tombstoned users everywhere, reports counts, leaves other partitions untouched") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    Seq(
+      (1L, "a", "2024-05-01"), (2L, "b", "2024-05-01"),
+      (1L, "c", "2024-05-02"), (3L, "d", "2024-05-02"),
+      (1L, "e", "2024-05-03"),                    // partition becomes EMPTY
+      (4L, "f", "2024-05-04"))                    // untouched partition
+      .toDF("user_id", "v", "day_of_data")
+      .write.partitionBy("day_of_data").mode("append").parquet(path)
+    val untouched = new java.io.File(s"$path/day_of_data=2024-05-04")
+      .listFiles.map(f => f.getName -> f.lastModified).toMap
+    val audit = graft.sources.Sinks.forgetKeys(spark, path, "user_id",
+      Seq(1L).toDF("user_id"))
+    assert(audit === Seq("2024-05-01" -> 1L, "2024-05-02" -> 1L, "2024-05-03" -> 1L))
+    val left = spark.read.parquet(path)
+      .select("user_id", "v").as[(Long, String)].collect().toSet
+    assert(left === Set((2L, "b"), (3L, "d"), (4L, "f")),
+      "tombstoned rows must be gone, everything else intact")
+    assert(!new java.io.File(s"$path/day_of_data=2024-05-03").exists,
+      "a fully-erased partition must not keep stale files")
+    assert(new java.io.File(s"$path/day_of_data=2024-05-04")
+      .listFiles.map(f => f.getName -> f.lastModified).toMap === untouched,
+      "partitions without tombstoned keys must keep their files byte-identical")
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     import spark.implicits._
     // orc is the columnar interchange twin of parquet (both ship in Spark
