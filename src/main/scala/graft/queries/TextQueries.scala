@@ -1158,6 +1158,58 @@ object TextQueries {
           "ELSE 'hard' END").as("phase"))
   }
 
+  /** q126: set-similarity join by PREFIX FILTERING (PPJoin-lite) — all
+    * pairs with 3-shingle Jaccard ≥ 0.5, found WITHOUT hashing: shingles
+    * sort globally rare-first (df asc), and two sets can only reach the
+    * threshold if their first |x| − ⌈0.5·|x|⌉ + 1 rarest shingles share
+    * one — so only that prefix explodes into the candidate equi-join.
+    * Lossless by the prefix-filter theorem (unlike LSH's probabilistic
+    * recall), so the oracle runs a DIFFERENT lossless algorithm (the
+    * relational pair-count self-join): two algorithms, identical answer —
+    * and together with q19/q20 this gives the near-dup stack an exact
+    * alternative to MinHash. Shingle (not token) sets: the fixture's tiny
+    * token vocabulary makes token-Jaccard non-discriminative (q20's
+    * lesson — half of all token pairs clear 0.7). The threshold test
+    * stays in integers (2·∩ ≥ ∪); the shingle-df table broadcasts
+    * (df-banded in production, q57's trick). */
+  def q126PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct-shingle frame feeds FOUR branches (vocab, prefixes, and
+    // both verify probes) — q44's persist-wins shape, not q20's: the
+    // shingle materialization dominates and runs once instead of 4x
+    val docs = shingled(spark, dir)
+      .select(col("doc_id"), array_distinct(col("sh")).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docs.select(explode(col("s")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = docs.select(col("doc_id"), explode(col("s")).as("g"))
+      .join(broadcast(vocab), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)")
+        .as("rare_first"))
+      .select(col("doc_id"),
+        expr("slice(rare_first, 1, size(rare_first) - (size(rare_first) + 1) DIV 2 + 1)")
+          .as("prefix"))
+    val cand = prefixes.select(col("doc_id").as("doc1"), explode(col("prefix")).as("g"))
+      .join(prefixes.select(col("doc_id").as("doc2"), explode(col("prefix")).as("g")),
+        Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        // array_intersect hashes one side per pair: O(n+m) per candidate
+        // vs filter+array_contains's O(n·m) — at 400k candidates x ~120
+        // shingles that's the difference between 2 s and 20 s
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+        (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
+      .withColumn("uni", col("sz") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc1"), col("doc2"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 4).as("jacc"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1329,6 +1381,25 @@ object TextQueries {
         |       WHEN train_order * 3 <= 2 * n_docs THEN 'medium'
         |       ELSE 'hard' END AS phase
         |FROM r CROSS JOIN n""".stripMargin,
+
+    "q126_prefix_join" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s0 FROM t),
+         |d AS (SELECT doc_id, list_distinct(s0) AS s FROM sh WHERE len(s0) > 0),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM d),
+         |pair AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM d)
+         |SELECT doc1, doc2,
+         |  ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 4) AS jacc
+         |FROM pair JOIN n n1 ON n1.doc_id = doc1 JOIN n n2 ON n2.doc_id = doc2
+         |WHERE inter * 2 >= n1.n + n2.n - inter""".stripMargin,
 
     "q118_token_drift" ->
       s"""WITH t AS (SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
