@@ -153,4 +153,38 @@ class StreamingFileSpec extends SparkSpec {
     assert(audit((1L, "positive_value")) === ((0L, 1L)))
     assert(audit((1L, "known_type")) === ((1L, 1L)))
   }
+
+  test("Trigger.AvailableNow drains the backlog, checkpoints, and stops by itself") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_avnow").toString
+    val ckpt = Files.createTempDirectory("graft_avnow_ck").toString
+    def land(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$dir/$name"), rows.mkString("\n").getBytes)
+    land("b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z","event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:04:00Z","event_type":"view","value":2.0}"""))
+    val out = Files.createTempDirectory("graft_avnow_out").toString
+    // the scheduled-batch-over-stream mode: process everything that exists,
+    // write to a durable sink, then terminate — exactly-once across
+    // invocations via the shared checkpoint (memory sink can't recover)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(eventSchema).json(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "AvailableNow query must stop on its own")
+    }
+    drain()
+    import spark.implicits._
+    assert(spark.read.schema(eventSchema).parquet(out).count() === 2L)
+    // second invocation: one NEW file landed; the checkpoint must skip b1
+    land("b2.json", Seq(
+      """{"event_id":3,"ts":"2024-01-01T10:07:00Z","event_type":"click","value":3.0}"""))
+    drain()
+    assert(spark.read.schema(eventSchema).parquet(out)
+      .select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L),
+      "restart must process ONLY the new file (no duplicates, no loss)")
+  }
 }
