@@ -593,6 +593,45 @@ object CoreQueries {
           .as("pct_of_total"))
   }
 
+  /** q127: per-group top-k WITH ties — rank() ≤ k keeps every row tied at
+    * the boundary, the semantics reports usually mean when they say
+    * "the 3 most recent days" (row_number's arbitrary tie drop is q35's
+    * contract). Ranking on order DATE makes the ties real: every order
+    * sharing one of a priority's top-3 dates survives, so the output is
+    * larger than 3·|groups| and genuinely distinguishes rank from
+    * row_number. Spark's WindowGroupLimit pushes the rank filter into a
+    * per-group limit before the full sort. Output is a SET (ties
+    * included) — deterministic without a total order. */
+  def q127TopKTies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_orderdate").cast("string").as("o_orderdate"), col("rnk"))
+  }
+
+  /** q128: schema-reconciling union — two snapshot generations with
+    * DIFFERENT columns (the later one added o_totalprice-derived price
+    * data) combine by NAME with missing columns as NULL, then aggregate.
+    * Positional union silently mis-aligns evolved schemas; unionByName
+    * (allowMissingColumns) is the evolution-safe form — the query twin of
+    * SinksSpec's mergeSchema read. */
+  def q128UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val old = orders.filter(year(col("o_orderdate")) < 1997)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val neu = orders.filter(year(col("o_orderdate")) >= 1997)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("price_cents")).as("n_with_price"),
+        (sum(col("price_cents")).cast("double") / 100).as("sum_price"))
+  }
+
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
     * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
     * join (the blacklist is bounded); the (part, supplier) association is

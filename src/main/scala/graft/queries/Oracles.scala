@@ -368,6 +368,28 @@ object Oracles {
         |  CAST((2 * c * 10000 + tc) // (2 * tc) AS DOUBLE) / 1e2 AS pct_of_total
         |FROM pn JOIN pr USING (r_name) CROSS JOIN t""".stripMargin,
 
+    "q127_topk_ties" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(o_orderdate AS VARCHAR) AS o_orderdate, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |  RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate DESC) AS rnk
+        |  FROM orders) r
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q128_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, NULL::BIGINT AS price_cents
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) < 1997
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1997)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(price_cents) AS BIGINT) AS n_with_price,
+        |  CAST(SUM(price_cents) AS DOUBLE) / 100 AS sum_price
+        |FROM u GROUP BY 1""".stripMargin,
+
     "q117_part_supplier_diversity" ->
       """SELECT p_brand, p_type,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
