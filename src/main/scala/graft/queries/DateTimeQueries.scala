@@ -524,7 +524,95 @@ object DateTimeQueries {
         (col("win_c").cast("double") / 100).as("winsorized_sum"))
   }
 
+  /** q129: two-sample Kolmogorov–Smirnov statistic — the distribution-
+    * equality test behind every A/B guardrail: D = max |ECDF_a − ECDF_b|
+    * between click and view values, exact. The candidate set is the
+    * distinct-cents spine (the max always lands on a data point); both
+    * inclusive cumulative counts ride [[graft.ops.GlobalIndex]] prefix
+    * sums (range partition + broadcast offsets — the spine never funnels
+    * through one partition), and the comparison stays integer:
+    * |cum_a·n_b − cum_b·n_a| over a common denominator n_a·n_b, divided
+    * only in the final row. Output: D, the value where it occurs, and
+    * both sample sizes. */
+  def q129KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val spine = e.groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+    val withA = graft.ops.GlobalIndex
+      .withGlobalCumSum(spine, Seq(col("cents")), col("a"), "pa")
+    val withB = graft.ops.GlobalIndex
+      .withGlobalCumSum(withA, Seq(col("cents")), col("b"), "pb")
+    val tot = spine.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    withB.crossJoin(broadcast(tot))
+      .select(col("cents"), col("na"), col("nb"),
+        // inclusive CDF counts: exclusive prefix + own bucket
+        abs((col("pa") + col("a")) * col("nb") - (col("pb") + col("b")) * col("na"))
+          .as("num"))
+      .agg(max(struct(col("num"), col("cents"), col("na"), col("nb"))).as("m"))
+      .select(
+        (col("m.num").cast("double") / (col("m.na") * col("m.nb")).cast("double"))
+          .as("ks_d"),
+        (col("m.cents").cast("double") / 100).as("at_value"),
+        col("m.na").as("n_click"), col("m.nb").as("n_view"))
+  }
+
+  /** q130: Benford leading-digit audit — the forensic data-quality check:
+    * the distribution of first digits of o_totalprice against Benford's
+    * log10(1+1/d) expectation. The digit comes from the INTEGER-CENTS
+    * string (same significand, same first digit — while FP log10 at
+    * power-of-ten boundaries and decimal formatting's carry at .995 are
+    * exactly the edges that diverge between engines); shares use the
+    * half-up integer rule; the expectation is the same double expression
+    * on both sides. One map-side-combined 9-row aggregate. */
+  def q130Benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (expr("(2 * n * 1000000 + tot) DIV (2 * tot)").cast("double") / 1e6)
+          .as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q129_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |s AS (SELECT cents,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT cents,
+        |  SUM(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca,
+        |  SUM(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM s),
+        |d AS (SELECT cents, na, nb, ABS(ca * nb - cb * na) AS num
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT MAX(struct_pack(num := num, cents := cents,
+        |    na := na, nb := nb)) AS r FROM d)
+        |SELECT CAST(r.num AS DOUBLE) / CAST(r.na * r.nb AS DOUBLE) AS ks_d,
+        |  CAST(r.cents AS DOUBLE) / 100 AS at_value,
+        |  r.na AS n_click, r.nb AS n_view
+        |FROM m""".stripMargin,
+
+    "q130_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
+        |SELECT digit, n,
+        |  CAST((2 * n * 1000000 + tot) // (2 * tot) AS DOUBLE) / 1e6 AS observed,
+        |  ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+        |FROM d CROSS JOIN t""".stripMargin,
+
     "q114_winsorize" ->
       """WITH e AS (SELECT event_type,
         |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
