@@ -554,7 +554,9 @@ object DateTimeQueries {
           .as("num"))
       .agg(max(struct(col("num"), col("cents"), col("na"), col("nb"))).as("m"))
       .select(
-        (col("m.num").cast("double") / (col("m.na") * col("m.nb")).cast("double"))
+        // one empty sample -> NULL, not 0/0=NaN (the q60 convention)
+        (col("m.num").cast("double")
+          / nullif((col("m.na") * col("m.nb")).cast("double"), lit(0.0)))
           .as("ks_d"),
         (col("m.cents").cast("double") / 100).as("at_value"),
         col("m.na").as("n_click"), col("m.nb").as("n_view"))
@@ -599,7 +601,7 @@ object DateTimeQueries {
         |  FROM c CROSS JOIN t),
         |m AS (SELECT MAX(struct_pack(num := num, cents := cents,
         |    na := na, nb := nb)) AS r FROM d)
-        |SELECT CAST(r.num AS DOUBLE) / CAST(r.na * r.nb AS DOUBLE) AS ks_d,
+        |SELECT CAST(r.num AS DOUBLE) / NULLIF(CAST(r.na * r.nb AS DOUBLE), 0.0) AS ks_d,
         |  CAST(r.cents AS DOUBLE) / 100 AS at_value,
         |  r.na AS n_click, r.nb AS n_view
         |FROM m""".stripMargin,

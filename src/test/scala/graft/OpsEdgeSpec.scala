@@ -162,6 +162,34 @@ class OpsEdgeSpec extends SparkSpec {
       (2L, 1L, avg(q(2.0 / 3)))))
   }
 
+  test("q126 prefix-join edge: sub-threshold pairs prune, near-identical pairs survive, tiny docs drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs126").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 36L),
+      (1L, "alpha beta gamma delta epsilon eta", "en", "s", 35L),  // J=3/5 vs doc 0
+      (2L, "one two three four five six", "en", "s", 27L),         // J=0 vs others
+      (3L, "xx yy", "en", "s", 5L))                                // <3 tokens: no shingles
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q126PrefixJoin(spark, dir)
+      .select("doc1", "doc2", "jacc").as[(Long, Long, Double)].collect().toSeq
+    // docs 0/1 share 3 of their union of 5 shingles: J = 0.6 >= 0.5 -> kept
+    assert(got === Seq((0L, 1L, 0.6)))
+  }
+
+  test("q129 KS edge: one empty sample yields NULL D, not NaN") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_ev129").toString
+    Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.00, "{}"),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click", 2.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.DateTimeQueries.q129KsTest(spark, dir).collect().head
+    assert(r.isNullAt(r.fieldIndex("ks_d")), "empty view sample must give NULL, not NaN")
+    assert(r.getAs[Long]("n_view") === 0L)
+  }
+
   test("q60 all-zero embedding: NULL scale and stats, never Infinity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
