@@ -583,7 +583,53 @@ object DateTimeQueries {
           .as("benford"))
   }
 
+  /** q131: event-rate anomaly vs a trailing baseline — per (type, hour),
+    * the z-score of this hour's event count against the STRICTLY PRIOR
+    * 24 hours (a RANGE frame ending at −1h, so the tested value never
+    * contaminates its own baseline). The algebra stays integer all the
+    * way into the sqrt: z = (n·c − s) / √(c·ssq − s²) over the frame's
+    * count/sum/sum-of-squares — counts are integers, so the variance
+    * numerator is exact and the only FP ops are one sqrt and one divide
+    * (identical expression both engines). Degenerate baselines (empty
+    * frame, zero variance) emit NULL, never NaN/∞. This is the monitor
+    * that pages when a scraper doubles its rate — the streaming twin
+    * rides the same hourly aggregate. */
+  def q131RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rangeBetween(-24 * hourUs, -hourUs)
+    hourly
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ssq", sum(col("n") * col("n")).over(w))
+      .filter(col("c") > 0)
+      .select(col("event_type"), col("hour_us"), col("n"),
+        (expr("(2 * s * 100 + c) DIV (2 * c)").cast("double") / 1e2)
+          .as("baseline_mean"),
+        round((col("n") * col("c") - col("s")).cast("double")
+          / sqrt(nullif((col("c") * col("ssq") - col("s") * col("s"))
+            .cast("double"), lit(0.0))), 4).as("z"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q131_rate_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, hour_us, n,
+        |  COUNT(*) OVER w AS c, SUM(n) OVER w AS s, SUM(n * n) OVER w AS ssq
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 3600000000 PRECEDING))
+        |SELECT event_type, hour_us, n,
+        |  CAST((2 * s * 100 + c) // (2 * c) AS DOUBLE) / 1e2 AS baseline_mean,
+        |  ROUND(CAST(n * c - s AS DOUBLE)
+        |    / SQRT(NULLIF(CAST(c * ssq - s * s AS DOUBLE), 0.0)), 4) AS z
+        |FROM b WHERE c > 0""".stripMargin,
+
     "q129_ks_test" ->
       """WITH e AS (SELECT event_type,
         |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events

@@ -398,6 +398,35 @@ class PlanSpec extends SparkSpec {
       "shares must come from broadcast re-aggregation, not a global window")
   }
 
+  test("q115: bigram model joins stay hash-partitioned; prefix marginal broadcasts") {
+    val df = graft.queries.TextQueries.q115BigramLogprob(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), "unigram marginal should broadcast")
+    assert(p.contains("partial_"), "counts lost map-side combine")
+    assert(walkWindows(df.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("q121/q129: GlobalIndex queries never run a partitionless window") {
+    for (df <- Seq(
+      graft.queries.TextQueries.q121Curriculum(spark, sfDir),
+      graft.queries.DateTimeQueries.q129KsTest(spark, sfDir))) {
+      df.collect()
+      val ws = walkWindows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, "expected the per-partition GlobalIndex window")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "global rank/cumsum degenerated to a single-partition window"))
+    }
+  }
+
+  test("q118: drift totals ride back as a broadcast over ONE token-count shuffle") {
+    val df = graft.queries.TextQueries.q118TokenDrift(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(!p.contains("SortMergeJoin"), "1-row totals frame got shuffled for a join")
+    assert(p.contains("partial_"), "token counts lost map-side combine")
+  }
+
   test("q98: custom UDAF aggregates partially (map-side) like a built-in agg") {
     val p = planString(graft.queries.TextQueries.q98SigUnion(spark, sfDir))
     assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
