@@ -615,7 +615,73 @@ object DateTimeQueries {
             .cast("double"), lit(0.0))), 4).as("z"))
   }
 
+  /** q132: Mann–Whitney U test (rank-sum) between the click and view
+    * value samples — the distribution-free A/B guardrail that, unlike
+    * q129's KS statistic, targets a LOCATION shift and has a usable
+    * normal approximation. Everything up to the final z is exact
+    * integer arithmetic on doubled ranks: per distinct cents value the
+    * tied group spans global prefix `pt+1 .. pt+t`, so its doubled
+    * average rank is `2·pt + t + 1`; the doubled rank-sum `r2a`,
+    * `u2 = 2·U_click`, and the tie term `Σ(t³−t)` are all integers.
+    * The prefix sum rides [[graft.ops.GlobalIndex]] (range-partitioned,
+    * never a single-partition window), so the value spine scales with
+    * the number of DISTINCT values, and the final z is the identical
+    * double expression on both engines (one sqrt, two divides).
+    * Degenerate inputs (all values tied → zero variance) yield NULL. */
+  def q132MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val spine = e.groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    graft.ops.GlobalIndex
+      .withGlobalCumSum(spine, Seq(col("cents")), col("t"), "pt")
+      .agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(col("a") * (lit(2L) * col("pt") + col("t") + lit(1L))).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .withColumn("n", col("na") + col("nb"))
+      .select(col("na").as("n_click"), col("nb").as("n_view"),
+        (col("r2a") - col("na") * (col("na") + lit(1L))).as("u2_click"),
+        round(
+          ((col("r2a") - col("na") * (col("na") + lit(1L))
+            - col("na") * col("nb")).cast("double") / lit(2.0))
+            / nullif(sqrt(
+                (col("na") * col("nb")).cast("double") / lit(12.0)
+                  * ((col("n") + lit(1L)).cast("double")
+                     - col("ties").cast("double")
+                       / (col("n") * (col("n") - lit(1L))).cast("double"))),
+              lit(0.0)), 4).as("z"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q132_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |s AS (SELECT cents,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT a, b, a + b AS t,
+        |  COALESCE(CAST(SUM(a + b) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pt
+        |  FROM s),
+        |g AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |  CAST(SUM(a * (2 * pt + t + 1)) AS BIGINT) AS r2a,
+        |  CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM p)
+        |SELECT na AS n_click, nb AS n_view,
+        |  r2a - na * (na + 1) AS u2_click,
+        |  ROUND((CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2.0)
+        |    / NULLIF(SQRT(CAST(na * nb AS DOUBLE) / 12.0
+        |        * (CAST(na + nb + 1 AS DOUBLE)
+        |           - CAST(ties AS DOUBLE)
+        |             / CAST((na + nb) * (na + nb - 1) AS DOUBLE))), 0.0), 4) AS z
+        |FROM g""".stripMargin,
+
     "q131_rate_anomaly" ->
       """WITH h AS (SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) AS hour_us,

@@ -1210,6 +1210,61 @@ object TextQueries {
         round(col("inter").cast("double") / col("uni").cast("double"), 4).as("jacc"))
   }
 
+  /** q133: tokenizer-vocabulary coverage audit — per source, the share
+    * of token OCCURRENCES that fall outside the corpus top-K vocabulary
+    * (K=16, ties broken count-desc-then-token so the cut is a total
+    * order). This is the go/no-go before freezing a tokenizer: a source
+    * whose OOV share spikes is about to train as `<unk>` soup. Shape:
+    * one map-side-combined wordcount shuffle builds the vocab,
+    * `orderBy.limit` turns the global cut into TakeOrderedAndProject
+    * (per-partition top-K + driver merge of K·P rows), and the tiny
+    * vocab rides back as a broadcast flag join over the token stream —
+    * the corpus itself is scanned narrowly and never shuffled into the
+    * join. The token explode runs twice (vocab pass + scoring pass);
+    * both are narrow maps over the scan, cheaper at any scale than
+    * persisting the exploded stream. */
+  def q133OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(16)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (expr("(2 * n_oov * 10000 + n_tokens) DIV (2 * n_tokens)")
+          .cast("double") / lit(1e4)).as("oov_share"))
+  }
+
+  /** q134: n-gram novelty rate — per document, the share of its DISTINCT
+    * word bigrams whose first corpus occurrence (min doc_id over the
+    * whole corpus) is this document. The aggregate novelty curve is the
+    * diversity signal corpus assembly watches: a crawl slice whose
+    * novelty collapses is re-scraping what the corpus already holds.
+    * Shape: distinct (doc, gram) pairs from the native shingle
+    * expression, ONE shuffle on gram where an unbounded `min over
+    * (partition by gram)` tags each pair with its first owner (no
+    * join — the window carries the per-gram min back to every row in
+    * the same exchange), then a map-side-combined per-doc aggregate.
+    * Documents with <2 tokens have no bigrams and drop out, matching
+    * the oracle's empty-list unnest. */
+  def q134NoveltyRate(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles(TA.tokens(col("text")), 2))).as("gram"))
+    bg.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (expr("(2 * n_novel * 10000 + n_grams) DIV (2 * n_grams)")
+          .cast("double") / lit(1e4)).as("novel_share"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1250,6 +1305,35 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q133_oov_rate" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |v AS (SELECT token, 1 AS in_vocab FROM (
+         |  SELECT token, COUNT(*) AS n FROM t GROUP BY 1
+         |  ORDER BY n DESC, token LIMIT 16)),
+         |j AS (SELECT t.source, v.in_vocab FROM t LEFT JOIN v USING (token))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST((2 * SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 10000
+         |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e4 AS oov_share
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q134_novelty_rate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END)) AS gram FROM t),
+         |f AS (SELECT doc_id,
+         |  MIN(doc_id) OVER (PARTITION BY gram) AS first_doc FROM b)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST((2 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000
+         |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e4 AS novel_share
+         |FROM f GROUP BY 1""".stripMargin,
+
     "q87_token_maps" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
