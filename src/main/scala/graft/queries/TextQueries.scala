@@ -1187,14 +1187,29 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)")
         .as("rare_first"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("rare_first")).as("n"),
         expr("slice(rare_first, 1, size(rare_first) - (size(rare_first) + 1) DIV 2 + 1)")
           .as("prefix"))
-    val cand = prefixes.select(col("doc_id").as("doc1"), explode(col("prefix")).as("g"))
-      .join(prefixes.select(col("doc_id").as("doc2"), explode(col("prefix")).as("g")),
+    // length filter: J >= 0.5 forces |s1|/|s2| within 2x (J <= min/max),
+    // pruning pairs before the distinct — the standard prefix-join
+    // companion filter, and it only needs the two set sizes
+    val side = prefixes.select(col("doc_id"), col("n"), explode(col("prefix")).as("g"))
+    val cand = side.select(col("doc_id").as("doc1"), col("n").as("n1"), col("g"))
+      .join(side.select(col("doc_id").as("doc2"), col("n").as("n2"), col("g")),
         Seq("g"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
+      .filter(col("doc1") < col("doc2")
+        && lit(2) * least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")))
+      .select("doc1", "doc2")
+      // pin the verify stage's parallelism: the candidate stream is a few
+      // MB but each pair costs an interpreted array_intersect, so AQE's
+      // BYTE-based partition coalescing folds the whole verify into one
+      // task (measured: 32-way ~3 s vs coalesced-serial >100 s). An
+      // explicit numPartitions repartition is exempt from AQE coalescing,
+      // and distinct() reuses its hash partitioning — no extra shuffle.
+      // The same mismatch exists on a real cluster whenever per-row CPU,
+      // not bytes, dominates — pinning the exchange is the honest fix.
+      .repartition(32, col("doc1"), col("doc2"))
+      .distinct()
     cand
       .join(docs.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
