@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd `|A ∩ B|` over two SORTED, de-duplicated string arrays.
+  *
+  * The built-in `size(array_intersect(a, b))` is the semantically right
+  * verify step for a set-similarity join, but its interpreted path builds a
+  * `SQLOpenHashSet` PER ROW with a closure per element and materializes the
+  * intersection array just to take its length — measured ~1.7 ms per
+  * candidate pair on the q126 verify stage (700 CPU-seconds for ~400k
+  * pairs; the whole stage is that one expression). A set-similarity join's
+  * sets can be sorted ONCE at creation (`array_sort(array_distinct(...))`,
+  * O(n log n) per document, amortized over every candidate the document
+  * appears in), after which the intersection SIZE is a zero-allocation
+  * two-pointer merge walk — no hash set, no closure, no output array.
+  * That turns the verify stage from the query's dominant cost into noise,
+  * and the same holds on a 1000-executor cluster: per-pair CPU, not bytes,
+  * is what the verify stage spends.
+  *
+  * Contract: both inputs must be sorted ascending in Spark's binary
+  * UTF8String order (exactly what `array_sort` produces) and duplicate-free
+  * (what `array_distinct` produces). NULL array -> NULL; a NULL ELEMENT
+  * (legal for array_sort, which puts it last) -> NULL result IF the merge
+  * walk reaches it, surfacing the contract violation instead of guessing —
+  * the caller's sets are built from non-null shingles.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_size requires array<string> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements(); val n2 = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n1 && j < n2) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+      s"""
+         |int $n1 = $a.numElements();
+         |int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $cnt; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}

@@ -115,6 +115,11 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     shim.column(VecDot(shim.expression(a), shim.expression(b)))
 
+  /** `sorted_intersect_size(a, b)` as a Column — |A ∩ B| of two sorted
+    * distinct string arrays (see [[SortedIntersectSize]] for the contract). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    shim.column(SortedIntersectSize(shim.expression(a), shim.expression(b)))
+
   /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
     * Column API alike; float/double arrays are left alone. */
   private[functions] def toVecType(e: Expression): Expression = e.dataType match {
@@ -141,6 +146,9 @@ object GraftFunctions {
           s"minhash_signature k must be in [1, ${MinHashSignature.MaxK}], got $k")
         MinHashSignature(args(0), k, MinHashSignature.P)
       }),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
     (FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) =>

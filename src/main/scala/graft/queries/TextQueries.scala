@@ -1176,14 +1176,23 @@ object TextQueries {
     // the distinct-shingle frame feeds FOUR branches (vocab, prefixes, and
     // both verify probes) — q44's persist-wins shape, not q20's: the
     // shingle materialization dominates and runs once instead of 4x
+    // sorted + distinct ONCE per document: O(n log n) amortized over every
+    // candidate the doc appears in, so the verify step can be a native
+    // zero-allocation merge walk instead of a per-pair hash set
     val docs = shingled(spark, dir)
-      .select(col("doc_id"), array_distinct(col("sh")).as("s"))
+      .select(col("doc_id"), array_sort(array_distinct(col("sh"))).as("s"))
       .filter(size(col("s")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = docs.select(explode(col("s")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
     val prefixes = docs.select(col("doc_id"), explode(col("s")).as("g"))
       .join(broadcast(vocab), Seq("g"))
+      // pin this exchange as well: the per-doc agg feeds the exploded
+      // self-join PROBE side map-side (broadcast join), so if AQE's
+      // byte-based coalescing folds these few MB into one partition, the
+      // whole candidate explosion runs in ONE task. Explicit-numPartitions
+      // repartition is exempt; the agg reuses it (no extra shuffle).
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)")
         .as("rare_first"))
@@ -1208,16 +1217,18 @@ object TextQueries {
       // and distinct() reuses its hash partitioning — no extra shuffle.
       // The same mismatch exists on a real cluster whenever per-row CPU,
       // not bytes, dominates — pinning the exchange is the honest fix.
-      .repartition(32, col("doc1"), col("doc2"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc1"), col("doc2"))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
       .join(docs.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        // array_intersect hashes one side per pair: O(n+m) per candidate
-        // vs filter+array_contains's O(n·m) — at 400k candidates x ~120
-        // shingles that's the difference between 2 s and 20 s
-        size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+        // native merge walk over the pre-sorted sets: measured ~50x less
+        // CPU than interpreted size(array_intersect(...)) on this stage
+        // (700 CPU-s -> noise at ~400k candidates), and it stays inside
+        // whole-stage codegen
+        graft.functions.GraftFunctions
+          .sortedIntersectSize(col("s1"), col("s2")).as("inter"),
         (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
       .withColumn("uni", col("sz") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
