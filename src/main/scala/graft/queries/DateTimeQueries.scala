@@ -657,7 +657,161 @@ object DateTimeQueries {
               lit(0.0)), 4).as("z"))
   }
 
+  /** q135: Welch's unequal-variance t-test between the click and view
+    * value samples — the parametric sibling of q132 (location) and q129
+    * (distribution): one conditional-aggregate pass collects n/Σ/Σx² per
+    * arm in exact integer cents, so group means, the variance numerators
+    * `n·ssq − s²`, and everything else stays integer until the final t
+    * and Welch–Satterthwaite dof expressions (identical double algebra
+    * on both engines). One map-side-combined scan; no shuffle of rows,
+    * only of two partial-agg states — the cheapest possible test at any
+    * corpus size. Degenerate arms (n < 2, zero variance) emit NULL. */
+  def q135WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    def side(t: String, k: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$k"),
+      sum(when(col("event_type") === t, col("c")).otherwise(0L)).as(s"s$k"),
+      sum(when(col("event_type") === t, col("c") * col("c")).otherwise(0L)).as(s"q$k"))
+    val sides = side("click", "1") ++ side("view", "2")
+    val agg = e.agg(sides.head, sides.tail: _*)
+    // vi/ni in cents² — sample variance over n: (n·q − s²) / (n·(n−1)) / n
+    def vOverN(k: String) =
+      (col(s"n$k") * col(s"q$k") - col(s"s$k") * col(s"s$k")).cast("double") /
+        (col(s"n$k") * (col(s"n$k") - lit(1L)) * col(s"n$k")).cast("double")
+    val se2 = vOverN("1") + vOverN("2")
+    agg.select(
+      col("n1").as("n_click"), col("n2").as("n_view"),
+      (expr("(2 * s1 * 100 + n1) DIV (2 * n1)").cast("double") / 1e2)
+        .as("mean_click"),
+      (expr("(2 * s2 * 100 + n2) DIV (2 * n2)").cast("double") / 1e2)
+        .as("mean_view"),
+      round((col("s1").cast("double") / col("n1").cast("double")
+        - col("s2").cast("double") / col("n2").cast("double"))
+        / nullif(sqrt(se2), lit(0.0)), 4).as("t"),
+      round(se2 * se2 / nullif(
+        vOverN("1") * vOverN("1") / (col("n1") - lit(1L)).cast("double")
+          + vOverN("2") * vOverN("2") / (col("n2") - lit(1L)).cast("double"),
+        lit(0.0)), 2).as("dof"))
+  }
+
+  /** q136: exact ROC-AUC of the value column as a score separating
+    * purchase (positive) from error (negative) events — THE offline
+    * model-eval metric, computed exactly at corpus scale: AUC is
+    * U/(n⁺·n⁻) (the probability a random positive outscores a random
+    * negative, ties counting ½), so q132's doubled-rank machinery gives
+    * an all-integer numerator `2U = R2⁺ − n⁺(n⁺+1)` over the distinct-
+    * score spine; the single division at the end is the only FP step.
+    * No sort of raw rows, no per-row window — the spine scales with
+    * distinct scores, not events. */
+  def q136Auc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val spine = e.groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    graft.ops.GlobalIndex
+      .withGlobalCumSum(spine, Seq(col("cents")), col("t"), "pt")
+      .agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(col("a") * (lit(2L) * col("pt") + col("t") + lit(1L))).as("r2a"))
+      .select(col("na").as("n_pos"), col("nb").as("n_neg"),
+        (col("r2a") - col("na") * (col("na") + lit(1L))).as("u2"),
+        round((col("r2a") - col("na") * (col("na") + lit(1L))).cast("double")
+          / nullif((lit(2L) * col("na") * col("nb")).cast("double"), lit(0.0)),
+          6).as("auc"))
+  }
+
+  /** q137: leakage-safe GROUP-level split — every event of a user lands
+    * in the same train/val/test split because the assignment hashes
+    * user_id, not the row ([[graft.ops.Sampling.split]]'s md5-prefix
+    * rule). Row-level splits (q40) leak entity signal across folds; this
+    * is the split an eval pipeline must use when rows cluster by user/
+    * document/session. Output per split: users, events, and value total
+    * in integer cents — the class-balance sanity check that runs right
+    * after splitting. Distinct-count shuffles carry (split, user) pairs
+    * deduplicated map-side, never raw events. */
+  def q137GroupedSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(graft.ops.Sampling.split(col("user_id")).as("split"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("split"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents_total"))
+
   val oracles: Map[String, String] = Map(
+    "q135_welch_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS BIGINT) AS q2
+        |  FROM e)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        |  CAST((2 * s1 * 100 + n1) // (2 * n1) AS DOUBLE) / 1e2 AS mean_click,
+        |  CAST((2 * s2 * 100 + n2) // (2 * n2) AS DOUBLE) / 1e2 AS mean_view,
+        |  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / NULLIF(SQRT(
+        |        CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
+        |      + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE)),
+        |      0.0), 4) AS t,
+        |  ROUND(
+        |    (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
+        |     + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |    * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
+        |       + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |    / NULLIF(
+        |      (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE))
+        |        * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE))
+        |        / CAST(n1 - 1 AS DOUBLE)
+        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |        * (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |        / CAST(n2 - 1 AS DOUBLE), 0.0), 2) AS dof
+        |FROM g""".stripMargin,
+
+    "q136_auc" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('purchase', 'error')),
+        |s AS (SELECT cents,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT a, b, a + b AS t,
+        |  COALESCE(CAST(SUM(a + b) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pt
+        |  FROM s),
+        |g AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |  CAST(SUM(a * (2 * pt + t + 1)) AS BIGINT) AS r2a FROM p)
+        |SELECT na AS n_pos, nb AS n_neg,
+        |  r2a - na * (na + 1) AS u2,
+        |  ROUND(CAST(r2a - na * (na + 1) AS DOUBLE)
+        |    / NULLIF(CAST(2 * na * nb AS DOUBLE), 0.0), 6) AS auc
+        |FROM g""".stripMargin,
+
+    "q137_grouped_split" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_total
+        |FROM e GROUP BY 1""".stripMargin,
+
     "q132_mann_whitney" ->
       """WITH e AS (SELECT event_type,
         |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
