@@ -1291,6 +1291,45 @@ object TextQueries {
           .cast("double") / lit(1e4)).as("novel_share"))
   }
 
+  /** q138: content-defined chunking (CDC) dup audit — chunk boundaries
+    * fall where `rolling_hash(token) ≡ 0 (mod 8)`, a pure function of
+    * LOCAL content, so inserting a sentence shifts chunk starts only
+    * until the next boundary (fixed-width chunking — q82 — re-aligns
+    * NOTHING after an insert; that asymmetry is why incremental backup
+    * and incremental corpus dedup both use CDC). Per source: chunks,
+    * corpus-duplicated chunks (hash seen >1x), and the duplicated share.
+    * Shape: narrow scan → per-doc window cumsum of boundary flags (many
+    * small doc partitions) → chunk reassembly by total-order struct sort
+    * (bounded by construction: a chunk is a few tokens) → ONE shuffle on
+    * chunk hash where an unbounded window count tags duplicates (q134's
+    * no-join pattern) → map-side-combined per-source rollup. */
+  def q138CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+    val marked = toks.withColumn("b",
+      when(graft.functions.RollingHash(col("tok")) % 8 === 0, 1L).otherwise(0L))
+    // the boundary token CLOSES its chunk: chunk id = boundaries strictly
+    // before this position
+    val chunked = marked.withColumn("chunk",
+      coalesce(sum(col("b")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunked
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(md5(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+        .as("h"))
+    chunks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+        (expr("(2 * n_dup_chunks * 10000 + n_chunks) DIV (2 * n_chunks)")
+          .cast("double") / lit(1e4)).as("dup_share"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1331,6 +1370,32 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q138_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, source, unnest(toks) AS tok,
+         |  generate_subscripts(toks, 1) AS pos FROM t),
+         |m AS (SELECT doc_id, source, pos, tok,
+         |  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(1, len(tok)),
+         |        i -> ascii(substr(tok, i, 1))::BIGINT)),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 8 = 0
+         |    THEN 1 ELSE 0 END AS b FROM p),
+         |c AS (SELECT doc_id, source, pos, tok,
+         |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM m),
+         |h AS (SELECT doc_id, source, chunk,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+         |  FROM c GROUP BY 1, 2, 3),
+         |d AS (SELECT source, h,
+         |  COUNT(*) OVER (PARTITION BY h) AS cnt FROM h)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST((2 * SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000
+         |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e4 AS dup_share
+         |FROM d GROUP BY 1""".stripMargin,
+
     "q133_oov_rate" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
          |v AS (SELECT token, 1 AS in_vocab FROM (
