@@ -1330,6 +1330,56 @@ object TextQueries {
           .cast("double") / lit(1e4)).as("dup_share"))
   }
 
+  /** q139: LSH recall audit — q19's MinHash-LSH candidate set graded
+    * against q126's EXACT prefix-join ground truth at the same J ≥ 0.5
+    * threshold: recall = |LSH ∩ exact| / |exact|. This is the audit that
+    * justifies (or vetoes) running the cheap probabilistic dedup at scale
+    * instead of the exact one — q59 audits MinHash's per-pair ESTIMATE,
+    * this audits the banding's pair-level RECALL. Two independent
+    * algorithms on both engines: the Spark side joins the two operators'
+    * outputs; the oracle nests both relational formulations verbatim. */
+  def q139LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q126PrefixJoin(spark, dir).select(col("doc1"), col("doc2"))
+    val lsh = q19MinhashLsh(spark, dir)
+    exact.join(lsh.withColumn("hit", lit(1L)), Seq("doc1", "doc2"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (expr("(2 * n_hit * 10000 + n_exact) DIV (2 * n_exact)")
+          .cast("double") / lit(1e4)).as("recall"))
+  }
+
+  /** q140: score-calibration curve for q136's purchase-vs-error score —
+    * equi-count deciles on the distinct-score spine (bin = ⌊10·pt/N⌋
+    * from the EXCLUSIVE prefix count, so every occurrence of a value
+    * lands in one bin, deterministically) with per-bin positive rate and
+    * mean score in integer arithmetic. Read next to q136: AUC says the
+    * score RANKS well; this says whether its LEVEL means anything. Same
+    * GlobalIndex machinery — no row sort, spine scales with distinct
+    * scores. */
+  def q140Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val spine = e.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("t"))
+    val tot = spine.agg(sum(col("t")).as("n"))
+    graft.ops.GlobalIndex
+      .withGlobalCumSum(spine, Seq(col("cents")), col("t"), "pt")
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("pt * 10 DIV n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("t")).as("n_rows"), sum(col("a")).as("n_pos"),
+        sum(col("cents") * col("t")).as("cents_sum"))
+      .select(col("bin"), col("n_rows"), col("n_pos"),
+        (expr("(2 * n_pos * 10000 + n_rows) DIV (2 * n_rows)")
+          .cast("double") / lit(1e4)).as("pos_rate"),
+        (expr("(2 * cents_sum * 100 + n_rows) DIV (2 * n_rows)")
+          .cast("double") / lit(1e2)).as("mean_cents"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1342,6 +1392,26 @@ object TextQueries {
        |     ELSE 'test' END""".stripMargin
 
   /** q19's MinHash-LSH candidate pairs — also nested by q94. */
+  /** q126's exact set-similarity pairs — also nested by q139. */
+  private val prefixJoinSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END AS s0 FROM t),
+       |d AS (SELECT doc_id, list_distinct(s0) AS s FROM sh WHERE len(s0) > 0),
+       |e AS (SELECT doc_id, unnest(s) AS g FROM d),
+       |pair AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |n AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM d)
+       |SELECT doc1, doc2,
+       |  ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 4) AS jacc
+       |FROM pair JOIN n n1 ON n1.doc_id = doc1 JOIN n n2 ON n2.doc_id = doc2
+       |WHERE inter * 2 >= n1.n + n2.n - inter""".stripMargin
+
   private val minhashPairsSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id,
@@ -1370,6 +1440,41 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q139_lsh_recall" ->
+      s"""WITH ex AS (SELECT doc1, doc2 FROM ($prefixJoinSql) x),
+         |l AS (SELECT doc1, doc2 FROM ($minhashPairsSql) y),
+         |h AS (SELECT ex.doc1, ex.doc2,
+         |  CASE WHEN l.doc1 IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN l ON ex.doc1 = l.doc1 AND ex.doc2 = l.doc2),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_hit FROM h),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM l)
+         |SELECT n_exact, n_lsh, n_hit,
+         |  CAST((2 * n_hit * 10000 + n_exact) // (2 * n_exact) AS DOUBLE) / 1e4
+         |    AS recall
+         |FROM g CROSS JOIN m""".stripMargin,
+
+    "q140_calibration" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('purchase', 'error')),
+        |s AS (SELECT cents,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1),
+        |p AS (SELECT cents, a, t,
+        |  COALESCE(CAST(SUM(t) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pt
+        |  FROM s),
+        |n AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM s),
+        |b AS (SELECT pt * 10 // n.n AS bin, a, t, cents FROM p CROSS JOIN n)
+        |SELECT bin, CAST(SUM(t) AS BIGINT) AS n_rows,
+        |  CAST(SUM(a) AS BIGINT) AS n_pos,
+        |  CAST((2 * SUM(a) * 10000 + SUM(t)) // (2 * SUM(t)) AS DOUBLE) / 1e4
+        |    AS pos_rate,
+        |  CAST((2 * SUM(cents * t) * 100 + SUM(t)) // (2 * SUM(t)) AS DOUBLE) / 1e2
+        |    AS mean_cents
+        |FROM b GROUP BY 1""".stripMargin,
+
     "q138_cdc_chunks" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
          |p AS (SELECT doc_id, source, unnest(toks) AS tok,
@@ -1557,24 +1662,7 @@ object TextQueries {
         |       ELSE 'hard' END AS phase
         |FROM r CROSS JOIN n""".stripMargin,
 
-    "q126_prefix_join" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_transform(generate_series(1, len(toks) - 2),
-         |           i -> array_to_string(toks[i:i+2], ' '))
-         |    ELSE [] END AS s0 FROM t),
-         |d AS (SELECT doc_id, list_distinct(s0) AS s FROM sh WHERE len(s0) > 0),
-         |e AS (SELECT doc_id, unnest(s) AS g FROM d),
-         |pair AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |  CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |n AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM d)
-         |SELECT doc1, doc2,
-         |  ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 4) AS jacc
-         |FROM pair JOIN n n1 ON n1.doc_id = doc1 JOIN n n2 ON n2.doc_id = doc2
-         |WHERE inter * 2 >= n1.n + n2.n - inter""".stripMargin,
+    "q126_prefix_join" -> prefixJoinSql,
 
     "q118_token_drift" ->
       s"""WITH t AS (SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,

@@ -407,16 +407,39 @@ class PlanSpec extends SparkSpec {
     assert(walkWindows(df.queryExecution.executedPlan).isEmpty)
   }
 
-  test("q121/q129: GlobalIndex queries never run a partitionless window") {
+  test("q121/q129/q132/q136: GlobalIndex queries never run a partitionless window") {
     for (df <- Seq(
       graft.queries.TextQueries.q121Curriculum(spark, sfDir),
-      graft.queries.DateTimeQueries.q129KsTest(spark, sfDir))) {
+      graft.queries.DateTimeQueries.q129KsTest(spark, sfDir),
+      graft.queries.DateTimeQueries.q132MannWhitney(spark, sfDir),
+      graft.queries.DateTimeQueries.q136Auc(spark, sfDir))) {
       df.collect()
       val ws = walkWindows(df.queryExecution.executedPlan)
       assert(ws.nonEmpty, "expected the per-partition GlobalIndex window")
       ws.foreach(w => assert(w.partitionSpec.nonEmpty,
         "global rank/cumsum degenerated to a single-partition window"))
     }
+  }
+
+  test("q134/q138: first-owner/dup tagging is a keyed window, not a join") {
+    for (df <- Seq(
+      graft.queries.TextQueries.q134NoveltyRate(spark, sfDir),
+      graft.queries.TextQueries.q138CdcChunks(spark, sfDir))) {
+      df.collect()
+      val p = planString(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        "per-key tagging should ride the window's own shuffle, not a join")
+      walkWindows(df.queryExecution.executedPlan).foreach(w =>
+        assert(w.partitionSpec.nonEmpty))
+    }
+  }
+
+  test("q126: candidate and verify stages keep pinned parallelism (AQE must not serialize)") {
+    val df = graft.queries.TextQueries.q126PrefixJoin(spark, sfDir)
+    // the CPU-dense verify runs on the explicit repartition's partitioning;
+    // byte-based AQE coalescing would fold these few MB into ONE task
+    assert(df.queryExecution.toRdd.getNumPartitions > 1,
+      "verify stage collapsed to a single partition")
   }
 
   test("q118: drift totals ride back as a broadcast over ONE token-count shuffle") {
