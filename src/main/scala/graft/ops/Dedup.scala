@@ -71,16 +71,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two distinct-token arrays via membership
-    * counting (order-independent, engine-portable). */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(filter(da, x => array_contains(db, x))).cast("double")
-    val union = size(da).cast("double") + size(db).cast("double") - inter
-    inter / union
-  }
-
   /** Per-token md5 hashes — materialize this as its own column before
     * [[simhash16FromHashes]]: the 16 bit-sums each re-read the hash array,
     * so an inlined hash expression would be recomputed 16x per row. */

@@ -107,11 +107,20 @@ object TextQueries {
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
+    // probe sides carry the sets sorted+distinct (once per doc) so the
+    // per-pair Jaccard is the native merge walk, not an interpreted
+    // filter/array_contains nest — same values, same rounding
+    def side(n: Int) = docs.select(col("doc_id").as(s"doc$n"),
+      array_sort(array_distinct(col("sh"))).as(s"s$n"))
     pairs
-      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
-      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
+      .join(side(1), Seq("doc1"))
+      .join(side(2), Seq("doc2"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sortedIntersectSize(col("s1"), col("s2")))
       .select(col("doc1"), col("doc2"),
-        round(Dedup.jaccard(col("t1"), col("t2")), 4).as("jacc"))
+        round(col("inter").cast("double")
+          / (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"),
+          4).as("jacc"))
       .filter(col("jacc") >= 0.3)
   }
 
@@ -228,15 +237,22 @@ object TextQueries {
     Dedup.candidatePairs(bandedFrom(docs))
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("g1")), Seq("doc1"))
       .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("g2")), Seq("doc2"))
-      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("t1")), Seq("doc1"))
-      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("t2")), Seq("doc2"))
+      .join(docs.select(col("doc_id").as("doc1"),
+        array_sort(array_distinct(col("sh"))).as("t1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"),
+        array_sort(array_distinct(col("sh"))).as("t2")), Seq("doc2"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sortedIntersectSize(col("t1"), col("t2")))
       .select(col("doc1"), col("doc2"),
         // agreement fraction over the ACTUAL signature width, not a
         // hardcoded constant — stays correct if minhashSignature's k changes
         round(size(filter(zip_with(col("g1"), col("g2"), (a, b) => a === b),
           x => x)).cast("double") / size(col("g1")).cast("double"), 4)
           .as("est_jaccard"),
-        round(Dedup.jaccard(col("t1"), col("t2")), 4).as("jaccard"))
+        // exact Jaccard via the native merge walk on the sorted sets
+        round(col("inter").cast("double")
+          / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"),
+          4).as("jaccard"))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
   }
 
@@ -1042,14 +1058,18 @@ object TextQueries {
     * integer half-up rule. */
   def q113Containment(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
+    // sorted+distinct on the probe sides -> native merge-walk intersection
+    // (q20's rationale); containment denominators are the set sizes
     Dedup.candidatePairs(bandedFrom(docs))
-      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("s1")), Seq("doc1"))
-      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("s2")), Seq("doc2"))
+      .join(docs.select(col("doc_id").as("doc1"),
+        array_sort(array_distinct(col("sh"))).as("s1")), Seq("doc1"))
+      .join(docs.select(col("doc_id").as("doc2"),
+        array_sort(array_distinct(col("sh"))).as("s2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        size(array_distinct(col("s1"))).cast("long").as("n1"),
-        size(array_distinct(col("s2"))).cast("long").as("n2"),
-        size(filter(array_distinct(col("s1")), x => array_contains(col("s2"), x)))
-          .cast("long").as("inter"))
+        size(col("s1")).cast("long").as("n1"),
+        size(col("s2")).cast("long").as("n2"),
+        graft.functions.GraftFunctions
+          .sortedIntersectSize(col("s1"), col("s2")).as("inter"))
       .withColumn("contain1",
         expr("(2 * inter * 10000 + n1) DIV (2 * n1)").cast("double") / lit(1e4))
       .withColumn("contain2",
