@@ -676,10 +676,13 @@ object DateTimeQueries {
       sum(when(col("event_type") === t, col("c") * col("c")).otherwise(0L)).as(s"q$k"))
     val sides = side("click", "1") ++ side("view", "2")
     val agg = e.agg(sides.head, sides.tail: _*)
-    // vi/ni in cents² — sample variance over n: (n·q − s²) / (n·(n−1)) / n
+    // vi/ni in cents² — sample variance over n: (n·q − s²) / (n·(n−1)) / n;
+    // the denominator is NULL-guarded so an n<2 arm yields NULL t/dof
+    // (the q60 convention: NULL, never 0/0 = NaN)
     def vOverN(k: String) =
       (col(s"n$k") * col(s"q$k") - col(s"s$k") * col(s"s$k")).cast("double") /
-        (col(s"n$k") * (col(s"n$k") - lit(1L)) * col(s"n$k")).cast("double")
+        nullif((col(s"n$k") * (col(s"n$k") - lit(1L)) * col(s"n$k"))
+          .cast("double"), lit(0.0))
     val se2 = vOverN("1") + vOverN("2")
     agg.select(
       col("n1").as("n_click"), col("n2").as("n_view"),
@@ -764,20 +767,20 @@ object DateTimeQueries {
         |  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |    / NULLIF(SQRT(
-        |        CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
-        |      + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE)),
+        |        CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |      + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0)),
         |      0.0), 4) AS t,
         |  ROUND(
-        |    (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
-        |     + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
-        |    * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE)
-        |       + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |    (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |     + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |    * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |       + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
         |    / NULLIF(
-        |      (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE))
-        |        * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) * n1 AS DOUBLE))
+        |      (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0))
+        |        * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0))
         |        / CAST(n1 - 1 AS DOUBLE)
-        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
-        |        * (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) * n2 AS DOUBLE))
+        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |        * (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
         |        / CAST(n2 - 1 AS DOUBLE), 0.0), 2) AS dof
         |FROM g""".stripMargin,
 

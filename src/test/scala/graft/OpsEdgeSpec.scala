@@ -348,6 +348,65 @@ class OpsEdgeSpec extends SparkSpec {
       .withGlobalRank(empty, Seq(col("k").asc), "r").count() === 0)
   }
 
+  private def eventsFixture(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_ev").toString
+    rows.map { case (id, ts, u, t, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q132/q135 degenerate arms: zero variance or n=1 yield NULL z/t, never NaN") {
+    // all values tied -> rank variance 0 -> Mann-Whitney z must be NULL
+    val tied = eventsFixture(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "click", 1.00),
+      (1L, "2024-01-01 00:01:00", 1L, "click", 1.00),
+      (2L, "2024-01-01 00:02:00", 2L, "view", 1.00),
+      (3L, "2024-01-01 00:03:00", 2L, "view", 1.00)))
+    val mw = graft.queries.DateTimeQueries.q132MannWhitney(spark, tied).collect().head
+    assert(mw.isNullAt(mw.fieldIndex("z")), "tied samples must give NULL z, not NaN")
+    // n=1 arm -> sample variance undefined -> Welch t and dof must be NULL
+    val single = eventsFixture(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "click", 1.00),
+      (1L, "2024-01-01 00:01:00", 2L, "view", 2.00),
+      (2L, "2024-01-01 00:02:00", 2L, "view", 3.00)))
+    val w = graft.queries.DateTimeQueries.q135WelchTtest(spark, single).collect().head
+    assert(w.isNullAt(w.fieldIndex("t")), "n=1 arm must give NULL t, not NaN")
+    assert(w.isNullAt(w.fieldIndex("dof")))
+    assert(w.getAs[Double]("mean_click") === 100.0) // cents, still defined
+  }
+
+  test("q136 AUC edges: perfect separation -> 1.0; one empty class -> NULL") {
+    val sep = eventsFixture(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "purchase", 9.00),
+      (1L, "2024-01-01 00:01:00", 1L, "purchase", 8.00),
+      (2L, "2024-01-01 00:02:00", 2L, "error", 1.00),
+      (3L, "2024-01-01 00:03:00", 2L, "error", 2.00)))
+    val a = graft.queries.DateTimeQueries.q136Auc(spark, sep).collect().head
+    assert(a.getAs[Double]("auc") === 1.0)
+    val onlyPos = eventsFixture(Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "purchase", 9.00)))
+    val b = graft.queries.DateTimeQueries.q136Auc(spark, onlyPos).collect().head
+    assert(b.isNullAt(b.fieldIndex("auc")), "empty negative class must give NULL")
+  }
+
+  test("q138 CDC edge: boundary token closes its chunk; identical docs fully duplicated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_cdc").toString
+    // rolling_hash("h") = 104, 104 % 8 == 0 -> "h" is a boundary; no other
+    // single letter below hashes to a multiple of 8
+    Seq((1L, "a b h c d", "en", "s1", 9L), (2L, "a b h c d", "en", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.q138CdcChunks(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toSet
+    // chunks per doc: "a b h" | "c d" -> 2 chunks, both shared across docs
+    assert(rows === Set(("s1", 2L, 2L), ("s2", 2L, 2L)))
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)
