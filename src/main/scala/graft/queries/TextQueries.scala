@@ -1400,6 +1400,19 @@ object TextQueries {
           .cast("double") / lit(1e2)).as("mean_cents"))
   }
 
+  /** q141: PageRank hub scores on the near-dup candidate graph — the
+    * centrality refinement of q108's raw degrees: a template/boilerplate
+    * hub scores high even when its own degree is moderate because its
+    * NEIGHBORS are dup-heavy too. Three [[graft.ops.PageRank]] rounds in
+    * exact integer units (floor quantization is the cross-engine
+    * contract); the oracle unrolls the identical recurrence as three CTE
+    * levels over the same relational candidate formulation. Output is
+    * docs ranked hubbiest-first with their exact integer rank units. */
+  def q141Pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.pageRank(q19MinhashLsh(spark, dir), iters = 3)
+      .select(col("node").as("doc_id"), col("degree"),
+        col("rank_units"), col("rank"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1460,6 +1473,31 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q141_pagerank" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+         |      UNION ALL SELECT doc2, doc1 FROM pairs),
+         |d AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT a AS node, CAST(1000000000 AS BIGINT) AS r FROM d),
+         |c1 AS (SELECT e.b AS node, CAST(SUM(r0.r // d.deg) AS BIGINT) AS cs
+         |  FROM e JOIN r0 ON r0.node = e.a JOIN d ON d.a = e.a GROUP BY 1),
+         |r1 AS (SELECT d.a AS node,
+         |  CAST(150000000 + (85 * COALESCE(c1.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM d LEFT JOIN c1 ON c1.node = d.a),
+         |c2 AS (SELECT e.b AS node, CAST(SUM(r1.r // d.deg) AS BIGINT) AS cs
+         |  FROM e JOIN r1 ON r1.node = e.a JOIN d ON d.a = e.a GROUP BY 1),
+         |r2 AS (SELECT d.a AS node,
+         |  CAST(150000000 + (85 * COALESCE(c2.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM d LEFT JOIN c2 ON c2.node = d.a),
+         |c3 AS (SELECT e.b AS node, CAST(SUM(r2.r // d.deg) AS BIGINT) AS cs
+         |  FROM e JOIN r2 ON r2.node = e.a JOIN d ON d.a = e.a GROUP BY 1),
+         |r3 AS (SELECT d.a AS node,
+         |  CAST(150000000 + (85 * COALESCE(c3.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM d LEFT JOIN c3 ON c3.node = d.a)
+         |SELECT r3.node AS doc_id, d.deg AS degree, r3.r AS rank_units,
+         |  ROUND(CAST(r3.r AS DOUBLE) / 1e9, 6) AS rank
+         |FROM r3 JOIN d ON d.a = r3.node""".stripMargin,
+
     "q139_lsh_recall" ->
       s"""WITH ex AS (SELECT doc1, doc2 FROM ($prefixJoinSql) x),
          |l AS (SELECT doc1, doc2 FROM ($minhashPairsSql) y),

@@ -407,6 +407,17 @@ class OpsEdgeSpec extends SparkSpec {
     assert(rows === Set(("s1", 2L, 2L), ("s2", 2L, 2L)))
   }
 
+  test("PageRank: hand-computed one round on the path graph a-b-c") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val r = graft.ops.PageRank.pageRank(edges, iters = 1)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_units")).toMap
+    // deg: 1->1, 2->2, 3->1; contribs: ends send 1e9, middle sends 5e8 each way
+    // r1(end)   = 150e6 + (85 * 5e8)  DIV 100 = 575e6
+    // r1(middle)= 150e6 + (85 * 2e9)  DIV 100 = 1850e6
+    assert(r === Map(1L -> 575000000L, 2L -> 1850000000L, 3L -> 575000000L))
+  }
+
   test("withinTolerance edge: boundary is inclusive (FP-exact values)") {
     // 0.25 * 200 = 50 exactly representable: boundary must be inclusive
     assert(Quality.withinTolerance(250.0, 200.0, 0.25) === true)
