@@ -439,7 +439,89 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_hits"), round(max(col("cs")), 6).as("max_cos"))
   }
 
+  /** Lloyd rounds q142 runs; its oracle is GENERATED for the same constant
+    * so the two sides cannot drift. */
+  private val kmeansRounds = 3
+
+  /** q142: k-means to `kmeansRounds` Lloyd rounds, bit-exact across
+    * engines — the full iterative clustering loop, not q39's single
+    * supervised step. Exactness design: coordinates are floor-quantized
+    * to a 1e-6 grid WITH a +1.0 offset (all values positive, so both
+    * engines' integer division is the same floor), distances are exact
+    * integer Σ(xq−cq)² (the common offset cancels in differences),
+    * assignment ties break (dist, cluster) ascending via a struct min,
+    * and new centroids are integer floor means — every round is a pure
+    * integer function of the last, so round k agrees bit-for-bit on any
+    * engine. Seeds = the first k vectors by id (deterministic).
+    * Scale shape: per round, one broadcast join of the k·d centroid table
+    * against the exploded corpus, one (vec, cluster) distance aggregate,
+    * one argmin, one centroid aggregate — the corpus never shuffles by
+    * itself, only (vec, cluster) distance rows do; the per-round centroid
+    * frame is persisted so round k+1 reads state, not k scans of lineage. */
+  def q142KmeansIters(spark: SparkSession, dir: String): DataFrame = {
+    val offset = 1000000L // +1.0 on the 1e-6 grid: all quantized values > 0
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        (floor(col("x").cast("double") * 1e6).cast("long") + offset).as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+        col("xq").as("cq"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to kmeansRounds) {
+      val assign = pts.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"))
+      val next = pts.join(assign, Seq("vec_id"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+        .select(col("cluster"), col("dim"), col("n"),
+          expr("s DIV n").as("cq")) // positive sums: DIV == floor division
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      cent = next.select(col("cluster"), col("dim"), col("cq"))
+    }
+    cent.join(prev.get.select(col("cluster"), col("dim"), col("n")),
+        Seq("cluster", "dim"))
+      .select(col("cluster"), col("dim"), col("n"),
+        (col("cq") - offset).as("c_units"),
+        round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))
+  }
+
+  /** q142's oracle, generated for [[kmeansRounds]]: the identical integer
+    * recurrence unrolled as one CTE pair (assign, centroid) per round. */
+  private lazy val kmeansSql: String = {
+    val steps = (1 to kmeansRounds).map { k =>
+      s"""a$k AS (SELECT vec_id, cluster FROM (
+         |  SELECT p.vec_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |      ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)), c.cluster) AS rn
+         |  FROM p JOIN c${k - 1} c ON c.dim = p.dim
+         |  GROUP BY p.vec_id, c.cluster) t WHERE rn = 1),
+         |c$k AS (SELECT a$k.cluster, p.dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(p.xq) // COUNT(*) AS BIGINT) AS cq
+         |  FROM p JOIN a$k ON a$k.vec_id = p.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+       |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+       |    + 1000000 AS xq
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
+       |  FROM p WHERE vec_id < 8),
+       |$steps
+       |SELECT cluster, dim, n, cq - 1000000 AS c_units,
+       |  ROUND(CAST(cq - 1000000 AS DOUBLE) / 1e6, 6) AS mean
+       |FROM c$kmeansRounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q142_kmeans_iters" -> kmeansSql,
     "q122_hof_surface" ->
       """WITH q AS (SELECT vec_id, embedding AS e,
         |  list_transform(embedding,
