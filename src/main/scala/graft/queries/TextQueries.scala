@@ -1413,6 +1413,53 @@ object TextQueries {
       .select(col("node").as("doc_id"), col("degree"),
         col("rank_units"), col("rank"))
 
+  /** q143: length-bucketed batching audit — documents bucketed to the
+    * next power-of-two token length (floor 16, cap 256), with real vs
+    * padded token counts and the padding-waste share per bucket. This is
+    * the number that decides a training batcher's bucket boundaries: the
+    * waste IS the GPU time burned on pad tokens. The bucket ladder is an
+    * explicit integer CASE — `2^⌈log2 n⌉` via FP log2 diverges between
+    * engines exactly at the powers of two it needs to be right at. One
+    * narrow scan + one tiny aggregate. */
+  def q143PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val n = TA.tokenCount(TA.tokens(col("text")))
+    val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).otherwise(256L)
+    Tables.documents(spark, dir)
+      .select(n.as("n"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_real"))
+      .select(col("bucket"), col("n_docs"),
+        col("tokens_real"),
+        (col("bucket") * col("n_docs")).as("tokens_padded"),
+        (expr(
+          "(2 * (bucket * n_docs - tokens_real) * 10000 + bucket * n_docs)" +
+            " DIV (2 * bucket * n_docs)")
+          .cast("double") / lit(1e4)).as("waste_share"))
+  }
+
+  /** q144: deterministic word-dropout augmentation — ~10% of token
+    * OCCURRENCES dropped where `md5(doc_id:pos:token)` falls below a
+    * fixed hex threshold, so the augmented corpus is a pure function of
+    * the input (reproducible runs, resumable shards — the property that
+    * separates pipeline augmentation from notebook augmentation).
+    * Positions are 1-based in the hash input on BOTH engines. The output
+    * row per document carries the kept-token count and the md5 of the
+    * reconstructed augmented text — a whole-pipeline checksum: engines
+    * must agree on the drop set AND the reassembly order to match. */
+  def q144WordDropout(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TA.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.filter(substring(md5(concat_ws(":",
+      col("doc_id"), col("pos"), col("tok"))), 1, 2) >= "1a")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("aug_md5"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -1473,6 +1520,29 @@ object TextQueries {
     markers.map(occSql).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q143_padding_waste" ->
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         |  WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 256 END AS bucket
+         |  FROM d)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS tokens_real,
+         |  CAST(bucket * COUNT(*) AS BIGINT) AS tokens_padded,
+         |  CAST((2 * (bucket * COUNT(*) - SUM(n)) * 10000 + bucket * COUNT(*))
+         |    // (2 * bucket * COUNT(*)) AS DOUBLE) / 1e4 AS waste_share
+         |FROM b GROUP BY bucket""".stripMargin,
+
+    "q144_word_dropout" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS tok,
+         |  generate_subscripts(toks, 1) AS pos FROM t),
+         |k AS (SELECT doc_id, pos, tok FROM p
+         |  WHERE substr(md5(doc_id || ':' || pos || ':' || tok), 1, 2) >= '1a')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS aug_md5
+         |FROM k GROUP BY 1""".stripMargin,
+
     "q141_pagerank" ->
       s"""WITH pairs AS ($minhashPairsSql),
          |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
