@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   * and the same holds on a 1000-executor cluster: per-pair CPU, not bytes,
   * is what the verify stage spends.
   *
+  * The walk compares via `UTF8String.binaryCompare`, NOT `compareTo`:
+  * in Spark 4 `compareTo` is a deprecation guard that calls
+  * `SparkEnvUtils.isTesting` — a `System.getenv` (linear env-map scan +
+  * string re-encode) on EVERY comparison. Profiled on the q126 verify
+  * stage, that guard was ~95% of executor samples (~500 CPU-s); the
+  * byte-level `binaryCompare` is what Spark's own operators use.
+  *
   * Contract: both inputs must be sorted ascending in Spark's binary
   * UTF8String order (exactly what `array_sort` produces) and duplicate-free
   * (what `array_distinct` produces). NULL array -> NULL; a NULL ELEMENT
@@ -54,7 +61,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var cnt = 0L
     while (i < n1 && j < n2) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -73,7 +80,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $n1 && $j < $n2) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
