@@ -748,7 +748,51 @@ object DateTimeQueries {
         count(lit(1)).as("n_events"),
         sum(col("cents")).as("cents_total"))
 
+  /** q145: time-weighted average value (TWAP) per event type — each
+    * event's value is weighted by the SECONDS it was the user's current
+    * value (gap to that user's next event; the user's last event carries
+    * no weight). The metric billing/position systems actually need, and
+    * the one plain AVG silently gets wrong when events cluster. Exact
+    * integer algebra: weights in whole seconds (micros DIV 1e6 — second
+    * resolution is part of the contract), values in cents, so Σ(w·cents)
+    * and Σw are exact and the single division is the only FP step. One
+    * per-user lead() window (thousands of small partitions) + one
+    * map-side-combined aggregate. */
+  def q145Twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("w_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("w_us").isNotNull)
+      .withColumn("w_sec", expr("w_us DIV 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_weighted"),
+        sum(col("w_sec")).as("w_total_sec"),
+        sum(col("w_sec") * col("cents")).as("wc"))
+      .select(col("event_type"), col("n_weighted"), col("w_total_sec"),
+        round(col("wc").cast("double")
+          / nullif(col("w_total_sec").cast("double"), lit(0.0)) / 1e2, 4)
+          .as("twap"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q145_twap" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type,
+        |  CAST((LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    - ts_us) AS BIGINT) AS w_us, cents FROM e),
+        |f AS (SELECT event_type, w_us // 1000000 AS w_sec, cents
+        |  FROM g WHERE w_us IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_weighted,
+        |  CAST(SUM(w_sec) AS BIGINT) AS w_total_sec,
+        |  ROUND(CAST(SUM(w_sec * cents) AS DOUBLE)
+        |    / NULLIF(CAST(SUM(w_sec) AS DOUBLE), 0.0) / 1e2, 4) AS twap
+        |FROM f GROUP BY 1""".stripMargin,
+
     "q135_welch_ttest" ->
       """WITH e AS (SELECT event_type,
         |  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
