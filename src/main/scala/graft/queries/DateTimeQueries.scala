@@ -777,7 +777,128 @@ object DateTimeQueries {
           .as("twap"))
   }
 
+  /** q146: first-touch conversion attribution — q14's 30-min-gap
+    * sessions, each attributed to the CHANNEL of its first event
+    * ((ts, event_id) total order, so simultaneous arrivals break ties
+    * identically everywhere), rolled up to per-channel sessions,
+    * converted sessions (≥1 purchase), and attributed revenue in exact
+    * cents. The marketing question ("which entry point pays?") asked of
+    * an event stream; all state rides the per-user session window plus
+    * one map-side-combined rollup. */
+  def q146Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("f"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("rev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("f.event_type").as("channel"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("conv")).as("conv_sessions"),
+        sum(col("rev")).as("revenue_cents"))
+      .select(col("channel"), col("n_sessions"), col("conv_sessions"),
+        col("revenue_cents"),
+        (expr("(2 * conv_sessions * 10000 + n_sessions) DIV (2 * n_sessions)")
+          .cast("double") / lit(1e4)).as("conv_share"))
+  }
+
+  /** q147: RFM segmentation — per user, recency (days since last event,
+    * relative to the corpus max timestamp so the query is a pure function
+    * of the data), frequency (events), monetary (purchase cents), each
+    * cut into integer-threshold segments (explicit CASE ladders — the
+    * portable form of "quantile buckets" when the contract must be
+    * stable across runs AND engines), rolled up to segment counts. The
+    * classic lifecycle report, exact at any scale: one aggregate per
+    * user + a broadcast corpus-max + one tiny rollup. */
+  def q147RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("pcents"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("freq"),
+        sum(col("pcents")).as("monetary"))
+    val corpusMax = perUser.agg(max(col("last_us")).as("max_us"))
+    val dayUs = 86400L * 1000 * 1000
+    perUser.crossJoin(broadcast(corpusMax))
+      .withColumn("rec_days", expr(s"(max_us - last_us) DIV $dayUs"))
+      .withColumn("r_seg", when(col("rec_days") <= 7, "r1_active")
+        .when(col("rec_days") <= 30, "r2_recent").otherwise("r3_lapsed"))
+      .withColumn("f_seg", when(col("freq") >= 40, "f1_heavy")
+        .when(col("freq") >= 10, "f2_regular").otherwise("f3_light"))
+      .withColumn("m_seg", when(col("monetary") >= 10000, "m1_high")
+        .when(col("monetary") >= 1000, "m2_mid").otherwise("m3_low"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).as("monetary_cents"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q146_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, LAG(ts_us) OVER w AS prev_us FROM e
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t),
+        |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id FROM s),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts_us, event_id) AS rn FROM g),
+        |agg AS (SELECT user_id, session_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |    AS BIGINT) AS rev,
+        |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS conv
+        |  FROM g GROUP BY 1, 2),
+        |sess AS (SELECT agg.user_id, agg.session_id, r.event_type AS channel,
+        |  agg.rev, agg.conv
+        |  FROM agg JOIN r ON r.user_id = agg.user_id
+        |    AND r.session_id = agg.session_id AND r.rn = 1)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS conv_sessions,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+        |  CAST((2 * SUM(conv) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+        |    / 1e4 AS conv_share
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    "q147_rfm_segments" ->
+      """WITH u AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |  CAST(COUNT(*) AS BIGINT) AS freq,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS monetary
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT MAX(last_us) AS max_us FROM u),
+        |seg AS (SELECT
+        |  CASE WHEN (max_us - last_us) // 86400000000 <= 7 THEN 'r1_active'
+        |       WHEN (max_us - last_us) // 86400000000 <= 30 THEN 'r2_recent'
+        |       ELSE 'r3_lapsed' END AS r_seg,
+        |  CASE WHEN freq >= 40 THEN 'f1_heavy'
+        |       WHEN freq >= 10 THEN 'f2_regular' ELSE 'f3_light' END AS f_seg,
+        |  CASE WHEN monetary >= 10000 THEN 'm1_high'
+        |       WHEN monetary >= 1000 THEN 'm2_mid' ELSE 'm3_low' END AS m_seg,
+        |  monetary FROM u CROSS JOIN m)
+        |SELECT r_seg, f_seg, m_seg, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(monetary) AS BIGINT) AS monetary_cents
+        |FROM seg GROUP BY 1, 2, 3""".stripMargin,
+
     "q145_twap" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |  epoch_us(ts) AS ts_us,
