@@ -135,13 +135,21 @@ private[sources] class CovidScanBuilder(options: CaseInsensitiveStringMap)
     options.getOrDefault("date", "2023-03-02"),
     options.getInt("provincesPerCountry", 48),
     options.getOrDefault("payloadProvider",
-      classOf[FixturePayloadProvider].getName))
+      classOf[FixturePayloadProvider].getName),
+    // provider.* reader options travel to the provider constructor
+    // (prefix stripped; keys are lowercased by CaseInsensitiveStringMap)
+    options.asScala.collect {
+      case (k, v) if k.startsWith("provider.") =>
+        k.stripPrefix("provider.") -> v
+    }.toMap)
 }
 
 private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[String]],
                                  limit: Option[Int],
                                  ds: String, provinces: Int,
-                                 providerClass: String) extends Scan with Batch {
+                                 providerClass: String,
+                                 providerOptions: Map[String, String])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -160,7 +168,7 @@ private[sources] class CovidScan(required: StructType, isoFilter: Option[Set[Str
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CovidReaderFactory(required, providerClass)
+    new CovidReaderFactory(required, providerClass, providerOptions)
 }
 
 private[sources] final case class CovidInputPartition(
@@ -168,17 +176,29 @@ private[sources] final case class CovidInputPartition(
     provinces: Int) extends InputPartition
 
 private[sources] class CovidReaderFactory(required: StructType,
-                                          providerClass: String)
+                                          providerClass: String,
+                                          providerOptions: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CovidInputPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
       // executor-side, once per partition reader — where a real HTTP
-      // client (connection pool, auth token) would be initialized
-      private lazy val provider: CovidPayloadProvider =
-        Class.forName(providerClass).getDeclaredConstructor()
-          .newInstance().asInstanceOf[CovidPayloadProvider]
+      // client (connection pool, auth token) would be initialized.
+      // Providers that take configuration (HttpCovidProvider's url/headers)
+      // declare a Map[String,String] constructor; stateless ones keep the
+      // no-arg form — same class-name injection either way.
+      private lazy val provider: CovidPayloadProvider = {
+        val cls = Class.forName(providerClass)
+        val inst =
+          try cls.getDeclaredConstructor(classOf[Map[String, String]])
+            .newInstance(providerOptions)
+          catch {
+            case _: NoSuchMethodException =>
+              cls.getDeclaredConstructor().newInstance()
+          }
+        inst.asInstanceOf[CovidPayloadProvider]
+      }
       override def next(): Boolean = if (emitted) false else { emitted = true; true }
       override def get(): InternalRow = {
         val epochDays = java.time.LocalDate.parse(p.ds).toEpochDay.toInt

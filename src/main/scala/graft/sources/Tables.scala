@@ -40,10 +40,19 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet written with isAdjustedToUTC=false (pandas/pyarrow default)
+        // surfaces as TIMESTAMP_NTZ, which unix_micros/unix_seconds reject.
+        // The fixture's wall-clock values are UTC, and graft pins the session
+        // TZ to UTC, so the cast is value-preserving.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -29,4 +29,10 @@ object shim {
     * `listenerBus` is `private[spark]`, hence exposed here. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+  /** True iff no DataFrame cache entries exist — the assertion surface for
+    * the `graft.ops.Caching.withPersisted` contract (`cacheManager` is
+    * `private[sql]`, hence exposed here). */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -19,6 +19,17 @@ object StubPayloadProvider {
   val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** Configured stub exercising the SAME Map-constructor injection path
+  * [[graft.sources.HttpCovidProvider]] uses (no network in CI): `provider.*`
+  * reader options must arrive prefix-stripped and lowercased. */
+final class ConfiguredStubProvider(options: Map[String, String])
+    extends CovidPayloadProvider {
+  override def fetch(ds: String, iso: String, country: String,
+                     countryIdx: Int, provinces: Int): String =
+    s"""{"url":"${options.getOrElse("url", "?")}","key":"${
+      options.getOrElse("header.x-api-key", "?")}","iso":"$iso"}"""
+}
+
 /** DSv2 connector: fan-out partitioning, partition-level filter pushdown
   * (countries prune before any "fetch"), column pruning, and end-to-end
   * equivalence with the in-memory stage fixture. */
@@ -74,6 +85,17 @@ class CovidReportSourceSpec extends SparkSpec {
     src.option("payloadProvider", classOf[StubPayloadProvider].getName)
       .load().filter(col("iso_country") === "CHN").collect()
     assert(StubPayloadProvider.calls.asScala.toSet === Set("CHN"))
+  }
+
+  test("provider.* options reach a Map-constructor provider (HTTP config path)") {
+    val df = src
+      .option("payloadProvider", classOf[ConfiguredStubProvider].getName)
+      .option("provider.url", "http://example.test/reports")
+      .option("provider.header.X-Api-Key", "sekrit")
+      .load().filter(col("iso_country") === "RUS")
+    val payload = df.select("json_data").collect().head.getString(0)
+    assert(payload ===
+      """{"url":"http://example.test/reports","key":"sekrit","iso":"RUS"}""")
   }
 
   test("pipeline over the connector == pipeline over the fixture") {

@@ -32,6 +32,14 @@ class OpsEdgeSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0))
   }
 
+  test("q139 releases every cache entry it creates (withPersisted contract)") {
+    spark.catalog.clearCache()
+    val df = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
+    assert(df.count() === 1)
+    assert(org.apache.spark.sql.graft.shim.cacheIsEmpty(spark),
+      "composed query left persisted frames behind")
+  }
+
   test("quality profile of an empty frame returns zero groups, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(String, String, Long)].toDF("source", "lang", "n_chars")

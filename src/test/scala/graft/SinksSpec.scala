@@ -28,6 +28,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readDatePartition(spark, dir, d2).count() === 240)
   }
 
+  test("Tables.events normalizes every writer's ts flavor to TimestampType") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dir = Files.createTempDirectory("graft_events_ts").toString
+    val base = graft.sources.Tables.events(spark, sfDir).limit(100)
+    // leg 1: engine-written TIMESTAMP (parquet isAdjustedToUTC=true)
+    base.write.mode("overwrite").parquet(s"$dir/us/events.parquet")
+    // leg 2: TIMESTAMP_NTZ (pandas/pyarrow write isAdjustedToUTC=false by
+    // default — the r2 fixture change that broke all 13 event-time queries).
+    // The third flavor, TIMESTAMP(NANOS)-as-long, needs a non-Spark writer
+    // and is pinned by the sf fixtures themselves via this same loader.
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    assert(spark.read.parquet(s"$dir/ntz/events.parquet")
+      .schema("ts").dataType === TimestampNTZType) // the trap is real
+    val us = graft.sources.Tables.events(spark, s"$dir/us")
+    val ntz = graft.sources.Tables.events(spark, s"$dir/ntz")
+    assert(us.schema("ts").dataType === TimestampType)
+    assert(ntz.schema("ts").dataType === TimestampType)
+    // value-preserving under the UTC session TZ: identical epoch micros
+    def micros(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(micros(us) === micros(ntz))
+  }
+
   test("clustered write makes row-group stats tight (scan skips row groups)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_clustered").toString
