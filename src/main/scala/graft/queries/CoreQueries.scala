@@ -647,4 +647,213 @@ object CoreQueries {
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
+
+  /** q148: TPC-H Q6 shape (forecast revenue) — the canonical
+    * filter-everything-then-one-agg scan. All four predicates and the
+    * 2-column ReadSchema push to the parquet scan (row-group pruning on
+    * shipdate at rest); the whole query is one codegen stage with a
+    * single-row partial-agg exchange. At 100 TB this reads only the
+    * shipdate-pruned row groups and shuffles ~32 rows. */
+  def q148ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount", 4, 2))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q149: TPC-H Q8 shape (national market share) — for ASIA-region
+    * customers, the share of yearly order revenue supplied from NATION_5.
+    * The conditional-sum-over-total idiom: ONE pass computes numerator
+    * (CASE WHEN) and denominator in the same grouped agg — no self-join,
+    * no second scan. Dims broadcast; only (year, two decimals) shuffle.
+    * The share division happens once per year-row in double (identical
+    * IEEE semantics in the oracle), on exact decimal inputs. */
+  def q149MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = dec("l_extendedprice") *
+      (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nat_dec"),
+        sum(vol).as("tot_dec"))
+      .select(col("o_year"),
+        round(col("nat_dec").cast("double") / col("tot_dec").cast("double"), 6)
+          .as("mkt_share"),
+        col("tot_dec").cast("double").as("total_revenue"))
+  }
+
+  /** q150: TPC-H Q13 shape (customer order-count distribution) — LEFT
+    * join so zero-order customers survive with c_count=0, then a second
+    * tiny agg over the per-customer counts. The first agg shuffles one
+    * row per customer; the second shuffles one row per distinct count
+    * (bounded ~100s). The priority filter lives in the JOIN condition,
+    * not a WHERE — a post-join WHERE would silently turn the left join
+    * into an inner one and drop the c_count=0 bucket. */
+  def q150CustOrderDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** q151: TPC-H Q15 shape (top supplier) — per-supplier quarterly
+    * revenue, then the supplier(s) achieving the maximum. The scalar
+    * subquery (SELECT MAX(...)) becomes a 1-row broadcast joined on
+    * DECIMAL equality — exact, so ties are kept identically to the SQL
+    * semantics, and there is no single-partition window anywhere. */
+  def q151TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revs = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))).as("rev_dec"))
+    val maxRev = revs.agg(max(col("rev_dec")).as("max_rev"))
+    revs.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  /** q152: TPC-H Q17 shape (small-quantity-order revenue) — lineitems of
+    * one part family whose quantity is below 0.2x that part's average.
+    * The correlated avg becomes a per-part agg joined back; the
+    * fractional compare qty < sum/(5*n) is done as the exact integer-
+    * cross-multiplication qty*5*n < sum (decimals, no division) so both
+    * engines keep identical edge rows. Parts prune first and broadcast,
+    * so lineitem is scanned once and only matching parts' rows flow. */
+  def q152SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(stats.withColumnRenamed("l_partkey", "sk"), col("l_partkey") === col("sk"))
+      .filter(dec("l_quantity") * lit(5) * col("n_li") < col("sum_qty"))
+      .agg(sum(dec("l_extendedprice")).cast("double").as("total_price"),
+        count(lit(1)).as("n_small"))
+      .select(round(col("total_price") / 7.0, 4).as("avg_yearly"),
+        col("total_price"), col("n_small"))
+  }
+
+  /** q153: TPC-H Q19 shape (discounted revenue, disjunctive predicates) —
+    * three OR'd brand/size/quantity conjunctions evaluated inside the
+    * broadcast-hash-join condition. Catalyst extracts the common
+    * l_partkey=p_partkey equi-key for the hash lookup and applies the
+    * disjunction as the join residual — no fallback to nested-loop. */
+  def q153DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q154: TPC-H Q9 shape (product-type profit) — profit per supplier
+    * nation per order year for 'red' parts, with supply cost stood in by
+    * p_retailprice/2 (the fixture has no partsupp table; documented
+    * divergence). All arithmetic stays in widening decimals (exact) until
+    * the final double cast; parts filter + broadcast first so lineitem
+    * rows for the other ~90% of parts never enter the join graph. */
+  def q154ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2)) -
+        dec("p_retailprice") * dec("l_quantity") * lit(0.5).cast("decimal(2,1)"))
+        .cast("double").as("profit"))
+
+  /** q155: TPC-H Q2 shape (minimum-cost supplier) — for each small part,
+    * the EUROPE-region supplier(s) offering the minimum observed price
+    * (min l_extendedprice stands in for partsupp.ps_supplycost). The
+    * correlated MIN becomes a per-part agg re-joined on (partkey, price);
+    * the double equality is safe because no arithmetic touches the
+    * value. DISTINCT collapses repeat sales at the same min price. */
+  def q155MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eligSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val lip = Tables.lineitem(spark, dir)
+      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("l_extendedprice"))
+    val mins = lip.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    lip.join(mins, col("p_partkey") === col("mk") &&
+        col("l_extendedprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("min_price"))
+      .distinct()
+  }
+
+  /** q156: TPC-H Q20 shape (excess shippers) — suppliers whose 1996
+    * shipped quantity of PROMO-type parts exceeds a volume threshold,
+    * decorated with their nation. The part filter broadcasts; the
+    * per-supplier agg shuffles one decimal per supplier; the HAVING is a
+    * post-agg filter on the exact decimal. */
+  def q156ExcessShippers(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_quantity")).as("qty_dec"))
+      .filter(col("qty_dec") > lit(450).cast("decimal(18,2)"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("qty_dec").cast("double").as("total_qty"))
 }

@@ -397,6 +397,142 @@ object Oracles {
         |JOIN part ON p_partkey = l_partkey
         |WHERE l_suppkey NOT IN
         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q148_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q149_market_share" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+        |    6) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS total_revenue
+        |FROM customer
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = cn.n_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q150_cust_order_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) c
+        |GROUP BY c_count""".stripMargin,
+
+    "q151_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)""".stripMargin,
+
+    "q152_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_type = 'ECONOMY'),
+        |stats AS (
+        |  SELECT l_partkey AS sk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS n_li
+        |  FROM li GROUP BY 1),
+        |small AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(COUNT(*) AS BIGINT) AS n_small
+        |  FROM li JOIN stats ON l_partkey = sk
+        |  WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty)
+        |SELECT ROUND(total_price / 7.0, 4) AS avg_yearly, total_price, n_small
+        |FROM small""".stripMargin,
+
+    "q153_disjunctive_predicates" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q154_product_profit" ->
+      """SELECT n_name AS nation,
+        |  EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q155_min_cost_supplier" ->
+      """WITH lip AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, l_extendedprice
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE r_name = 'EUROPE' AND p_size < 10),
+        |mins AS (
+        |  SELECT p_partkey AS mk, MIN(l_extendedprice) AS min_price
+        |  FROM lip GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name, min_price
+        |FROM lip JOIN mins ON p_partkey = mk AND l_extendedprice = min_price""".stripMargin,
+
+    "q156_excess_shippers" ->
+      """SELECT s_suppkey, s_name, n_name,
+        |  CAST(qty_dec AS DOUBLE) AS total_qty
+        |FROM (SELECT l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey) s
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE qty_dec > CAST(450 AS DECIMAL(18,2))""".stripMargin
   )
 }

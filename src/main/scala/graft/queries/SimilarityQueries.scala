@@ -520,8 +520,100 @@ object SimilarityQueries {
        |FROM c$kmeansRounds""".stripMargin
   }
 
+  /** q157: SemDeDup-style semantic dedup — assign every vector to its
+    * nearest seed centroid (one Lloyd assignment round, q142's integer
+    * recurrence), then prune near-duplicates ONLY within a cluster: a
+    * vector is dropped when a lower-id cluster-mate has quantized cosine
+    * >= tau. This is the published SemDeDup shape (cluster to bound the
+    * candidate set, pairwise only inside the cluster) — at 100 TB the
+    * all-pairs step is bounded by cluster size, the corpus never
+    * self-joins globally, and the cluster id is the shuffle key.
+    * Exactness: coordinates floor-quantized to 1e-3 (|xq| <= ~530, 64
+    * dims, so every product below stays in int64), and cos >= tau is the
+    * integer cross-multiplication 25*dot^2 >= 4*n2a*n2b with dot > 0
+    * (tau = 0.4 — fixture embeddings are near-orthogonal, max pairwise
+    * cos 0.51, so the production 0.95 would never fire; the threshold is
+    * data-calibrated, the algebra is threshold-independent). */
+  def q157Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val offset = 1000000L
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        (floor(col("x").cast("double") * 1e6).cast("long") + offset).as("xq"))
+    val cent = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+        col("xq").as("cq"))
+    val assign = pts.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e3).cast("long")).as("vq"))
+      .withColumn("n2",
+        aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x))
+      .join(assign, Seq("vec_id"))
+    val a = vecs.select(col("cluster"), col("vec_id").as("id_a"),
+      col("vq").as("vq_a"), col("n2").as("n2_a"))
+    val b = vecs.select(col("cluster"), col("vec_id").as("id_b"),
+      col("vq").as("vq_b"), col("n2").as("n2_b"))
+    val dot = aggregate(
+      zip_with(col("vq_a"), col("vq_b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dp", dot)
+      .filter(col("dp") > 0 &&
+        lit(25) * col("dp") * col("dp") >= lit(4) * col("n2_a") * col("n2_b"))
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    vecs.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** q157's oracle: the same integer assignment round + integer cosine
+    * cross-multiplication, in DuckDB list/unnest algebra. */
+  private lazy val semdedupSql: String =
+    s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+       |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+       |    + 1000000 AS xq
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
+       |  FROM p WHERE vec_id < 8),
+       |a1 AS (SELECT vec_id, cluster FROM (
+       |  SELECT p.vec_id, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)), c.cluster) AS rn
+       |  FROM p JOIN c0 c ON c.dim = p.dim
+       |  GROUP BY p.vec_id, c.cluster) t WHERE rn = 1),
+       |v AS (SELECT e.vec_id, a1.cluster,
+       |  list_transform(e.embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS vq
+       |  FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id),
+       |n AS (SELECT vec_id, cluster, vq,
+       |  list_aggregate(list_transform(vq, x -> x * x), 'sum') AS n2 FROM v),
+       |d AS (SELECT DISTINCT b.vec_id
+       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_aggregate(list_transform(
+       |      generate_series(1, $dims), i -> a.vq[i] * b.vq[i]), 'sum') > 0
+       |    AND 25 * list_aggregate(list_transform(generate_series(1, $dims),
+       |          i -> a.vq[i] * b.vq[i]), 'sum')
+       |        * list_aggregate(list_transform(generate_series(1, $dims),
+       |          i -> a.vq[i] * b.vq[i]), 'sum')
+       |      >= 4 * a.n2 * b.n2)
+       |SELECT n.vec_id, n.cluster,
+       |  (d.vec_id IS NOT NULL) AS is_dropped
+       |FROM n LEFT JOIN d ON d.vec_id = n.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q142_kmeans_iters" -> kmeansSql,
+    "q157_semdedup" -> semdedupSql,
     "q122_hof_surface" ->
       """WITH q AS (SELECT vec_id, embedding AS e,
         |  list_transform(embedding,
