@@ -1548,7 +1548,108 @@ object TextQueries {
   private def scoreSql(markers: Seq[String]) =
     markers.map(occSql).mkString(" + ")
 
+  /** q158's frequency bar: report tokens whose global count exceeds
+    * total/k. */
+  private val heavyK = 100
+
+  /** q158: sketch-gated heavy hitters — Misra-Gries summaries per
+    * partition, exact recount of the surviving candidates only. The MG
+    * guarantee makes the final answer EXACT, not approximate: any token
+    * with global count > n/k has count > n_p/k in at least one partition
+    * (pigeonhole over the partition sizes), and an MG summary with k
+    * counters retains every token with partition count > n_p/(k+1) — a
+    * strict superset of that bar. So candidates ⊇ true heavy hitters,
+    * and the exact recount (a semi-join against <= k*P broadcast
+    * candidates) discards false positives. At 100 TB the full
+    * token-frequency shuffle never happens — only the bounded candidate
+    * set is counted; this is the one mapPartitions in the query surface,
+    * and it exists precisely because the sketch state is imperative. */
+  def q158HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < heavyK => counters(t) = 1L
+          case None => // decrement-all: the classic MG eviction step
+            val dead = List.newBuilder[String]
+            counters.foreach { case (tk, c) =>
+              if (c == 1L) dead += tk else counters(tk) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * heavyK > col("n_total"))
+      .select(col("token"), col("cnt"), col("n_total"))
+  }
+
+  /** q159: vocabulary-growth (Heaps' law) audit — how many NEW token
+    * types each tenth of the corpus contributes, and the cumulative
+    * vocabulary, scanning docs in doc_id order. Shape: one agg for each
+    * token's first-occurrence doc (min doc_id — order-insensitive), a
+    * pure-function decile from (doc_id, corpus size) — no global sort,
+    * no single-partition window — and a 10x10 triangle join over the
+    * 10-row decile frame for the running total. Corpus-size dependence
+    * rides a 1-row broadcast. */
+  def q159VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+    val withDec = toks.crossJoin(broadcast(nDocs))
+      .withColumn("decile", expr("CAST(doc_id * 10 DIV n_docs AS INT)"))
+    val occ = withDec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firsts = withDec.groupBy(col("token"))
+      .agg(min(col("decile")).as("first_decile"))
+      .groupBy(col("first_decile")).agg(count(lit(1)).as("new_types"))
+    val base = occ.join(firsts, col("decile") === col("first_decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    base.alias("a")
+      .join(base.alias("b"), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"))
+      .agg(first(col("a.n_tokens")).as("n_tokens"),
+        first(col("a.new_types")).as("new_types"),
+        sum(col("b.new_types")).as("cum_vocab"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q158_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY token)
+         |SELECT token, cnt, n_total FROM c CROSS JOIN n
+         |WHERE cnt * $heavyK > n_total""".stripMargin,
+
+    "q159_vocab_growth" ->
+      s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |wd AS (SELECT CAST(doc_id * 10 // n_docs AS INT) AS decile, token
+         |  FROM t CROSS JOIN nd),
+         |occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |  FROM wd GROUP BY decile),
+         |fst AS (SELECT MIN(decile) AS first_decile FROM wd GROUP BY token),
+         |nw AS (SELECT first_decile, CAST(COUNT(*) AS BIGINT) AS new_types
+         |  FROM fst GROUP BY first_decile),
+         |base AS (SELECT decile, n_tokens,
+         |  COALESCE(new_types, CAST(0 AS BIGINT)) AS new_types
+         |  FROM occ LEFT JOIN nw ON first_decile = decile)
+         |SELECT a.decile, a.n_tokens, a.new_types,
+         |  CAST(SUM(b.new_types) AS BIGINT) AS cum_vocab
+         |FROM base a JOIN base b ON b.decile <= a.decile
+         |GROUP BY a.decile, a.n_tokens, a.new_types""".stripMargin,
+
     "q143_padding_waste" ->
       s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
          |b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
