@@ -120,6 +120,11 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     shim.column(SortedIntersectSize(shim.expression(a), shim.expression(b)))
 
+  /** `long_vec_dot(a, b)` as a Column — exact integer dot product of two
+    * `array<long>` columns (see [[LongVecDot]] for the overflow contract). */
+  def longVecDot(a: Column, b: Column): Column =
+    shim.column(LongVecDot(shim.expression(a), shim.expression(b)))
+
   /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
     * Column API alike; float/double arrays are left alone. */
   private[functions] def toVecType(e: Expression): Expression = e.dataType match {
@@ -149,6 +154,17 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (FunctionIdentifier("long_vec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "long_vec_dot"),
+      (args: Seq[Expression]) => {
+        // SQL surface coerces integral arrays to array<long>; the Column
+        // API takes array<long> only (pre-analysis types are unknown there)
+        def toLongArr(a: Expression) = a.dataType match {
+          case ArrayType(LongType, _) => a
+          case _ => Cast(a, ArrayType(LongType))
+        }
+        LongVecDot(toLongArr(args(0)), toLongArr(args(1)))
+      }),
     (FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) =>

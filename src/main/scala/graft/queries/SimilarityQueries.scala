@@ -535,42 +535,49 @@ object SimilarityQueries {
     * cos 0.51, so the production 0.95 would never fire; the threshold is
     * data-calibrated, the algebra is threshold-independent). */
   def q157Semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val offset = 1000000L
-    val pts = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        (floor(col("x").cast("double") * 1e6).cast("long") + offset).as("xq"))
-    val cent = pts.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
-        col("xq").as("cq"))
-    val assign = pts.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("cluster"))
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    import graft.functions.GraftFunctions.longVecDot
+    // Two quantizations of the same embedding: 1e6 for the assignment
+    // metric (matches q142's grid; the oracle's +offset cancels inside
+    // (x-c)^2, so un-offset arrays give identical d2) and 1e3 for the
+    // cosine prune (keeps 25*dot^2 inside int64). Every dot product below
+    // is the native codegen'd LongVecDot — the zip_with/aggregate HOF
+    // form was measured at 3x the total query cost (CodegenFallback:
+    // boxed closure per element + intermediate array per pair).
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
-          x => floor(x.cast("double") * 1e3).cast("long")).as("vq"))
-      .withColumn("n2",
-        aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x))
+          x => floor(x.cast("double") * 1e6).cast("long")).as("vq6"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e3).cast("long")).as("vq3"))
+      .withColumn("n6", longVecDot(col("vq6"), col("vq6")))
+      .withColumn("n2", longVecDot(col("vq3"), col("vq3")))
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("vq6").as("cq6"), col("n6").as("cn6"))
+    // d2 = |x|^2 - 2<x,c> + |c|^2 per (vector, centroid) — 8 codegen'd
+    // 64-long loops per vector, argmin via struct-min; ties break on the
+    // lower cluster id exactly like the oracle's (d2, cluster) ordering.
+    val assign = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"),
+        (col("n6") - lit(2L) * longVecDot(col("vq6"), col("cq6")) +
+          col("cn6")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    val clustered = vecs.select(col("vec_id"), col("vq3"), col("n2"))
       .join(assign, Seq("vec_id"))
-    val a = vecs.select(col("cluster"), col("vec_id").as("id_a"),
-      col("vq").as("vq_a"), col("n2").as("n2_a"))
-    val b = vecs.select(col("cluster"), col("vec_id").as("id_b"),
-      col("vq").as("vq_b"), col("n2").as("n2_b"))
-    val dot = aggregate(
-      zip_with(col("vq_a"), col("vq_b"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val a = clustered.select(col("cluster"), col("vec_id").as("id_a"),
+      col("vq3").as("vq_a"), col("n2").as("n2_a"))
+    val b = clustered.select(col("cluster"), col("vec_id").as("id_b"),
+      col("vq3").as("vq_b"), col("n2").as("n2_b"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dp", dot)
+      .withColumn("dp", longVecDot(col("vq_a"), col("vq_b")))
       .filter(col("dp") > 0 &&
         lit(25) * col("dp") * col("dp") >= lit(4) * col("n2_a") * col("n2_b"))
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
-    vecs.select(col("vec_id"), col("cluster"))
+    clustered.select(col("vec_id"), col("cluster"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))

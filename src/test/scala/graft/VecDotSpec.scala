@@ -64,4 +64,39 @@ class VecDotSpec extends SparkSpec {
       .as[Double].head()
     assert(s === 11.0)
   }
+
+  test("long_vec_dot equals the integer zip_with/aggregate fold on quantized embeddings") {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e3).cast("long")).as("vq"))
+    val probe = q.filter(col("vec_id") < 4)
+      .select(col("vq").as("qv"))
+    val diff = q.crossJoin(broadcast(probe)).select(
+      GraftFunctions.longVecDot(col("vq"), col("qv")).as("fast"),
+      aggregate(zip_with(col("vq"), col("qv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
+  test("long_vec_dot: NULL on ragged/null input; SQL surface coerces int arrays") {
+    import spark.implicits._
+    val ragged = spark.range(1).select(
+      GraftFunctions.longVecDot(
+        array(lit(1L), lit(2L)), array(lit(3L))).as("d"))
+      .as[Option[Long]].head()
+    assert(ragged === None)
+    val nullElem = spark.range(1).select(
+      GraftFunctions.longVecDot(
+        array(lit(1L), lit(null).cast("long")),
+        array(lit(3L), lit(4L))).as("d"))
+      .as[Option[Long]].head()
+    assert(nullElem === None)
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark.sql("SELECT long_vec_dot(array(1, 2), array(3, 4)) AS d")
+      .as[Long].head()
+    assert(s === 11L)
+  }
 }
