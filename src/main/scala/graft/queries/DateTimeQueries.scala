@@ -846,7 +846,87 @@ object DateTimeQueries {
         sum(col("monetary")).as("monetary_cents"))
   }
 
+  /** q161: linear interpolation of missing hourly observations per event
+    * type — the time-series twin of q52's LOCF fill. Per type: last
+    * observation per hour (arg-max, no division), a generated hour spine
+    * over the observed span, bracketing observations via ignoreNulls
+    * last/first over two PARTITIONED windows (one shuffle on event_type,
+    * bounded by #types x span — never a global sort), then the
+    * interpolated value in integer cents. Exactness: the fractional
+    * prev + (next-prev)*dt1/dtn is evaluated as one integer half-up
+    * division, shifted by K*dtn (K=100000 > any |next-prev| in cents) so
+    * the numerator stays positive — floor and truncate agree, making the
+    * rounding engine-portable even when the series slopes down. Spine
+    * edges are observed hours, so both brackets always exist. */
+  def q161Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max_by(col("value"), col("ts")).as("v"))
+      .withColumn("units", round(col("v") * 100).cast("long"))
+      .drop("v")
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("hh", expr("unix_seconds(hour) DIV 3600"))
+      .withColumn("pu", last(col("units"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("units").isNotNull, col("hh")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nu", first(col("units"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("units").isNotNull, col("hh")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("value_cents", when(col("units").isNotNull, col("units"))
+        .otherwise(col("pu") - lit(100000L) + expr(
+          """(2 * ((nu - pu) * (hh - ph) + 100000 * (nh - ph)) + (nh - ph))
+            | DIV (2 * (nh - ph))""".stripMargin.replace("\n", ""))))
+      .select(col("event_type"), col("hour"),
+        col("units").isNull.as("is_interpolated"),
+        col("value_cents"),
+        (col("value_cents").cast("double") / 100).as("value"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q161_interpolate" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(ROUND(arg_max(value, ts) * 100) AS BIGINT) AS units
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM spans),
+        |j AS (SELECT s.event_type, s.hour, h.units,
+        |  epoch(s.hour)::BIGINT // 3600 AS hh
+        |  FROM spine s LEFT JOIN hourly h USING (event_type, hour)),
+        |b AS (SELECT event_type, hour, units, hh,
+        |  LAST_VALUE(units IGNORE NULLS) OVER wp AS pu,
+        |  LAST_VALUE(CASE WHEN units IS NOT NULL THEN hh END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  FIRST_VALUE(units IGNORE NULLS) OVER wn AS nu,
+        |  FIRST_VALUE(CASE WHEN units IS NOT NULL THEN hh END IGNORE NULLS)
+        |    OVER wn AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour, units IS NULL AS is_interpolated,
+        |  CASE WHEN units IS NOT NULL THEN units
+        |    ELSE pu - 100000 + (2 * ((nu - pu) * (hh - ph)
+        |      + 100000 * (nh - ph)) + (nh - ph)) // (2 * (nh - ph)) END
+        |    AS value_cents,
+        |  CAST(CASE WHEN units IS NOT NULL THEN units
+        |    ELSE pu - 100000 + (2 * ((nu - pu) * (hh - ph)
+        |      + 100000 * (nh - ph)) + (nh - ph)) // (2 * (nh - ph)) END
+        |    AS DOUBLE) / 100 AS value
+        |FROM b""".stripMargin,
+
     "q146_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |  epoch_us(ts) AS ts_us,

@@ -1623,7 +1623,73 @@ object TextQueries {
         sum(col("b.new_types")).as("cum_vocab"))
   }
 
+  /** q160: preference-pair construction (the RLHF/DPO data shape) — per
+    * (lang, source) group, pair the highest-scoring document against the
+    * lowest-scoring one under a deterministic quality score (lexical
+    * diversity in basis points, the repo's integer half-up idiom). Both
+    * extremes come from tiny per-group aggregates re-joined by broadcast
+    * — no window, no per-group sort; ties resolve to the smallest doc_id
+    * on both sides, and groups without a STRICT preference (max == min
+    * score) yield no pair, so every emitted row is a usable training
+    * example. At 100 TB: two grouped aggs over scores (bytes per group)
+    * plus two broadcast joins — documents shuffle once for the score
+    * agg, text never moves. */
+  def q160PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TA.tokenCount(col("toks")).as("n"),
+        TA.distinctTokenCount(col("toks")).as("d"))
+      .filter(col("n") > 0)
+      .withColumn("score", expr("(2 * d * 10000 + n) DIV (2 * n)"))
+      .select("doc_id", "lang", "source", "score")
+    val ext = s.groupBy(col("lang"), col("source"))
+      .agg(max(col("score")).as("chosen_score"),
+        min(col("score")).as("rejected_score"))
+      .filter(col("chosen_score") > col("rejected_score"))
+    val chosen = s.join(broadcast(ext.select(col("lang"), col("source"),
+        col("chosen_score"))),
+        Seq("lang", "source"))
+      .filter(col("score") === col("chosen_score"))
+      .groupBy(col("lang"), col("source"), col("chosen_score"))
+      .agg(min(col("doc_id")).as("chosen_id"))
+    val rejected = s.join(broadcast(ext.select(col("lang"), col("source"),
+        col("rejected_score"))),
+        Seq("lang", "source"))
+      .filter(col("score") === col("rejected_score"))
+      .groupBy(col("lang"), col("source"), col("rejected_score"))
+      .agg(min(col("doc_id")).as("rejected_id"))
+    chosen.join(rejected, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("chosen_id"),
+        col("chosen_score"), col("rejected_id"), col("rejected_score"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q160_preference_pairs" ->
+      s"""WITH s AS (SELECT doc_id, lang, source,
+         |  (2 * CAST(len(list_distinct($toksSql)) AS BIGINT) * 10000
+         |    + CAST(len($toksSql) AS BIGINT))
+         |    // (2 * CAST(len($toksSql) AS BIGINT)) AS score
+         |  FROM documents WHERE len($toksSql) > 0),
+         |ext AS (SELECT lang, source, MAX(score) AS chosen_score,
+         |  MIN(score) AS rejected_score
+         |  FROM s GROUP BY 1, 2
+         |  HAVING MAX(score) > MIN(score)),
+         |c AS (SELECT s.lang, s.source, chosen_score,
+         |  MIN(doc_id) AS chosen_id
+         |  FROM s JOIN ext ON s.lang = ext.lang AND s.source = ext.source
+         |    AND s.score = ext.chosen_score
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT s.lang, s.source, rejected_score,
+         |  MIN(doc_id) AS rejected_id
+         |  FROM s JOIN ext ON s.lang = ext.lang AND s.source = ext.source
+         |    AND s.score = ext.rejected_score
+         |  GROUP BY 1, 2, 3)
+         |SELECT c.lang, c.source, chosen_id, chosen_score,
+         |  rejected_id, rejected_score
+         |FROM c JOIN r ON c.lang = r.lang AND c.source = r.source""".stripMargin,
+
     "q158_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),

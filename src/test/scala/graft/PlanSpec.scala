@@ -456,4 +456,53 @@ class PlanSpec extends SparkSpec {
       "no partial+final aggregate pair for the UDAF:\n" + p.take(800))
     assert(p.contains("partial_"), "UDAF skipped map-side partial aggregation")
   }
+
+  test("q148: all four predicates and the 2-column projection reach the scan") {
+    val df = graft.queries.CoreQueries.q148ForecastRevenue(spark, sfDir)
+    val meta = scans(df).head.metadata
+    assert(meta("PushedFilters").contains("l_shipdate"), meta("PushedFilters"))
+    assert(meta("PushedFilters").contains("l_discount"), meta("PushedFilters"))
+    assert(meta("PushedFilters").contains("l_quantity"), meta("PushedFilters"))
+    // projection pruned to the 4 referenced columns, not the full 11
+    assert(meta("ReadSchema").split(",").length <= 4, meta("ReadSchema"))
+    assert(planString(df).contains("partial_sum"))
+  }
+
+  test("q153: disjunctive predicates stay a residual on the equi hash join (no NLJ)") {
+    val p = planString(
+      graft.queries.CoreQueries.q153DisjunctivePredicates(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "OR'd join condition fell back to nested-loop:\n" + p.take(800))
+  }
+
+  test("q151: scalar-subquery max joins as a 1-row broadcast, no global window") {
+    val p = planString(graft.queries.CoreQueries.q151TopSupplier(spark, sfDir))
+    assert(!p.contains("Window"), "max-revenue filter became a window:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q157: pair pruning joins on the cluster key, never a global self cross-join") {
+    val df = graft.queries.SimilarityQueries.q157Semdedup(spark, sfDir)
+    val p = planString(df)
+    // the only cartesian allowed is vectors x 8 broadcast centroids;
+    // the pair stage must be keyed by cluster (hash or sort-merge join)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "cluster-mate pairing degenerated to a cartesian:\n" + p.take(1200))
+  }
+
+  test("q158: the exact recount shuffles candidates only (semi-join before groupBy)") {
+    val df = graft.queries.TextQueries.q158HeavyHitters(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(p.contains("LeftSemi"), "candidate gate missing:\n" + p.take(1200))
+    assert(p.contains("partial_count"), "recount lost map-side combine")
+  }
+
+  test("q159: vocabulary growth runs without any window or global sort") {
+    val p = planString(graft.queries.TextQueries.q159VocabGrowth(spark, sfDir))
+    assert(!p.contains("Window"), "decile assignment became a window:\n" + p.take(800))
+  }
 }
