@@ -891,7 +891,135 @@ object DateTimeQueries {
         (col("value_cents").cast("double") / 100).as("value"))
   }
 
+  /** q162: rapid-repeat suppression — the at-least-once-delivery cleanup
+    * every event pipeline runs: an event is suppressed when the PREVIOUS
+    * event of the same (user, type) landed within the debounce window
+    * (600 s). Lag-based semantics (each event compares to its immediate
+    * predecessor, not to the last KEPT one) — declarative, one
+    * partitioned window, no iterative chain. Rolled up per type so the
+    * output is the monitoring row, not a copy of the stream. */
+  def q162RapidRepeats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("suppressed", col("prev_us").isNotNull &&
+        unix_micros(col("ts")) - col("prev_us") <= 600L * 1000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("suppressed").cast("long")).as("n_suppressed"),
+        sum((!col("suppressed")).cast("long")).as("n_kept"))
+  }
+
+  /** q164: month-over-month revenue growth per nation — the
+    * period-over-period BI staple. Monthly revenue in integer cents, lag
+    * over a per-nation window (bounded partitions), growth in basis
+    * points via the half-up integer division SHIFTED positive (K=1e7
+    * covers swings to 1000x) so Spark's truncating DIV and DuckDB's
+    * flooring // agree on revenue declines. First month per nation
+    * emits NULL growth (no prior), exactly like the SQL twin. */
+  def q164MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("growth_bp", expr(
+        """(2 * (delta_cents * 10000 + 10000000 * prev_cents) + prev_cents)
+          | DIV (2 * prev_cents) - 10000000""".stripMargin.replace("\n", "")))
+      .select(col("n_name"), col("month"), col("rev_cents"),
+        col("prev_cents"), col("delta_cents"), col("growth_bp"))
+  }
+
+  /** q165: event-concentration audit (Gini coefficient) — how skewed is
+    * activity across users, per event type? The number that says "3% of
+    * users generate half the traffic" before that skew breaks a
+    * partitioning. Exact-integer form of the sorted-rank formula
+    * G = (2*Sigma(i*x_i) - (n+1)*Sigma(x_i)) / (n*Sigma(x_i)): per-user
+    * counts are integers, the rank comes from a window partitioned by
+    * event_type over (count, user_id) total order (bounded partitions —
+    * users per type), and both Gini terms stay integer until one final
+    * double division. */
+  def q165GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("n_events"),
+        sum(col("i") * col("x")).as("rank_weighted"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (lit(2) * col("rank_weighted") - (col("n_users") + 1) * col("n_events"))
+          .as("gini_num"),
+        (col("n_users") * col("n_events")).as("gini_den"))
+      .withColumn("gini",
+        col("gini_num").cast("double") / col("gini_den").cast("double"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q162_rapid_repeats" ->
+      """WITH w AS (SELECT event_type,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS pts, ts
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |  (pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts)
+        |    <= 600 * 1000000::BIGINT) AS suppressed
+        |  FROM w)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed,
+        |  CAST(SUM(CASE WHEN suppressed THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_kept
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q164_mom_growth" ->
+      """WITH m AS (SELECT n_name, date_trunc('month', o_orderdate) AS month,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT n_name, month, rev_cents,
+        |  lag(rev_cents) OVER (PARTITION BY n_name ORDER BY month)
+        |    AS prev_cents
+        |  FROM m)
+        |SELECT n_name, month, rev_cents, prev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  (2 * ((rev_cents - prev_cents) * 10000 + 10000000 * prev_cents)
+        |    + prev_cents) // (2 * prev_cents) - 10000000 AS growth_bp
+        |FROM l""".stripMargin,
+
+    "q165_gini_concentration" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM c),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(SUM(i * x) AS BIGINT) AS rank_weighted
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |  2 * rank_weighted - (n_users + 1) * n_events AS gini_num,
+        |  n_users * n_events AS gini_den,
+        |  CAST(2 * rank_weighted - (n_users + 1) * n_events AS DOUBLE)
+        |    / CAST(n_users * n_events AS DOUBLE) AS gini
+        |FROM g""".stripMargin,
+
     "q161_interpolate" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |  CAST(ROUND(arg_max(value, ts) * 100) AS BIGINT) AS units
