@@ -966,7 +966,46 @@ object DateTimeQueries {
         col("gini_num").cast("double") / col("gini_den").cast("double"))
   }
 
+  /** q163: inter-event gap histogram — the distribution that CALIBRATES
+    * q14's 1800 s session timeout instead of folklore-picking it. Per
+    * user, the gap to the previous event (any type); gaps bucketed on an
+    * explicit power-of-two seconds ladder (integer CASE — FP log2
+    * diverges exactly at the bucket edges, q143's lesson). One
+    * partitioned window + one tiny agg; the histogram is ~17 rows at any
+    * corpus size. */
+  def q163GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val buckets = (0 to 16).map(i => 1L << i) // 1s .. 65536s
+    val ladder = buckets.foldRight(lit(131072L)) { (b, acc) =>
+      when(col("gap_us") <= b * 1000000L, lit(b)).otherwise(acc)
+    }
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket_s", ladder)
+      .groupBy(col("bucket_s"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q163_gap_histogram" -> {
+      val cases = (0 to 16).map(i => 1L << i)
+        .map(b => s"WHEN gap_us <= ${b}::BIGINT * 1000000 THEN CAST($b AS BIGINT)")
+        .mkString(" ")
+      s"""WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+         |  PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+         |  FROM events),
+         |b AS (SELECT gap_us, CASE $cases
+         |  ELSE CAST(131072 AS BIGINT) END AS bucket_s
+         |  FROM g WHERE gap_us IS NOT NULL)
+         |SELECT bucket_s, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
     "q162_rapid_repeats" ->
       """WITH w AS (SELECT event_type,
         |  lag(ts) OVER (PARTITION BY user_id, event_type
