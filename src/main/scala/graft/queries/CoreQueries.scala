@@ -840,6 +840,50 @@ object CoreQueries {
     * decorated with their nation. The part filter broadcasts; the
     * per-supplier agg shuffles one decimal per supplier; the HAVING is a
     * post-agg filter on the exact decimal. */
+  /** q166: TPC-H Q11 shape (important stock value) — per-part inventory
+    * value for one nation's suppliers, keeping parts whose value exceeds
+    * a fraction of the group total. The correlated scalar subquery
+    * (SELECT SUM(...) * 0.001) is a 1-row broadcast; the HAVING compares
+    * value*1000 > total — integer-cents cross-multiplication, no
+    * fraction, no FP edge rows. Lineitem (extprice*qty stands in for
+    * ps_supplycost*ps_availqty; no partsupp in the fixture) shuffles
+    * once into the per-part agg. */
+  def q166StockValue(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * col("l_quantity") * 100)
+        .cast("long")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"),
+        (col("value_cents").cast("double") / 100).as("value"))
+  }
+
+  /** q167: TPC-H Q12 shape (shipping-priority audit) — per return-flag
+    * class (the fixture's shipmode analog), how many 1996-shipped items
+    * belong to critical-priority orders vs not. The two-way CASE count
+    * pairs ride ONE conditional-agg pass over the join; the orders side
+    * carries only (orderkey, priority). */
+  def q167ShipmodePriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
   def q156ExcessShippers(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&

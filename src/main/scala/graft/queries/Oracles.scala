@@ -521,6 +521,32 @@ object Oracles {
         |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name, min_price
         |FROM lip JOIN mins ON p_partkey = mk AND l_extendedprice = min_price""".stripMargin,
 
+    "q166_stock_value" ->
+      """WITH v AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+        |SELECT l_partkey, value_cents,
+        |  CAST(value_cents AS DOUBLE) / 100 AS value
+        |FROM v CROSS JOIN t
+        |WHERE value_cents * 1000 > total_cents""".stripMargin,
+
+    "q167_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
     "q156_excess_shippers" ->
       """SELECT s_suppkey, s_name, n_name,
         |  CAST(qty_dec AS DOUBLE) AS total_qty
