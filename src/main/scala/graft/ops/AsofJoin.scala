@@ -32,12 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** `tolerance`: pandas merge_asof semantics — the matched (most recent
+    * `<=`) right row must additionally lie within `left.ts - right.ts <=
+    * tolerance`, else the left row gets NULLs. No fallback to an even
+    * older in-window row exists BY DEFINITION (the matched row is already
+    * the newest candidate). Units: microseconds for a TimestampType
+    * `tsCol`, the column's own units for integral `tsCol`s. The gate is a
+    * post-window projection — same one-shuffle plan as the untolerated
+    * join. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, rightVals: Seq[String]): DataFrame = {
+               tsCol: String, rightVals: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
       .filterNot(c => keys.contains(c) || c == tsCol)
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => right.schema(c).copy(name = c)))
+      rightVals.map(c => right.schema(c).copy(name = c)) :+
+        right.schema(tsCol).copy(name = "__rts"))
     val l = left.select(
       keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
         leftCols.map(col) :+
@@ -46,10 +56,22 @@ object AsofJoin {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
         leftCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightVals.map(col): _*).as("__r"): _*)
+        struct(rightVals.map(col) :+ col(tsCol).as("__rts"): _*).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // micros for timestamps, raw value for integral time axes
+    def asUnits(c: org.apache.spark.sql.Column) =
+      left.schema(tsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val matched = tolerance match {
+      case None => col("__r_asof")
+      case Some(tol) => when(
+        asUnits(col(tsCol)) - asUnits(col("__r_asof.__rts")) <= tol,
+        col("__r_asof")) // NULL ts (no match) fails the predicate -> NULL
+    }
     // last(ignoreNulls) skips LEFT rows' null struct but keeps whole right
     // rows atomic — one window expression regardless of |rightVals|
     l.unionByName(r)
@@ -57,6 +79,7 @@ object AsofJoin {
         keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftCols.map(col) :+
           last(col("__r"), ignoreNulls = true).over(w).as("__r_asof"): _*)
       .filter(col("__side") === 1)
+      .withColumn("__r_asof", matched)
       .select(
         keys.map(col) ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
           rightVals.map(c => col(s"__r_asof.$c").as(s"asof_$c")): _*)

@@ -54,4 +54,34 @@ object Sketches {
       .orderBy(col("n").desc, col("item").asc)
       .limit(k)
   }
+
+  /** Per-partition Misra-Gries heavy-hitter CANDIDATES (≤ k distinct
+    * values per partition, deduplicated across partitions). Guarantee:
+    * any value with partition count > n_p/(k+1) survives that partition's
+    * summary, so by pigeonhole the union is a SUPERSET of every value
+    * with GLOBAL count > n/k — an exact recount of the candidates (a
+    * bounded broadcast) then yields provably exact heavy hitters with no
+    * full value-frequency shuffle. The sketch state is imperative, which
+    * is why this is a mapPartitions and not a Column expression. */
+  def misraGriesCandidates(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("string")).as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None => // decrement-all: the classic MG eviction step
+            val dead = List.newBuilder[String]
+            counters.foreach { case (tk, c) =>
+              if (c == 1L) dead += tk else counters(tk) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF(valueCol).distinct()
+  }
 }

@@ -990,7 +990,46 @@ object DateTimeQueries {
         sum(col("gap_us")).as("sum_gap_us"))
   }
 
+  /** q168: tolerance-bounded as-of join — q32 with pandas merge_asof's
+    * tolerance: a click only attributes to a purchase within the
+    * preceding hour; staler matches become NULL instead of silently
+    * attributing across days. Same one-shuffle composed as-of plan; the
+    * tolerance is a post-window projection. The oracle gates DuckDB's
+    * native ASOF match with the identical predicate — two independent
+    * as-of mechanisms must agree row for row. */
+  def q168AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.asofJoin(
+      clicks, purchases.withColumn("pts", col("ts")),
+      keys = Seq("user_id"), tsCol = "ts", rightVals = Seq("pts", "value"),
+      tolerance = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("asof_pts")).as("purchase_us"),
+        col("asof_value").as("purchase_value"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q168_asof_tolerance" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts,
+        |  r.value
+        |  FROM clicks l ASOF LEFT JOIN purchases r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, epoch_us(lts) AS click_us,
+        |  CASE WHEN epoch_us(lts) - epoch_us(rts) <= 3600000000::BIGINT
+        |    THEN epoch_us(rts) END AS purchase_us,
+        |  CASE WHEN epoch_us(lts) - epoch_us(rts) <= 3600000000::BIGINT
+        |    THEN value END AS purchase_value
+        |FROM m""".stripMargin,
+
     "q163_gap_histogram" -> {
       val cases = (0 to 16).map(i => 1L << i)
         .map(b => s"WHEN gap_us <= ${b}::BIGINT * 1000000 THEN CAST($b AS BIGINT)")

@@ -1565,25 +1565,9 @@ object TextQueries {
     * set is counted; this is the one mapPartitions in the query surface,
     * and it exists precisely because the sketch state is imperative. */
   def q158HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(TA.tokens(col("text"))).as("token"))
-    val cands = toks.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        counters.get(t) match {
-          case Some(c) => counters(t) = c + 1
-          case None if counters.size < heavyK => counters(t) = 1L
-          case None => // decrement-all: the classic MG eviction step
-            val dead = List.newBuilder[String]
-            counters.foreach { case (tk, c) =>
-              if (c == 1L) dead += tk else counters(tk) = c - 1
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
-      counters.keysIterator
-    }.toDF("token").distinct()
+    val cands = graft.ops.Sketches.misraGriesCandidates(toks, "token", heavyK)
     val total = toks.agg(count(lit(1)).as("n_total"))
     toks.join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))

@@ -59,4 +59,29 @@ class SketchesSpec extends SparkSpec {
     assert(got.toMap === Map("hot_0" -> 1000L, "hot_1" -> 500L,
       "hot_2" -> 333L, "hot_3" -> 250L, "hot_4" -> 200L))
   }
+
+  test("misraGriesCandidates is a superset of the true n/k heavy hitters (randomized)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // zipf-ish stream: item i drawn with weight 1/(i+1), plus noise
+      val n = 20000
+      val stream = (0 until n).map { _ =>
+        val r = rnd.nextDouble()
+        val i = math.min((1.0 / (r + 0.01) - 1.0).toInt, 400)
+        s"item_$i"
+      }
+      val df = spark.createDataset(stream).toDF("v").repartition(7)
+      val k = 50
+      val cands = graft.ops.Sketches.misraGriesCandidates(df, "v", k)
+        .as[String].collect().toSet
+      val exactHeavy = stream.groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 > n / k).keys.toSet
+      assert(exactHeavy.subsetOf(cands),
+        s"trial $trial: MG lost heavy hitters ${exactHeavy -- cands}")
+      // and the candidate set stays bounded: <= k per partition
+      assert(cands.size <= k * 7, s"trial $trial: ${cands.size} candidates")
+    }
+  }
 }
