@@ -71,6 +71,34 @@ object SqlQueries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a day-of-year spine built
+    * by recursion — the SQL-standard iterate-until-done construct the
+    * reference's date-dimension procedure uses (pg_init_covid19.sql's
+    * 1-day interval loop) — LEFT-joined to 1996 order counts so empty
+    * days surface as zero. Dialect-common: the recursion, dayofyear(),
+    * and the join text run unmodified on Spark and DuckDB. The recursion
+    * depth is the 366-row spine, not data-sized; the orders side
+    * aggregates BEFORE the join. */
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE spine(doy) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT doy + 1 FROM spine WHERE doy < 366
+      |),
+      |daily AS (
+      |  SELECT dayofyear(o_orderdate) AS doy,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT s.doy, COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(rev_cents, 0) AS rev_cents
+      |FROM spine s LEFT JOIN daily d ON d.doy = s.doy""".stripMargin
+
   private def run(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(sqlText)
@@ -85,9 +113,19 @@ object SqlQueries {
   def q86GroupingSets(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, groupingSetsSql)
 
+  def q169RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    // Spark's default recursion guard (100 levels) is below the 366-row
+    // spine; the limit is an engine knob, not query text, so raising it
+    // here keeps the SQL dialect-common (MAX RECURSION LEVEL is
+    // Spark-only syntax DuckDB would reject).
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+    run(spark, dir, recursiveSpineSql)
+  }
+
   /** The oracle IS the query: one dialect-common SQL text per entry. */
   val oracles: Map[String, String] = Map(
     "q84_sql_tpch10" -> tpch10Sql,
     "q85_scalar_subquery" -> scalarSubquerySql,
-    "q86_grouping_sets" -> groupingSetsSql)
+    "q86_grouping_sets" -> groupingSetsSql,
+    "q169_recursive_spine" -> recursiveSpineSql)
 }
