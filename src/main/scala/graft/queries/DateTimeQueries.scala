@@ -1013,7 +1013,117 @@ object DateTimeQueries {
         col("asof_value").as("purchase_value"))
   }
 
+  /** q170: linear multi-touch attribution — each purchase splits its
+    * revenue EQUALLY across the user's view/click touches in the
+    * preceding 24 h (q146 gives the whole session to the first touch;
+    * linear is the other standard model). The purchase×touch pairing
+    * rides RangeJoin.intervalJoin (bucketized equi-join, never a
+    * nested-loop); credit is an exact integer split — cents DIV n per
+    * touch, remainder to the EARLIEST touch — so per-purchase credits
+    * sum to the purchase exactly and the rollup is engine-exact. */
+  def q170LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("touch_id"), col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("ts") - expr("INTERVAL 24 HOURS")).as("lo"), col("ts").as("hi"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("ts"), col("touch_id"))
+    graft.ops.RangeJoin.intervalJoin(
+        touches, purchases, "ts", "lo", "hi", Seq("user_id"), 86400L)
+      .withColumn("n_touch", count(lit(1)).over(
+        Window.partitionBy(col("purchase_id"))))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("credit_cents",
+        expr("cents DIV n_touch") +
+          when(col("rk") === 1, expr("cents % n_touch")).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("credit_cents")).as("credited_cents"))
+  }
+
+  /** q171: seasonal-baseline anomaly detection — each (type, date, hour)
+    * event count against the mean/std of the SAME (type, weekday, hour)
+    * cell across history: the seasonal complement to q131's trailing
+    * window (a spiky Monday 9am is normal if every Monday 9am spikes).
+    * The |z| > 1.8 gate (z is bounded by sqrt(n_cells-1) ~= 2 with the
+    * fixture's ~5 same-weekday-hour history cells, so 2 sigma is
+    * unreachable by construction) is evaluated as the exact integer
+    * cross-multiplication 25*(c*n - sum)^2 > 81*(n*sum2 - sum^2) — no
+    * division, no sqrt, no FP boundary rows; z itself is emitted as the
+    * one double for human eyes. Baselines are tiny (type x 7 x 24) and
+    * ride a broadcast join back onto the hourly counts. */
+  def q171SeasonalResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("day"),
+        dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = hourly.groupBy(col("event_type").as("bt"), col("dow").as("bd"),
+        col("hr").as("bh"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    hourly.join(broadcast(base), col("event_type") === col("bt") &&
+        col("dow") === col("bd") && col("hr") === col("bh"))
+      .filter(col("n_cells") >= 4 &&
+        (col("n_cells") * col("s2") - col("s1") * col("s1")) > 0)
+      .withColumn("dev", col("cnt") * col("n_cells") - col("s1"))
+      .filter(lit(25) * col("dev") * col("dev") >
+        lit(81) * (col("n_cells") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("hr"), col("cnt"), col("n_cells"), col("s1"), col("s2"),
+        (col("dev").cast("double") /
+          sqrt((col("n_cells") * col("s2") - col("s1") * col("s1"))
+            .cast("double"))).as("z"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q170_linear_attribution" ->
+      """WITH touches AS (SELECT user_id, ts, event_id AS touch_id,
+        |  event_type AS channel FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |purchases AS (SELECT user_id, event_id AS purchase_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |  ts - INTERVAL 24 HOURS AS lo, ts AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT t.channel, t.ts, t.touch_id, p.purchase_id, p.cents
+        |  FROM touches t JOIN purchases p ON t.user_id = p.user_id
+        |    AND t.ts >= p.lo AND t.ts <= p.hi),
+        |r AS (SELECT channel, purchase_id, cents,
+        |  CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch,
+        |  ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |    ORDER BY ts, touch_id) AS rk
+        |  FROM j)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents // n_touch
+        |    + CASE WHEN rk = 1 THEN cents % n_touch ELSE 0 END) AS BIGINT)
+        |    AS credited_cents
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q171_seasonal_residuals" ->
+      """WITH hourly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |base AS (SELECT event_type AS bt, dow AS bd, hr AS bh,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS s1,
+        |  CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, hr, cnt,
+        |  n_cells, s1, s2,
+        |  CAST(cnt * n_cells - s1 AS DOUBLE)
+        |    / sqrt(CAST(n_cells * s2 - s1 * s1 AS DOUBLE)) AS z
+        |FROM hourly JOIN base ON event_type = bt AND dow = bd AND hr = bh
+        |WHERE n_cells >= 4 AND (n_cells * s2 - s1 * s1) > 0
+        |  AND 25 * (cnt * n_cells - s1) * (cnt * n_cells - s1)
+        |    > 81 * (n_cells * s2 - s1 * s1)""".stripMargin,
+
     "q168_asof_tolerance" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
