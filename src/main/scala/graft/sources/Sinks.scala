@@ -111,6 +111,26 @@ object Sinks {
                  props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
+  /** S3/S5 at scale: PARTITIONED JDBC read — N concurrent range-bounded
+    * cursors (`WHERE part >= lo AND part < hi` per task) instead of the
+    * single-cursor read that serializes a big table through one
+    * connection. The stride contract is Spark's own
+    * (lower/upperBound only steer the split points; rows OUTSIDE the
+    * bounds still land in the first/last partition — nothing is
+    * silently dropped). This is the reference's cursor-fetch path
+    * (`ETL_covid19_pandas.py` reads the staging table) re-expressed as
+    * a parallel scan. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          props: java.util.Properties, partitionCol: String,
+                          lowerBound: Long, upperBound: Long,
+                          numPartitions: Int): DataFrame =
+    spark.read
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+
   /** Read one date partition back — shows up as PartitionFilters (pruning),
     * not PushedFilters, in the scan: no data file of another date is opened. */
   def readDatePartition(spark: SparkSession, path: String, ds: String,

@@ -32,4 +32,27 @@ class JdbcSinkSpec extends SparkSpec {
     assert(one.count() === 2)
     assert(one.select("confirmed").collect().map(_.getLong(0)).toSeq === Seq(200L, 200L))
   }
+
+  test("readJdbcPartitioned splits the scan into range cursors without losing rows") {
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_derby_part")
+      .resolve("db")
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i, s"r$i", i * 10)).toDF("id", "tag", "v")
+    Sinks.appendJdbc(rows, url, "wide_table", props)
+    val back = Sinks.readJdbcPartitioned(spark, url, "wide_table", props,
+      partitionCol = "id", lowerBound = 100L, upperBound = 900L,
+      numPartitions = 4)
+    // 4 concurrent cursors...
+    assert(back.rdd.getNumPartitions === 4)
+    // ...and the bounds only steer split points: rows OUTSIDE
+    // [lowerBound, upperBound) still arrive (nothing silently dropped)
+    assert(back.count() === 1000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0)
+      === (1L to 1000L).map(_ * 10).sum)
+    // a pushed filter still reaches the per-partition WHERE clauses
+    assert(back.filter($"id" <= 50).count() === 50L)
+  }
 }
