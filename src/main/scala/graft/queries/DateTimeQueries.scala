@@ -1082,7 +1082,67 @@ object DateTimeQueries {
             .cast("double"))).as("z"))
   }
 
+  /** q172: cross-series correlation matrix — Pearson correlation between
+    * every pair of event types' DAILY counts (do logins move with
+    * purchases?). Days are zero-filled from a (day x type) spine before
+    * the moments — a day without purchases is x=0, not missing data
+    * (inner-joining common days would bias the estimate up). All five
+    * moments are exact integer sums; the only FP is the final
+    * numerator/sqrt/divide on integer-derived doubles, identical in both
+    * engines; zero-variance series yield NULL via nullif. Types are
+    * bounded, so the pair frame is |types|^2 x days — broadcast-scale. */
+  def q172TypeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val spine = daily.select("day").distinct()
+      .crossJoin(broadcast(daily.select("event_type").distinct()))
+    val filled = spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = filled.select(col("day"), col("event_type").as("type_a"),
+      col("c").as("xa"))
+    val b = filled.select(col("day"), col("event_type").as("type_b"),
+      col("c").as("xb"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .withColumn("corr",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_days") * col("syy") - col("sy") * col("sy")))
+            .cast("double")), lit(0.0)))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q172_type_correlation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |spine AS (SELECT day, event_type FROM
+        |  (SELECT DISTINCT day FROM daily)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily)),
+        |f AS (SELECT s.day, s.event_type,
+        |  COALESCE(d.c, CAST(0 AS BIGINT)) AS c
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+        |  CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+        |  CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+        |  CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+        |  FROM f a JOIN f b ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days, sx, sy, sxx, syy, sxy,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST((n_days * sxx - sx * sx)
+        |      * (n_days * syy - sy * sy) AS DOUBLE)), 0.0) AS corr
+        |FROM p""".stripMargin,
+
     "q170_linear_attribution" ->
       """WITH touches AS (SELECT user_id, ts, event_id AS touch_id,
         |  event_type AS channel FROM events

@@ -541,6 +541,34 @@ object TextQueries {
     graft.ops.Components.connectedComponents(
       q44SimhashNearDup(spark, dir).select("doc1", "doc2"))
 
+  /** q173: dedup-savings report — the ROI table that justifies running
+    * dedup at all: per near-dup-cluster SIZE, how many clusters, how
+    * many docs, and how many bytes a keep-one-per-cluster rewrite saves
+    * (keeper = lowest doc_id; q93 holds the richer longest-text rule).
+    * Composes q51's components with the documents table: one doc_id
+    * join, one per-component agg (keeper bytes via struct-min, so
+    * keeper choice and its size travel atomically), one tiny
+    * distribution agg. The oracle recomputes components via DuckDB's
+    * RECURSIVE closure — the declarative twin of the iterative
+    * propagation — then the same rollup. */
+  def q173DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val comp = q51DupClusters(spark, dir)
+    val per = comp
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_chars")).as("bytes_total"),
+        min(struct(col("doc_id"), col("n_chars"))).as("keeper"))
+      .select(col("sz"), col("bytes_total"),
+        (col("bytes_total") - col("keeper.n_chars")).as("bytes_saved"))
+    per.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("bytes_total")).as("bytes_total"),
+        sum(col("bytes_saved")).as("bytes_saved"))
+  }
+
   /** Number of BPE merge steps q71 trains (oracle SQL is generated for the
     * same constant, so the two sides can't drift). */
   private val bpeSteps = 8
@@ -1650,6 +1678,41 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q173_dedup_savings" ->
+      s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),
+         |banded AS (SELECT doc_id, u.b AS band,
+         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
+         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM banded a JOIN banded c
+         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |near AS (SELECT p.doc1, p.doc2 FROM pairs p
+         |  JOIN sim s1 ON s1.doc_id = p.doc1
+         |  JOIN sim s2 ON s2.doc_id = p.doc2
+         |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM near
+         |  UNION SELECT doc2, doc1 FROM near),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |comp AS (SELECT n.id AS doc_id,
+         |  CAST(LEAST(n.id, MIN(r.b)) AS BIGINT) AS component
+         |  FROM nodes n JOIN reach r ON r.a = n.id
+         |  GROUP BY n.id),
+         |per AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(n_chars) - arg_min(n_chars, doc_id) AS BIGINT)
+         |    AS bytes_saved
+         |  FROM comp JOIN documents USING (doc_id)
+         |  GROUP BY component)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |  CAST(SUM(bytes_total) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(bytes_saved) AS BIGINT) AS bytes_saved
+         |FROM per GROUP BY sz""".stripMargin,
+
     "q160_preference_pairs" ->
       s"""WITH s AS (SELECT doc_id, lang, source,
          |  (2 * CAST(len(list_distinct($toksSql)) AS BIGINT) * 10000

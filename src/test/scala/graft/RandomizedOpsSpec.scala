@@ -39,6 +39,33 @@ class RandomizedOpsSpec extends SparkSpec {
     assert(got.size === leftRows.map(r => (r._1, r._2.getTime, r._3)).distinct.size)
   }
 
+  test("asofJoin with tolerance matches the brute-force reference on random data") {
+    import spark.implicits._
+    val leftRows = Seq.fill(300)(
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), rnd.nextInt(1000)))
+    val rightRows = Seq.fill(120)(
+      (rnd.nextInt(12).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), rnd.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val tolUs = 20000L * 1000000L // 20k seconds, cuts ~half the matches
+    val got = AsofJoin.asofJoin(
+        leftRows.toDF("k", "ts", "tag"), rightRows.toDF("k", "ts", "price"),
+        Seq("k"), "ts", Seq("price"), tolerance = Some(tolUs))
+      .select($"k", $"ts", $"tag", $"asof_price")
+      .as[(Long, Timestamp, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2.getTime, r._3) -> r._4).toMap
+    var gated = 0
+    leftRows.foreach { case (k, ts, tag) =>
+      val asof = rightRows
+        .filter(r => r._1 == k && !r._2.after(ts))
+        .sortBy(_._2.getTime).lastOption
+      val expect = asof.filter(r =>
+        (ts.getTime - r._2.getTime) * 1000L <= tolUs).map(_._3)
+      if (asof.isDefined && expect.isEmpty) gated += 1
+      assert(got((k, ts.getTime, tag)) === expect, s"key=$k ts=$ts")
+    }
+    assert(gated > 0, "random data never exercised the tolerance gate")
+  }
+
   test("TopK.perKey matches a driver-side reference for random k and data") {
     import spark.implicits._
     (1 to 3).foreach { trial =>
