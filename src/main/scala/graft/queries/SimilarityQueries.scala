@@ -583,6 +583,37 @@ object SimilarityQueries {
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
 
+  /** q174: bitext-mining shape — for every non-English document, the
+    * top-1 English nearest neighbor in embedding space plus the margin
+    * to the runner-up (the margin criterion from the published bitext
+    * mining literature: a high best-match score with a LOW margin is a
+    * hub, not a translation pair). The English side is bounded and
+    * broadcasts (same contract as q90's query set); at 100 TB the
+    * SRP-LSH candidate stream (q23) feeds this exact scorer unchanged.
+    * Scoring is the q22-proven float-native fold; the per-query top-2
+    * ride one bounded window, pivoted to columns. */
+  def q174BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    val en = tagged.filter(col("lang") === "en")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cand_id").asc)
+    tagged.filter(col("lang") =!= "en")
+      .crossJoin(broadcast(en))
+      .select(col("vec_id"), col("lang"), col("cand_id"),
+        Similarity.cosine(col("embedding"), col("ce")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"), col("lang"))
+      .agg(max(when(col("rn") === 1, col("cand_id"))).as("best_en"),
+        round(max(when(col("rn") === 1, col("cs"))), 6).as("cos"),
+        round(max(when(col("rn") === 1, col("cs"))) -
+          max(when(col("rn") === 2, col("cs"))), 6).as("margin"))
+  }
+
   /** q157's oracle: the same integer assignment round + integer cosine
     * cross-multiplication, in DuckDB list/unnest algebra. */
   private lazy val semdedupSql: String =
@@ -619,6 +650,25 @@ object SimilarityQueries {
        |FROM n LEFT JOIN d ON d.vec_id = n.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q174_bitext_mining" ->
+      s"""WITH tagged AS (SELECT e.vec_id, e.embedding, d.lang
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |en AS (SELECT vec_id AS cand_id, embedding AS ce
+         |  FROM tagged WHERE lang = 'en'),
+         |scored AS (SELECT t.vec_id, t.lang, en.cand_id,
+         |  ${cosSql("t.embedding", "en.ce")} AS cs
+         |  FROM tagged t CROSS JOIN en WHERE t.lang <> 'en'),
+         |r AS (SELECT vec_id, lang, cand_id, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cand_id ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, lang,
+         |  MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_en,
+         |  ROUND(MAX(CASE WHEN rn = 1 THEN cs END), 6) AS cos,
+         |  ROUND(MAX(CASE WHEN rn = 1 THEN cs END)
+         |    - MAX(CASE WHEN rn = 2 THEN cs END), 6) AS margin
+         |FROM r WHERE rn <= 2 GROUP BY vec_id, lang""".stripMargin,
+
     "q142_kmeans_iters" -> kmeansSql,
     "q157_semdedup" -> semdedupSql,
     "q122_hof_surface" ->
