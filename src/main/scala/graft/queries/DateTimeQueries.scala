@@ -1118,7 +1118,57 @@ object DateTimeQueries {
             .cast("double")), lit(0.0)))
   }
 
+  /** q175: incremental aggregate maintenance — the materialized-view
+    * merge every nightly pipeline runs: yesterday's per-(user, type)
+    * aggregate state plus today's delta, WITHOUT rescanning history.
+    * The merge is a full-outer join on the group key with coalesced
+    * additive state (counts, integer-cent sums, min/max micros) — every
+    * statistic here is decomposable, which is exactly what makes it
+    * incrementally maintainable. The "state" side aggregates events
+    * before the cutoff and the "delta" side the last day, so the
+    * ORACLE — one direct aggregate over ALL events — is an independent
+    * algorithm: merge-of-parts must equal aggregate-of-whole exactly,
+    * in integers. At 100 TB the state side is a parquet read of the
+    * previous MV, not a recompute; the merge plan is identical. */
+  def q175IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+    val cutoffFrame = ev.agg(date_trunc("day", max(col("ts"))).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cutoffFrame))
+    def aggState(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val state = aggState(tagged.filter(col("ts") < col("cut")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_a"),
+        col("sum_cents").as("s_a"), col("first_us").as("f_a"),
+        col("last_us").as("l_a"))
+    val delta = aggState(tagged.filter(col("ts") >= col("cut")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_b"),
+        col("sum_cents").as("s_b"), col("first_us").as("f_b"),
+        col("last_us").as("l_b"))
+    state.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"),
+        (coalesce(col("s_a"), lit(0L)) + coalesce(col("s_b"), lit(0L)))
+          .as("sum_cents"),
+        least(coalesce(col("f_a"), col("f_b")), coalesce(col("f_b"), col("f_a")))
+          .as("first_us"),
+        greatest(coalesce(col("l_a"), col("l_b")), coalesce(col("l_b"), col("l_a")))
+          .as("last_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q175_incremental_mv" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q172_type_correlation" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
