@@ -1677,7 +1677,66 @@ object TextQueries {
         col("chosen_score"), col("rejected_id"), col("rejected_score"))
   }
 
+  /** q176: source-similarity matrix — exact total-variation distance
+    * between every pair of sources' token distributions (KL drift q118
+    * monitors ONE slice against the rest; TV gives the full symmetric
+    * matrix that guides source-level mixing and dedup policy). Exactness
+    * trick: TV over the UNION vocabulary decomposes as
+    * common |p_a − p_b| + (mass of a-only tokens) + (mass of b-only
+    * tokens), and the last two equal 1 − (common mass) — so one INNER
+    * join per pair suffices, no outer join over the union. Everything is
+    * the integer numerator over the common denominator tot_a·tot_b
+    * (|cnt_a·tot_b − cnt_b·tot_a| sums), one double division at output.
+    * Shape: one (source, token) agg, a token-keyed pair join (sources
+    * bounded, so fan-out per token is |sources|), 190 output rows. */
+  def q176SourceTvDistance(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tk.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val sided = tk.join(broadcast(tot), Seq("source"))
+    val a = sided.select(col("source").as("source_a"), col("token"),
+      col("cnt").as("cnt_a"), col("tot").as("tot_a"))
+    val b = sided.select(col("source").as("source_b"), col("token"),
+      col("cnt").as("cnt_b"), col("tot").as("tot_b"))
+    a.join(b, Seq("token")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("tot_a"), col("tot_b"))
+      .agg(sum(abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a")))
+        .as("num_common"),
+        sum(col("cnt_a")).as("ca"), sum(col("cnt_b")).as("cb"))
+      .select(col("source_a"), col("source_b"),
+        (col("num_common") + (col("tot_a") - col("ca")) * col("tot_b") +
+          (col("tot_b") - col("cb")) * col("tot_a")).as("tv_num"),
+        (lit(2) * col("tot_a") * col("tot_b")).as("tv_den"))
+      .withColumn("tv",
+        col("tv_num").cast("double") / col("tv_den").cast("double"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q176_source_tv_distance" ->
+      s"""WITH tk AS (SELECT source, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM tk GROUP BY 1),
+         |sided AS (SELECT tk.source, token, cnt, tot
+         |  FROM tk JOIN tot ON tot.source = tk.source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  a.tot AS tot_a, b.tot AS tot_b,
+         |  CAST(SUM(ABS(a.cnt * b.tot - b.cnt * a.tot)) AS BIGINT)
+         |    AS num_common,
+         |  CAST(SUM(a.cnt) AS BIGINT) AS ca, CAST(SUM(b.cnt) AS BIGINT) AS cb
+         |  FROM sided a JOIN sided b ON a.token = b.token
+         |    AND a.source < b.source
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT source_a, source_b,
+         |  num_common + (tot_a - ca) * tot_b + (tot_b - cb) * tot_a AS tv_num,
+         |  2 * tot_a * tot_b AS tv_den,
+         |  CAST(num_common + (tot_a - ca) * tot_b + (tot_b - cb) * tot_a
+         |    AS DOUBLE) / CAST(2 * tot_a * tot_b AS DOUBLE) AS tv
+         |FROM p""".stripMargin,
+
     "q173_dedup_savings" ->
       s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),
          |banded AS (SELECT doc_id, u.b AS band,
