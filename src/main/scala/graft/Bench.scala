@@ -107,6 +107,14 @@ object Bench {
     // a starvation burst is visible instead of silently recorded.
     val runsPerQuery =
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2)
+    // gate-test hook: SPARK_GRAFT_BENCH_SLEEP=q01_agg:2000 injects a TIMED
+    // sleep into that query's measurement — the only honest way to
+    // demonstrate the regression gate goes red on a deliberate slowdown
+    // (a fake anchors file would test the comparison, not the pipeline).
+    val sleepInject: Map[String, Long] = sys.env.get("SPARK_GRAFT_BENCH_SLEEP")
+      .map(_.split(",").map(_.trim).filter(_.contains(":")).map { s =>
+        val Array(q, ms) = s.split(":", 2); q -> ms.toLong
+      }.toMap).getOrElse(Map.empty)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var shBytes = 0L
@@ -124,7 +132,11 @@ object Bench {
         // (token stats, fingerprints, variant extraction, ...) would be
         // timed as bare parquet scans. toRdd runs the plan as the user's
         // query planned it — every output column materialized.
-        ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
+        ok = try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          sleepInject.get(name).foreach(Thread.sleep)
+          true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed ::= name
@@ -142,12 +154,20 @@ object Bench {
         // queries that persist() intermediates (q20/q44 signature frames)
         // must not leak cache into the next measurement or the next run
         spark.catalog.clearCache()
+        // second untimed gc AFTER the cache clear: unpersisted blocks and
+        // the run's broadcast relations die here, not inside the NEXT
+        // query's timed window — the r3 full-suite-vs-isolated gap (q139
+        // 11.5 s vs 3.3 s same code) was exactly this coupling.
+        System.gc()
       }
       val sec = if (ok) best else -1.0
       System.err.println(f"[bench] $name%-22s $sec%8.2f s  ${cpuSec}%7.1f cpu-s  ${shBytes / 1024}%9d KiB shuffled  $gcDelta%5d ms gc")
       name -> (sec, shBytes, gcDelta, cpuSec)
     }.toMap
-    def f3(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: the f"" interpolator formats with the JVM
+    // default locale, so a comma-decimal locale would emit unparseable JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, b, _, _)) => s"\"" + k + "\":" + b }
@@ -172,12 +192,73 @@ object Bench {
     // per-query maps go on a "detail" line first (for humans and the judge);
     // the summary line that follows inlines only the slowest queries so it
     // stays well under the capture window.
-    println(s"""{"detail":"per_query","queries":$qs,"cpu_sec":$cpu,"shuffle_write_bytes":$sh,"gc_ms":$gc}""")
+    // regression gate: BASELINE.md's anchors as an ENFORCED contract, not
+    // documentation. bench_anchors.json (committed) records the expected
+    // q01-q44 subtotal and grand total for this host profile; a full run
+    // that exceeds an anchor by >1.5x is a perf regression. The gate is
+    // always COMPUTED and reported in the JSON; it only fails the process
+    // (exit 2) when SPARK_GRAFT_BENCH_GATE=1, so host-starvation noise
+    // can't break the driver's per-round bench capture by default.
+    val gateJson: String = {
+      val anchorsFile = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "bench_anchors.json"))
+      if (only.nonEmpty || !anchorsFile.isFile)
+        """{"status":"skipped","reason":"subset run or no anchors file"}"""
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(anchorsFile.toPath), "UTF-8")
+        def num(key: String): Option[Double] =
+          ("\"" + key + "\"\\s*:\\s*([0-9.]+)").r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        def str(key: String): Option[String] =
+          ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        // anchors are per (host profile, SF): a scale-ladder run at a
+        // different SF must not be graded against the sf0.1 anchors
+        if (str("sf").exists(_ != sfDir))
+          s"""{"status":"skipped","reason":"anchors are for ${str("sf").get}, ran $sfDir"}"""
+        else {
+          val maxRatio = num("max_ratio").getOrElse(1.5)
+          val aSub = num("total_q01_q44")
+          val aTot = num("total")
+          val aN = num("n_queries").map(_.toInt)
+          val rSub = aSub.map(a => r1Total / a)
+          // grand total only comparable when the suite hasn't grown
+          val rTot =
+            if (aN.contains(results.size)) aTot.map(a => total / a) else None
+          val worst = (rSub.toSeq ++ rTot.toSeq).maxOption.getOrElse(0.0)
+          val status = if (worst > maxRatio) "fail" else "pass"
+          s"""{"status":"$status","max_ratio":${f3(maxRatio)}""" +
+            aSub.map(a => s""","anchor_q01_q44":${f3(a)}""").getOrElse("") +
+            rSub.map(r => s""","ratio_q01_q44":${f3(r)}""").getOrElse("") +
+            aTot.map(a => s""","anchor_total":${f3(a)}""").getOrElse("") +
+            rTot.map(r => s""","ratio_total":${f3(r)}""").getOrElse("") + "}"
+        }
+      }
+    }
+    val detailLine =
+      s"""{"detail":"per_query","queries":$qs,"cpu_sec":$cpu,"shuffle_write_bytes":$sh,"gc_ms":$gc}"""
+    println(detailLine)
     val topQs = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
       .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"total_q01_q44":${f3(r1Total)},"queries":$topQs,"queries_note":"15 slowest; full map on preceding detail line","failed":$failedJson,"sf":"$sfDir"}""")
+    val summaryLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"total_q01_q44":${f3(r1Total)},"queries":$topQs,"queries_note":"15 slowest; full map on preceding detail line","failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    // first-class repo artifact: the driver's tail parser has recorded
+    // "parsed": null every round, so the headline numbers must also live
+    // in a committed file — summary line first (the parse target), full
+    // per-query detail line second (JSONL).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    if (outFile.nonEmpty) java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (summaryLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
+    println(summaryLine)
     System.out.flush()
     spark.stop()
+    if (gateJson.contains("\"fail\"") &&
+        sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("1")) {
+      System.err.println(s"[bench] GATE FAILED: $gateJson")
+      sys.exit(2)
+    }
   }
 }

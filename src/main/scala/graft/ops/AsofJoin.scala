@@ -60,12 +60,29 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // micros for timestamps, raw value for integral time axes
-    def asUnits(c: org.apache.spark.sql.Column) =
+    // micros for timestamps (both variants), raw value for integral time
+    // axes. Everything else is REJECTED when a tolerance is set: the old
+    // cast("long") fallback silently turned a DateType axis into DAYS (a
+    // microsecond tolerance then gates nothing) and failed at analysis
+    // time for exotic types — both divergences from the documented
+    // micros-or-integral contract. TIMESTAMP_NTZ is linearized zone-free
+    // via timestampdiff(MICROSECOND, epoch, c), which operates on the
+    // local datetime directly — no session-timezone or DST rule touches
+    // the arithmetic, so differences are exact micros.
+    def asUnits(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.types._
       left.schema(tsCol).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _ => c.cast("long")
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType =>
+          timestamp_diff("MICROSECOND",
+            lit("1970-01-01 00:00:00").cast(TimestampNTZType), c)
+        case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoin tolerance requires a TIMESTAMP, TIMESTAMP_NTZ or " +
+            s"integral ts column; '$tsCol' is $other — cast it upstream " +
+            s"(tolerance units would be undefined)")
       }
+    }
     val matched = tolerance match {
       case None => col("__r_asof")
       case Some(tol) => when(

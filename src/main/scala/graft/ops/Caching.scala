@@ -18,6 +18,11 @@ object Caching {
   def withPersisted[T](dfs: DataFrame*)(f: => T): T = {
     dfs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     try f
-    finally dfs.foreach(_.unpersist(blocking = false))
+    // blocking: with async unpersist the freed blocks linger into whatever
+    // runs NEXT — in a bench sequence the next query's measurement inherits
+    // this query's eviction work (q139 read 3.5x its isolated cost in the
+    // r3 full-suite run). Releasing synchronously keeps the cost inside
+    // the query that incurred it.
+    finally dfs.foreach(_.unpersist(blocking = true))
   }
 }

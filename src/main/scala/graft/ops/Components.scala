@@ -39,55 +39,63 @@ object Components {
     // even when the corpus is 100 TB, and session-default partition counts
     // make each tiny round pay full scheduling overhead. One partition per
     // ~500k edges, capped at the session default for billion-edge graphs.
-    // NOTE: the narrowed shuffle width is session-global for the duration
-    // of the (eager) loop and restored in finally — like Tables.events'
-    // legacy-nanos conf, a documented conf-scope tradeoff: concurrent
-    // queries on the same session during the loop would plan with the
-    // narrow width. Run on a dedicated session if that matters.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // The width is applied PER PLAN via explicit repartition on the loop
+    // frames — never by mutating spark.sql.shuffle.partitions, which would
+    // silently re-plan any concurrent query on the same session. Because
+    // localCheckpoint preserves the physical outputPartitioning in its
+    // LogicalRDD, partitioning BOTH checkpointed frames on the round's
+    // join key (sym by "b", labels by "id" which renames to "b") makes
+    // every round's join AND both aggregates satisfy their required
+    // distributions from the checkpointed layout: the steady-state round
+    // runs with a single parts-wide exchange (the groupBy on "a").
     val parts = math.max(1L, math.min(m / 500000L + 1,
-      spark.sparkContext.defaultParallelism.toLong))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      // localCheckpoint: materialize AND truncate the plan to a LogicalRDD
-      // so no round re-analyzes (or re-plans against) the edge query
-      val sym = e0
-        .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+    // localCheckpoint: materialize AND truncate the plan to a LogicalRDD
+    // so no round re-analyzes (or re-plans against) the edge query
+    val sym = e0
+      .unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(parts, col("b"))
+      .distinct() // HashPartitioning(b) ⊆ {a,b} satisfies the agg — no new exchange
+      .localCheckpoint()
+    e0.unpersist()
+    var labels = sym.select(col("a").as("id"))
+      .repartition(parts, col("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .repartition(parts, col("a"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      // eager localCheckpoint materializes the round; the plan handed to
+      // the NEXT round is a constant-size LogicalRDD. The OLD label rides
+      // along so convergence is a filter+count over the checkpointed
+      // rows — not another join+shuffle per round (tiny-stage rounds are
+      // dominated by scheduling, so one fewer stage per round matters).
+      // no repartition here: a left-outer join streams the LEFT side, so
+      // the output inherits labels' HashPartitioning(id, parts) whether
+      // neighborMin is broadcast or co-partitioned — the checkpoint below
+      // preserves that layout for the next round's join.
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      e0.unpersist()
-      var labels = sym.select(col("a").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIter) {
-        val neighborMin = sym
-          .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
-          .groupBy(col("a").as("id"))
-          .agg(min(col("nl")).as("nmin"))
-        // eager localCheckpoint materializes the round; the plan handed to
-        // the NEXT round is a constant-size LogicalRDD. The OLD label rides
-        // along so convergence is a filter+count over the checkpointed
-        // rows — not another join+shuffle per round (tiny-stage rounds are
-        // dominated by scheduling, so one fewer stage per round matters).
-        val next = labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-            col("label").as("old"))
-          .localCheckpoint()
-        val changed = next.filter(col("label") =!= col("old")).count()
-        converged = changed == 0
-        labels = next.select("id", "label")
-        i += 1
-      }
-      // silent truncation would return plausible-but-WRONG labels (a long
-      // chain's far end keeps a non-minimal label) — fail loudly instead
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"(graph diameter exceeds maxIter); raise maxIter")
-      labels.select(col("id").as("doc_id"), col("label").as("component"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val changed = next.filter(col("label") =!= col("old")).count()
+      converged = changed == 0
+      labels = next.select("id", "label")
+      i += 1
+    }
+    // silent truncation would return plausible-but-WRONG labels (a long
+    // chain's far end keeps a non-minimal label) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(graph diameter exceeds maxIter); raise maxIter")
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 }

@@ -859,9 +859,12 @@ object DateTimeQueries {
     * rounding engine-portable even when the series slopes down. Spine
     * edges are observed hours, so both brackets always exist. */
   def q161Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    // tie-break on (ts, event_id): grouping is (event_type, hour), so two
+    // USERS can share (event_type, ts) — ts alone leaves max_by arbitrary
+    // and cross-engine verification nondeterministic. event_id is unique.
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(max_by(col("value"), col("ts")).as("v"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
       .withColumn("units", round(col("v") * 100).cast("long"))
       .drop("v")
     val spine = hourly.groupBy(col("event_type"))
@@ -1319,9 +1322,12 @@ object DateTimeQueries {
         |FROM g""".stripMargin,
 
     "q161_interpolate" ->
-      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-        |  CAST(ROUND(arg_max(value, ts) * 100) AS BIGINT) AS units
-        |  FROM events GROUP BY 1, 2),
+      """WITH hourly AS (SELECT event_type, hour,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS units
+        |  FROM (SELECT event_type, date_trunc('hour', ts) AS hour, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
         |spans AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
         |  FROM hourly GROUP BY 1),
         |spine AS (SELECT event_type,

@@ -507,18 +507,20 @@ object TextQueries {
     * [[graft.functions.SimHash]] expression — one digest per shingle, one
     * compiled eval per row. The only shuffle is the band-bucket join on
     * tiny (band, byte) keys. */
-  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // (doc_id, simhash) feeds the banding and BOTH verify-join probes;
-    // persist so the tokenize→shingle→digest lineage runs once, not 3×
-    // (measured: the recompute tripled q44's cost). At 100 TB you'd
-    // materialize the signature table — persist is the in-session twin.
-    // CACHE CONTRACT: the entry lives until unpersist/clearCache — library
-    // callers running many queries per session should clearCache between
-    // them (Bench/Verify do); the data is tiny (doc_id + one long per doc).
-    val sims = shingled(spark, dir)
+  /** The persisted (doc_id, simhash) signature frame — feeds the banding
+    * and BOTH verify-join probes; persist so the tokenize→shingle→digest
+    * lineage runs once, not 3× (measured: the recompute tripled q44's
+    * cost). At 100 TB you'd materialize the signature table — persist is
+    * the in-session twin. Exposed separately so EAGER composers (q51's
+    * components loop) can release it the moment their result no longer
+    * references it. */
+  private def simhash32Sims(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
       .select(col("doc_id"),
         graft.functions.SimHash(col("sh"), 32).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def simhashPairsFrom(sims: DataFrame): DataFrame = {
     val banded = sims
       .select(col("doc_id"),
         explode(Dedup.simhashBands(col("simhash"), bits = 32, bands = 4)).as("bb"))
@@ -531,15 +533,29 @@ object TextQueries {
       .filter(col("hamming") <= 3)
   }
 
+  /** CACHE CONTRACT: the signature entry lives until unpersist/clearCache —
+    * the result is LAZY and reads it, so library callers running many
+    * queries per session should clearCache between them (Bench/Verify do);
+    * the data is tiny (doc_id + one long per doc). */
+  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(simhash32Sims(spark, dir))
+
   /** Near-dup CLUSTERS from the q44 pair edges: pairs alone can't drive
     * dedup (A~B, B~C must collapse to one cluster even when A!~C) —
     * smallest-label propagation closes the transitive hull. The oracle
     * computes the same components via a recursive-CTE transitive closure,
     * cross-checking the iterative distributed algorithm against a
     * declarative one. */
-  def q51DupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Components.connectedComponents(
-      q44SimhashNearDup(spark, dir).select("doc1", "doc2"))
+  def q51DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // EAGER composer: the components loop materializes to checkpointed
+    // LogicalRDDs before returning, so unlike lazy q44 this query has no
+    // cache excuse — release the signature frame on the way out (the
+    // ContractSpec cache-lifetime sweep enforces exactly this).
+    val sims = simhash32Sims(spark, dir)
+    try graft.ops.Components.connectedComponents(
+      simhashPairsFrom(sims).select("doc1", "doc2"))
+    finally sims.unpersist(blocking = true)
+  }
 
   /** q173: dedup-savings report — the ROI table that justifies running
     * dedup at all: per near-dup-cluster SIZE, how many clusters, how
@@ -1687,8 +1703,13 @@ object TextQueries {
     * join per pair suffices, no outer join over the union. Everything is
     * the integer numerator over the common denominator tot_a·tot_b
     * (|cnt_a·tot_b − cnt_b·tot_a| sums), one double division at output.
-    * Shape: one (source, token) agg, a token-keyed pair join (sources
-    * bounded, so fan-out per token is |sources|), 190 output rows. */
+    * The pair list comes from tot×tot (|sources|² tiny rows), NOT from
+    * the token inner join — so a pair of sources with DISJOINT
+    * vocabularies still emits its row (num_common/ca/cb coalesce to 0,
+    * tv = 1 exactly), completing the full C(n,2) matrix the docstring
+    * promises. Shape: one (source, token) agg, a token-keyed pair join
+    * (sources bounded, so fan-out per token is |sources|), a broadcast
+    * left join onto the tiny pair frame, 190 output rows. */
   def q176SourceTvDistance(spark: SparkSession, dir: String): DataFrame = {
     val tk = Tables.documents(spark, dir)
       .select(col("source"), explode(TA.tokens(col("text"))).as("token"))
@@ -1700,14 +1721,22 @@ object TextQueries {
       col("cnt").as("cnt_a"), col("tot").as("tot_a"))
     val b = sided.select(col("source").as("source_b"), col("token"),
       col("cnt").as("cnt_b"), col("tot").as("tot_b"))
-    a.join(b, Seq("token")).filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"), col("tot_a"), col("tot_b"))
+    val common = a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(sum(abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a")))
         .as("num_common"),
         sum(col("cnt_a")).as("ca"), sum(col("cnt_b")).as("cb"))
+    val pairs = tot.select(col("source").as("source_a"), col("tot").as("tot_a"))
+      .crossJoin(tot.select(col("source").as("source_b"),
+        col("tot").as("tot_b")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(broadcast(common), Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
-        (col("num_common") + (col("tot_a") - col("ca")) * col("tot_b") +
-          (col("tot_b") - col("cb")) * col("tot_a")).as("tv_num"),
+        (coalesce(col("num_common"), lit(0L)) +
+          (col("tot_a") - coalesce(col("ca"), lit(0L))) * col("tot_b") +
+          (col("tot_b") - coalesce(col("cb"), lit(0L))) * col("tot_a"))
+          .as("tv_num"),
         (lit(2) * col("tot_a") * col("tot_b")).as("tv_den"))
       .withColumn("tv",
         col("tv_num").cast("double") / col("tv_den").cast("double"))
@@ -1723,19 +1752,23 @@ object TextQueries {
          |sided AS (SELECT tk.source, token, cnt, tot
          |  FROM tk JOIN tot ON tot.source = tk.source),
          |p AS (SELECT a.source AS source_a, b.source AS source_b,
-         |  a.tot AS tot_a, b.tot AS tot_b,
          |  CAST(SUM(ABS(a.cnt * b.tot - b.cnt * a.tot)) AS BIGINT)
          |    AS num_common,
          |  CAST(SUM(a.cnt) AS BIGINT) AS ca, CAST(SUM(b.cnt) AS BIGINT) AS cb
          |  FROM sided a JOIN sided b ON a.token = b.token
          |    AND a.source < b.source
-         |  GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  a.tot AS tot_a, b.tot AS tot_b
+         |  FROM tot a JOIN tot b ON a.source < b.source)
          |SELECT source_a, source_b,
-         |  num_common + (tot_a - ca) * tot_b + (tot_b - cb) * tot_a AS tv_num,
+         |  COALESCE(num_common, 0) + (tot_a - COALESCE(ca, 0)) * tot_b
+         |    + (tot_b - COALESCE(cb, 0)) * tot_a AS tv_num,
          |  2 * tot_a * tot_b AS tv_den,
-         |  CAST(num_common + (tot_a - ca) * tot_b + (tot_b - cb) * tot_a
+         |  CAST(COALESCE(num_common, 0) + (tot_a - COALESCE(ca, 0)) * tot_b
+         |    + (tot_b - COALESCE(cb, 0)) * tot_a
          |    AS DOUBLE) / CAST(2 * tot_a * tot_b AS DOUBLE) AS tv
-         |FROM p""".stripMargin,
+         |FROM pairs LEFT JOIN p USING (source_a, source_b)""".stripMargin,
 
     "q173_dedup_savings" ->
       s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),

@@ -16,8 +16,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-conf prefix for remote-lake reader options. `sfDir` is already
+    * any Hadoop-compatible URI (`s3a://bucket/sf100`, `abfss://...`), but a
+    * lake read usually also needs filesystem configuration — endpoint,
+    * credentials provider, path-style access. Set them once per session as
+    *   spark.conf.set("spark.graft.read.option.fs.s3a.endpoint", ...)
+    * and every Tables read carries them: DataFrameReader options are merged
+    * into the per-relation Hadoop conf (`newHadoopConfWithOptions`), so
+    * `fs.*` keys genuinely reach the FileSystem that resolves the scan —
+    * per-read scope, nothing global mutated. No network is touched unless
+    * the URI scheme itself is remote. */
+  val ReadOptionPrefix = "spark.graft.read.option."
+
+  /** The composed table path — pure so the URI plumb-through is testable
+    * without a live object store. */
+  def tablePath(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  private def readOptions(spark: SparkSession): Map[String, String] =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(ReadOptionPrefix) =>
+        k.stripPrefix(ReadOptionPrefix) -> v
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.read.options(readOptions(spark)).parquet(tablePath(sfDir, name))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

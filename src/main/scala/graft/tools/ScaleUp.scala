@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scale-ladder dataset generator: writes a k× derived copy of a fixture
+  * directory so the bench can measure how each query's time and shuffle
+  * volume SCALE, not just what they are at sf0.1 (17 MB proves plan shape;
+  * only a ladder run catches an operator whose cost curve is super-linear).
+  *
+  * The fixtures are read-only, so the derived set goes to /tmp. Each fact
+  * table is unioned k times with all key domains offset by i·10⁹ per copy —
+  * referential integrity holds WITHIN a copy (orders→customer,
+  * lineitem→part/supplier, embeddings↔documents) and never across copies.
+  * Dims (region/nation) stay fixed, as they would at any real SF.
+  *
+  * Crucially the copies are NOT identical in content: identical text would
+  * turn every document into a 10-member exact/near-dup clique, inflating
+  * LSH candidate pairs ~45× per original pair — a DATA-distribution shift
+  * that would read as a bogus super-linear plan. Instead copy i>0 prefixes
+  * every token with `c<i>x` (disjoint vocabulary per copy → zero cross-copy
+  * token overlap; within-copy token structure preserved modulo the prefix)
+  * and shifts every embedding by a per-(copy, dimension) constant vector
+  * (within-copy pairwise geometry preserved — both members of a pair move
+  * by the SAME vector; cross-copy cosine drops well below near-dup
+  * thresholds). The result scales the way a real k× corpus does: k× more
+  * dup classes of the SAME size.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k]
+  */
+object ScaleUp {
+  private val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val k = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    def scaled(base: DataFrame, keyCols: Seq[String])
+              (extra: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map { i =>
+        val shifted = keyCols.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * Off)))
+        extra(shifted, i)
+      }.reduce(_ unionAll _)
+
+    val id = (d: DataFrame, _: Int) => d
+
+    Seq("region", "nation").foreach(n => write(Tables.load(spark, src, n), n))
+    write(scaled(Tables.customer(spark, src), Seq("c_custkey"))(id), "customer")
+    write(scaled(Tables.supplier(spark, src), Seq("s_suppkey"))(id), "supplier")
+    write(scaled(Tables.part(spark, src), Seq("p_partkey"))(id), "part")
+    write(scaled(Tables.orders(spark, src),
+      Seq("o_orderkey", "o_custkey"))(id), "orders")
+    write(scaled(Tables.lineitem(spark, src),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))(id), "lineitem")
+    // events go through the nanos-aware loader so the derived set carries
+    // plain TIMESTAMP(MICROS); (user_id, ts) uniqueness survives because
+    // user_id domains are disjoint across copies
+    write(scaled(Tables.events(spark, src),
+      Seq("event_id", "user_id"))(id), "events")
+    write(scaled(Tables.documents(spark, src), Seq("doc_id")) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("text",
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c${i}x$$1"))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+    write(scaled(Tables.embeddings(spark, src), Seq("vec_id")) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> CAST(x + 0.1D * SIN($i * (j + 7)) AS FLOAT))"))
+    }, "embeddings")
+
+    Tables.names.foreach { n =>
+      val c = spark.read.parquet(s"$out/$n.parquet").count()
+      println(s"[scaleup] $n: $c rows")
+    }
+    spark.stop()
+  }
+}

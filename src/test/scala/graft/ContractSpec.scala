@@ -10,10 +10,34 @@ import graft.ops.RangeJoin
   * guards hold. */
 class ContractSpec extends SparkSpec {
 
-  test("every SparkEntry query executes at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+  /** Leaf queries whose Scaladoc documents a cache contract: they return a
+    * LAZY frame that depends on a persisted intermediate, so the release
+    * point is the caller's clearCache() (Bench/Verify do exactly that).
+    * Any OTHER query leaving cache entries is a leak — the blanket
+    * invariant below (mirroring PlanSpec's plan sweep) catches the next
+    * query that persists without either unpersisting before return or
+    * documenting the contract and being listed here. */
+  private val cacheContract = Set(
+    "q34_top_tokens",       // wordcount feeds both join sides
+    "q44_simhash_neardup",  // signature table read 3x (bands + both verify probes)
+    "q71_bpe_merges",       // corpus frame re-read per merge step
+    "q126_prefix_join",     // shingle frame feeds prefix + verify stages
+    "q141_pagerank",        // sym/deg state read every iteration
+    "q142_kmeans_iters")    // final round's assignment state stays pinned
+
+  test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
+    spark.catalog.clearCache()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
+      val leaked = !spark.sharedState.cacheManager.isEmpty
+      assert(!leaked || cacheContract(name),
+        s"$name left cache entries with no documented cache contract " +
+          "(unpersist before returning, or document the contract and " +
+          "whitelist it here)")
+      spark.catalog.clearCache()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"clearCache after $name left entries behind")
     }
   }
 
