@@ -165,6 +165,12 @@ object GraftFunctions {
         }
         LongVecDot(toLongArr(args(0)), toLongArr(args(1)))
       }),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (args: Seq[Expression]) => NormalizeText(args.head)),
+    (FunctionIdentifier("token_class_counts"),
+      new ExpressionInfo(classOf[TokenClassCounts].getName, "token_class_counts"),
+      (args: Seq[Expression]) => TokenClassCounts(args.head)),
     (FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) =>

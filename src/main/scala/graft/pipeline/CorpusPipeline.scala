@@ -27,11 +27,11 @@ object CorpusPipeline {
 
   private val stopwords = Seq("the", "a")
 
-  /** Canonical key: md5 of the C4-normalized text (q66's form) — the key
-    * exact dedup and incremental anti-joins agree on. */
+  /** Canonical key: md5 of the C4-normalized text (q66's form, via the
+    * native [[graft.functions.NormalizeText]] pass) — the key exact dedup
+    * and incremental anti-joins agree on. */
   def canonicalKey(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+    md5(graft.functions.NormalizeText(text))
 
   /** Curate one batch: score → gate → dedup within the batch → split.
     * Pure DataFrame => DataFrame; no writes. */

@@ -126,19 +126,18 @@ object TextQueries {
 
   /** BPE-ish subword token counting: a GPT-style pre-tokenizer regex
     * (letter runs | digit runs | single non-alnum) counted per class —
-    * the real thing a token-budgeted corpus pipeline meters by. Pure
-    * `regexp_extract_all`/`size` Catalyst expressions; same RE2-compatible
-    * pattern inlined into the oracle. */
-  def q27BpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String) =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_bpe_tokens"),
-      n("[A-Za-z]+").as("n_word_tokens"),
-      n("[0-9]+").as("n_number_tokens"),
-      n("[^A-Za-z0-9\\s]").as("n_other_tokens"))
-  }
+    * the real thing a token-budgeted corpus pipeline meters by. One
+    * native single-pass counter ([[graft.functions.TokenClassCounts]])
+    * replaces the earlier four `regexp_extract_all(...)` scans, which
+    * materialized four arrays of match strings per row just to size them;
+    * the oracle keeps the regex form (exactness contract in the
+    * expression's Scaladoc). */
+  def q27BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenClassCounts(col("text")).as("tc"))
+      .select(col("doc_id"), col("tc.n_bpe_tokens"), col("tc.n_word_tokens"),
+        col("tc.n_number_tokens"), col("tc.n_other_tokens"))
 
   /** Corpus intake profile: per-source row count, null counts, and
     * n_chars min/max in one pass ([[graft.quality.Quality.profile]]) —
@@ -476,17 +475,19 @@ object TextQueries {
   /** C4-style text normalization — the canonical form keys dedup and
     * overlap checks run on: lowercase, strip non-alphanumerics to spaces,
     * collapse whitespace, trim, plus the md5 canonical key and the length
-    * delta. Pure narrow string expressions; Spark's regexp_replace is
-    * global by default and the oracle passes DuckDB's 'g' flag to match. */
-  def q66Normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    * delta. One native pass ([[graft.functions.NormalizeText]]) replaces
+    * the lower→replace→replace→trim chain — same result (the expression's
+    * Scaladoc carries the exactness argument), no java.util.regex in the
+    * hot path, no four intermediate copies of every document. The oracle
+    * keeps the composed regex form (DuckDB 'g' flag = Spark's default
+    * global replace). */
+  def q66Normalize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"),
+        graft.functions.NormalizeText(col("text")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         md5(col("norm_text")).as("norm_key"),
         length(col("norm_text")).cast("long").as("norm_len"))
-  }
 
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

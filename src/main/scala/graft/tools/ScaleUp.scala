@@ -19,13 +19,21 @@ import graft.sources.Tables
   * turn every document into a 10-member exact/near-dup clique, inflating
   * LSH candidate pairs ~45× per original pair — a DATA-distribution shift
   * that would read as a bogus super-linear plan. Instead copy i>0 prefixes
-  * every token with `c<i>x` (disjoint vocabulary per copy → zero cross-copy
-  * token overlap; within-copy token structure preserved modulo the prefix)
-  * and shifts every embedding by a per-(copy, dimension) constant vector
-  * (within-copy pairwise geometry preserved — both members of a pair move
-  * by the SAME vector; cross-copy cosine drops well below near-dup
-  * thresholds). The result scales the way a real k× corpus does: k× more
-  * dup classes of the SAME size.
+  * every token with `c<letter>x` (disjoint vocabulary per copy → zero
+  * cross-copy token overlap; within-copy token structure preserved modulo
+  * the prefix; the prefix is all-LETTER on purpose — a digit inside it
+  * would split every word into three `[A-Za-z]+|[0-9]+` runs and shift the
+  * token-class distribution the ladder is supposed to hold fixed) and
+  * applies a per-copy deterministic SIGN FLIP to the embedding dimensions
+  * (D_i = diag(±1) from a hash of (copy, dim)). D_i is orthogonal, so
+  * within-copy dot products and cosines are preserved EXACTLY — both
+  * members of a pair transform by the same D_i — while a cross-copy pair
+  * ⟨D_i x, D_j y⟩ = Σ ±x_k y_k is a random-sign sum concentrating near 0
+  * (sd ≈ 1/√dim), far below near-dup thresholds. The first attempt used a
+  * small constant shift instead; ‖shift‖ ≪ ‖x‖ left every cross-copy twin
+  * pair at cosine ≈ 1 and inflated q28's candidate volume 400×. The result
+  * scales the way a real k× corpus does: k× more dup classes of the SAME
+  * size.
   *
   * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k]
   */
@@ -73,14 +81,16 @@ object ScaleUp {
     write(scaled(Tables.documents(spark, src), Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else d
-        .withColumn("text",
-          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c${i}x$$1"))
+        .withColumn("text", regexp_replace(
+          col("text"), "([A-Za-z0-9]+)", s"c${('a' + i - 1).toChar}x$$1"))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
     write(scaled(Tables.embeddings(spark, src), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
+      // deterministic per-(copy, dim) sign: hash -> parity. Any fixed
+      // integer mix works; this one is cheap and has no run-to-run seed.
       else d.withColumn("embedding", expr(
-        s"transform(embedding, (x, j) -> CAST(x + 0.1D * SIN($i * (j + 7)) AS FLOAT))"))
+        s"transform(embedding, (x, j) -> CAST(CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END AS FLOAT))"))
     }, "embeddings")
 
     Tables.names.foreach { n =>
