@@ -63,15 +63,59 @@ object Similarity {
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Multi-table SRP buckets (OR-amplification): table t's bucket uses
-    * planes [t*planesPerTable, (t+1)*planesPerTable). A single selective
-    * table has near-zero recall on weakly-clustered vectors; candidates
-    * matching in ANY of several coarse tables recover it (standard
-    * AND-then-OR LSH). Returns an array of per-table bucket ids to
-    * posexplode. */
-  def srpBuckets(vec: Column, signs: Seq[Seq[Int]], tables: Int,
-                 planesPerTable: Int): Column =
+  /** Plane rows reserved per table in the sign layout — table t's planes
+    * are global rows [t*MaxPlanesPerTable, t*MaxPlanesPerTable + pn) for
+    * the ADAPTIVE pn below. Keeping the stride fixed means the literal
+    * sign matrix (and the oracle SQL that inlines it) never changes shape
+    * as pn moves with corpus size. */
+  val MaxPlanesPerTable = 12
+
+  /** Adaptive SRP plane count: the number of hyperplane bits a table
+    * needs so the EXPECTED bucket occupancy stays near `targetBucket`
+    * regardless of corpus size — pn = bitLength((n-1)/targetBucket),
+    * clamped to [min, MaxPlanesPerTable].
+    *
+    * Why this must be a function of n and not a constant: candidate pairs
+    * per table grow as Σ_buckets occupancy² ≈ n²/2^pn. With pn FIXED, a
+    * k× corpus means k² candidates — the scale ladder measured q28 at
+    * ~100× CPU for 10× data with 3-bit buckets. With pn = log2(n/target),
+    * candidates ≈ n·target: linear, the occupancy a production LSH index
+    * maintains by construction. Integer bit-length arithmetic (no
+    * floating log2) so the oracle's SQL CASE ladder computes the
+    * identical value on any engine. */
+  def adaptivePlanes(n: Long, targetBucket: Long = 32L, min: Int = 3): Int = {
+    val m = (n - 1).max(0L) / targetBucket
+    val bitLength = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(MaxPlanesPerTable, math.max(min, bitLength))
+  }
+
+  /** Multi-table SRP buckets (OR-amplification) over the FIXED-STRIDE
+    * sign layout: table t uses sign rows [t*MaxPlanesPerTable,
+    * t*MaxPlanesPerTable + pn). A single selective table has near-zero
+    * recall on weakly-clustered vectors; candidates matching in ANY of
+    * several coarse tables recover it (standard AND-then-OR LSH).
+    * Returns an array of per-table bucket ids to posexplode. `signs`
+    * must have tables*MaxPlanesPerTable rows. Delegates to the native
+    * [[graft.functions.SrpBuckets]] expression — the composed Column tree
+    * ([[srpBucketsComposed]]) unrolls tables×pn dot loops into one
+    * generated method, which at adaptive plane counts blows HotSpot's
+    * huge-method JIT limit and drops the stage to the bytecode
+    * interpreter (measured ≈200×). */
+  def srpBucketsAdaptive(vec: Column, signs: Seq[Seq[Int]], tables: Int,
+                         pn: Int): Column =
+    graft.functions.SrpBuckets(vec, signs, tables, pn, MaxPlanesPerTable)
+
+  /** The composable Column form of [[srpBucketsAdaptive]] — kept as the
+    * semantic reference the native expression must match (see
+    * SrpBucketsSpec); do NOT use on a hot path (JIT cliff above). */
+  def srpBucketsComposed(vec: Column, signs: Seq[Seq[Int]], tables: Int,
+                         pn: Int): Column = {
+    require(pn >= 1 && pn <= MaxPlanesPerTable, s"pn out of range: $pn")
+    require(signs.length >= tables * MaxPlanesPerTable,
+      s"sign layout too small: ${signs.length} < ${tables * MaxPlanesPerTable}")
     array((0 until tables).map { t =>
-      srpBucket(vec, signs.slice(t * planesPerTable, (t + 1) * planesPerTable))
+      srpBucket(vec,
+        signs.slice(t * MaxPlanesPerTable, t * MaxPlanesPerTable + pn))
     }: _*)
+  }
 }

@@ -14,9 +14,39 @@ object SimilarityQueries {
 
   private val nQueries = 8
   private val tables = 8
-  private val planesPerTable = 3
   private val dims = 64
-  private lazy val signs = Similarity.hyperplaneSigns(tables * planesPerTable, dims)
+  // Fixed-stride sign layout: table t owns rows [t*12, t*12+12); the
+  // ADAPTIVE plane count pn (Similarity.adaptivePlanes, a pure integer
+  // function of corpus COUNT) decides how many of each table's rows are
+  // live. The stride keeps the literal matrix — and the oracle SQL that
+  // inlines it — shape-stable while bucket granularity tracks scale.
+  private lazy val signs =
+    Similarity.hyperplaneSigns(tables * Similarity.MaxPlanesPerTable, dims)
+
+  /** Corpus-adaptive SRP plane count for this dir's embeddings table.
+    * One driver-side count-star (parquet footer metadata) per query build
+    * — same posture as q29's driver-side centroid collect. */
+  private def pnOf(spark: SparkSession, dir: String): Int =
+    Similarity.adaptivePlanes(Tables.embeddings(spark, dir).count())
+
+  /** (vec_id, tbl, bucket) banded frame over the adaptive layout. */
+  private def bandedOf(df: DataFrame, pn: Int): DataFrame = df
+    .select(col("vec_id"),
+      posexplode(Similarity.srpBucketsAdaptive(col("embedding"), signs, tables, pn)))
+    .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+
+  /** The oracle-side twin of [[Similarity.adaptivePlanes]]: a CTE named
+    * `pn` computing the identical integer (bit-length CASE ladder over
+    * m = (COUNT(*)-1)//32, clamped to [3, 12]) — no floating log2, so
+    * both engines agree exactly. */
+  private def pnCte(table: String): String =
+    s"""pn AS (SELECT LEAST(12, GREATEST(3,
+       |  CASE WHEN m >= 2048 THEN 12 WHEN m >= 1024 THEN 11
+       |       WHEN m >= 512 THEN 10 WHEN m >= 256 THEN 9
+       |       WHEN m >= 128 THEN 8 WHEN m >= 64 THEN 7
+       |       WHEN m >= 32 THEN 6 WHEN m >= 16 THEN 5
+       |       WHEN m >= 8 THEN 4 ELSE 3 END)) AS pn
+       |  FROM (SELECT (COUNT(*) - 1) // 32 AS m FROM $table))""".stripMargin
 
   /** Brute-force top-5 cosine neighbors for the first 8 query vectors.
     * The query side is broadcast: the corpus never shuffles, the cross
@@ -46,10 +76,7 @@ object SimilarityQueries {
     * recall/candidate-volume tradeoff. */
   def q23AnnSrp(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val banded = emb
-      .select(col("vec_id"),
-        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val banded = bandedOf(emb, pnOf(spark, dir))
     val qb = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
     val cand = banded.join(broadcast(qb), Seq("tbl", "bucket"))
@@ -78,10 +105,7 @@ object SimilarityQueries {
     * same banded frame feeds both sides so the corpus is scanned once. */
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val banded = emb
-      .select(col("vec_id"),
-        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val banded = bandedOf(emb, pnOf(spark, dir))
     // A pair colliding in several tables appears several times. Deduping
     // 4M candidate rows BEFORE scoring is the naive order — that distinct
     // is the query's only large exchange. The codegen'd cosine is cheaper
@@ -172,32 +196,55 @@ object SimilarityQueries {
       .select(col("label"), col("pos").as("dim"), col("n"),
         (col("s").cast("double") / 1e6 / col("n")).as("mean"))
 
-  /** q90: hard-negative mining for contrastive training — for each query
-    * vector, the single most similar vector carrying a DIFFERENT label
-    * (the classic "hard negative": close in embedding space, wrong class).
-    * Exact top-1 over the broadcast query set, so it is oracle-checkable;
-    * semantics and output contract are what the pipeline needs. At 100 TB
-    * the candidate stream comes from SRP-LSH buckets (q23's shape) and
-    * this exact scorer re-ranks candidates only — the scoring projection
-    * and top-1-per-qid tail are unchanged. The corpus side never
-    * shuffles: score map-side, keep 1 row per (partition, qid) before the
-    * tiny final shuffle. */
+  /** Shared banded-candidate scorer for the anchor miners (q90 hard
+    * negatives, q106 triplets). Anchors are `vec_id % 25 == 0` — a
+    * PROPORTIONAL panel, so a k× corpus has k× anchors. The r3 shape
+    * scored anchors × the FULL corpus through a broadcast nested loop:
+    * n²/25 cosines, measured ~100× CPU at the 10× ladder rung. Here
+    * anchors meet only their SRP-LSH bucket mates (adaptive pn keeps
+    * occupancy ~constant), so per-anchor work is bounded and the total is
+    * linear — the production miner's actual shape: ANN candidates, exact
+    * re-rank. Returns (qid, q_label, nid, n_label, same, cs). */
+  private def anchorScored(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val banded = bandedOf(emb, pnOf(spark, dir))
+    val qb = banded.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = banded.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("label").as("n_label"),
+        col("embedding").as("ne")), Seq("nid"))
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        (col("n_label") === col("q_label")).as("same"),
+        Similarity.cosine(col("qe"), col("ne")).as("cs"))
+  }
+
+  /** q90: hard-negative mining for contrastive training — for each anchor
+    * vector, the single most similar SRP-LSH candidate carrying a
+    * DIFFERENT label (the classic "hard negative": close in embedding
+    * space, wrong class). Candidates via [[anchorScored]]; exact cosine
+    * re-rank; anchors with no different-label candidate surface with NULL
+    * mining columns (a left join), never silently drop. */
   def q90HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("qid"), col("label").as("q_label"),
-        col("embedding").as("qe"))
+    val anchors = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cs").desc, col("neg_id").asc)
-    emb.crossJoin(broadcast(q))
-      .filter(col("label") =!= col("q_label"))
-      .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
-        col("label").as("neg_label"),
-        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
+      .orderBy(col("cs").desc, col("nid").asc)
+    val best = anchorScored(spark, dir)
+      .filter(!col("same"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("qid"), col("nid").as("neg_id"),
+        col("n_label").as("neg_label"), round(col("cs"), 6).as("cos"))
+    anchors.join(best, Seq("qid"), "left")
       .select(col("qid"), col("q_label"), col("neg_id"), col("neg_label"),
-        round(col("cs"), 6).as("cos"))
+        col("cos"))
   }
 
   /** q97: per-dimension rank (quantile) normalization — the
@@ -228,33 +275,29 @@ object SimilarityQueries {
   }
 
   /** q106: contrastive training triplets — for each anchor, the hardest
-    * positive (top same-label neighbor) AND hardest negative (top
-    * different-label neighbor, q90) from ONE scoring pass: score the
-    * broadcast anchor set once, rank within (anchor, same-label?) — two
-    * bounded groups per anchor — and pivot the two rank-1 rows to columns.
-    * The margin (pos − neg cosine) is the triplet-loss signal; anchors
-    * with small or negative margin are the valuable hard examples. Corpus
-    * never shuffles; only #anchors × 2 rows reach the final agg. */
+    * positive (top same-label SRP-LSH candidate) AND hardest negative
+    * (top different-label candidate, q90) from ONE scoring pass over
+    * [[anchorScored]]'s banded candidate stream, pivoting the two
+    * struct-max winners to columns. The margin (pos − neg cosine) is the
+    * triplet-loss signal; anchors with small or negative margin are the
+    * valuable hard examples; anchors missing a candidate on either side
+    * carry NULLs (left join), never silently drop. */
   def q106ContrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("qid"), col("label").as("q_label"),
-        col("embedding").as("qe"))
-    val scored = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("q_label"), col("vec_id").as("nid"),
-        (col("label") === col("q_label")).as("same"),
-        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
+    val anchors = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"))
     // top-1 per (anchor, same?) as a struct-MAX, not a window: (cs, -nid)
     // orders lexicographically = (cs desc, nid asc) rank 1, but aggregates
     // partially map-side — the shuffle carries one partial state per
-    // (anchor, side) per partition instead of the whole 2·|anchors|-times-
-    // duplicated scored stream a row_number window would sort.
+    // (anchor, side) per partition instead of the whole scored candidate
+    // stream a row_number window would sort.
     val best = struct(col("cs"), (-col("nid")).as("neg_nid"))
-    scored.groupBy(col("qid"), col("q_label"))
+    val agged = anchorScored(spark, dir)
+      .groupBy(col("qid"))
       .agg(
         max(when(col("same"), best)).as("p"),
         max(when(!col("same"), best)).as("n"))
+    anchors.join(agged, Seq("qid"), "left")
       .select(col("qid"), col("q_label"),
         (-col("p.neg_nid")).as("pos_id"), (-col("n.neg_nid")).as("neg_id"),
         round(col("p.cs"), 6).as("pos_cos"),
@@ -330,13 +373,18 @@ object SimilarityQueries {
     s"(${dotSql(a, b)}) / sqrt((${dotSql(a, a)}) * (${dotSql(b, b)}))"
 
   /** Bucket expression for one table, inlining the same +-1 hyperplane
-    * literals used by the Spark plan. */
-  private def bucketSql(v: String, table: Int): String =
-    signs.slice(table * planesPerTable, (table + 1) * planesPerTable)
+    * literals used by the Spark plan over the fixed 12-row stride; each
+    * bit is gated on `j < pn.pn` so the SAME static SQL adapts its
+    * granularity to the corpus count (the query must CROSS JOIN the
+    * [[pnCte]] CTE). */
+  private def bucketSql(v: String, table: Int): String = {
+    val stride = Similarity.MaxPlanesPerTable
+    signs.slice(table * stride, (table + 1) * stride)
       .zipWithIndex.map { case (plane, j) =>
         val arr = plane.mkString("[", ",", "]")
-        s"CASE WHEN (${dotSql(v, arr)}) > 0 THEN ${1L << j} ELSE 0 END"
+        s"CASE WHEN $j < pn.pn AND (${dotSql(v, arr)}) > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString("(", " + ", ")")
+  }
 
   /** Int8 symmetric quantization audit — the compression step before
     * embeddings ship to an ANN index, with its error measured in the same
@@ -416,14 +464,11 @@ object SimilarityQueries {
     * with only the ≥τ survivors deduped and aggregated. */
   def q83EmbedDecontam(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    def bandsOf(df: DataFrame) = df
-      .select(col("vec_id"),
-        posexplode(Similarity.srpBuckets(col("embedding"), signs, tables, planesPerTable)))
-      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val pn = pnOf(spark, dir)
     val bench = emb.filter(col("label") === 0)
     val corpus = emb.filter(col("label") =!= 0)
-    val cand = bandsOf(corpus)
-      .join(broadcast(bandsOf(bench).withColumnRenamed("vec_id", "bid")),
+    val cand = bandedOf(corpus, pn)
+      .join(broadcast(bandedOf(bench, pn).withColumnRenamed("vec_id", "bid")),
         Seq("tbl", "bucket"))
       .select(col("vec_id"), col("bid"))
     val cos = Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2"))
@@ -551,7 +596,18 @@ object SimilarityQueries {
           x => floor(x.cast("double") * 1e3).cast("long")).as("vq3"))
       .withColumn("n6", longVecDot(col("vq6"), col("vq6")))
       .withColumn("n2", longVecDot(col("vq3"), col("vq3")))
-    val cents = vecs.filter(col("vec_id") < 8)
+    // ADAPTIVE cluster count k = max(8, ceil(n/256)) — integer ceiling so
+    // the oracle computes the identical k. SemDeDup's pairwise step costs
+    // Σ cluster_size² ≈ n²/k: with k FIXED a 10× corpus is 100× pairs
+    // (the ladder measured exactly that); with cluster size held ~256 the
+    // pairwise shuffle stays linear in n. The assignment stays a narrow
+    // broadcast map (k·n dots, no shuffle) — at extreme scale a
+    // production build swaps in a hierarchical/ANN quantizer for
+    // assignment, but the SHUFFLE-side story (the part a cluster can't
+    // parallelize away) is linear with this k.
+    val k = math.max(8L,
+      (Tables.embeddings(spark, dir).count() + 255L) / 256L)
+    val cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("vq6").as("cq6"), col("n6").as("cn6"))
     // d2 = |x|^2 - 2<x,c> + |c|^2 per (vector, centroid) — 8 codegen'd
@@ -584,34 +640,54 @@ object SimilarityQueries {
   }
 
   /** q174: bitext-mining shape — for every non-English document, the
-    * top-1 English nearest neighbor in embedding space plus the margin
+    * top-1 English SRP-LSH candidate in embedding space plus the margin
     * to the runner-up (the margin criterion from the published bitext
     * mining literature: a high best-match score with a LOW margin is a
-    * hub, not a translation pair). The English side is bounded and
-    * broadcasts (same contract as q90's query set); at 100 TB the
-    * SRP-LSH candidate stream (q23) feeds this exact scorer unchanged.
-    * Scoring is the q22-proven float-native fold; the per-query top-2
-    * ride one bounded window, pivoted to columns. */
+    * hub, not a translation pair). The r3 shape brute-forced non-en ×
+    * broadcast(en): BOTH sides are proportional corpus slices, so the
+    * nested loop was quadratic — the single most expensive query at the
+    * 10× ladder rung (~200× CPU). Candidates now come from the adaptive
+    * SRP bucket join (occupancy-bounded, linear) and the exact cosine
+    * re-rank + per-query top-2 run over candidates only — the shape a
+    * production miner uses (ANN candidates, margin re-rank). Queries with
+    * no English bucket-mate carry NULL mining columns via the final left
+    * join, never silently drop. */
   def q174BitextMining(spark: SparkSession, dir: String): DataFrame = {
     val tagged = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .join(Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
-    val en = tagged.filter(col("lang") === "en")
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
+    val banded = tagged
+      .select(col("vec_id"), col("lang"), posexplode(
+        Similarity.srpBucketsAdaptive(col("embedding"), signs, tables,
+          pnOf(spark, dir))))
+      .select(col("vec_id"), col("lang"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    val qb = banded.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val eb = banded.filter(col("lang") === "en")
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val cand = qb.join(eb, Seq("tbl", "bucket"))
+      .select(col("qid"), col("cand_id")).distinct()
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("cand_id").asc)
-    tagged.filter(col("lang") =!= "en")
-      .crossJoin(broadcast(en))
-      .select(col("vec_id"), col("lang"), col("cand_id"),
-        Similarity.cosine(col("embedding"), col("ce")).as("cs"))
+    val mined = cand
+      .join(tagged.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+      .join(tagged.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce")), Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("cs"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
-      .groupBy(col("vec_id"), col("lang"))
+      .groupBy(col("qid"))
       .agg(max(when(col("rn") === 1, col("cand_id"))).as("best_en"),
         round(max(when(col("rn") === 1, col("cs"))), 6).as("cos"),
         round(max(when(col("rn") === 1, col("cs"))) -
           max(when(col("rn") === 2, col("cs"))), 6).as("margin"))
+    tagged.filter(col("lang") =!= "en")
+      .select(col("vec_id"), col("lang"))
+      .join(mined.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
   }
 
   /** q157's oracle: the same integer assignment round + integer cosine
@@ -623,7 +699,8 @@ object SimilarityQueries {
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
-       |  FROM p WHERE vec_id < 8),
+       |  FROM p WHERE vec_id <
+       |    (SELECT GREATEST(8, (COUNT(*) + 255) // 256) FROM embeddings)),
        |a1 AS (SELECT vec_id, cluster FROM (
        |  SELECT p.vec_id, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
@@ -651,23 +728,36 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q174_bitext_mining" ->
-      s"""WITH tagged AS (SELECT e.vec_id, e.embedding, d.lang
+      s"""WITH ${pnCte("embeddings")},
+         |tagged AS (SELECT e.vec_id, e.embedding, d.lang
          |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-         |en AS (SELECT vec_id AS cand_id, embedding AS ce
-         |  FROM tagged WHERE lang = 'en'),
-         |scored AS (SELECT t.vec_id, t.lang, en.cand_id,
-         |  ${cosSql("t.embedding", "en.ce")} AS cs
-         |  FROM tagged t CROSS JOIN en WHERE t.lang <> 'en'),
-         |r AS (SELECT vec_id, lang, cand_id, cs,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |bl AS (SELECT vec_id, lang,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM tagged CROSS JOIN pn),
+         |tb AS (SELECT vec_id, lang, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE lang <> 'en'),
+         |eb AS (SELECT vec_id AS cand_id, tbl, bucket FROM tb WHERE lang = 'en'),
+         |cand AS (SELECT DISTINCT qb.qid, eb.cand_id
+         |  FROM qb JOIN eb ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket),
+         |c AS (SELECT cand.qid, cand.cand_id,
+         |  ${cosSql("eq.embedding", "ec.embedding")} AS cs
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.qid
+         |  JOIN embeddings ec ON ec.vec_id = cand.cand_id),
+         |r AS (SELECT qid, cand_id, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cs DESC, cand_id ASC) AS rn
-         |  FROM scored)
-         |SELECT vec_id, lang,
+         |  FROM c),
+         |g AS (SELECT qid,
          |  MAX(CASE WHEN rn = 1 THEN cand_id END) AS best_en,
          |  ROUND(MAX(CASE WHEN rn = 1 THEN cs END), 6) AS cos,
          |  ROUND(MAX(CASE WHEN rn = 1 THEN cs END)
          |    - MAX(CASE WHEN rn = 2 THEN cs END), 6) AS margin
-         |FROM r WHERE rn <= 2 GROUP BY vec_id, lang""".stripMargin,
+         |  FROM r WHERE rn <= 2 GROUP BY qid)
+         |SELECT t.vec_id, t.lang, g.best_en, g.cos, g.margin
+         |FROM tagged t LEFT JOIN g ON g.qid = t.vec_id
+         |WHERE t.lang <> 'en'""".stripMargin,
 
     "q142_kmeans_iters" -> kmeansSql,
     "q157_semdedup" -> semdedupSql,
@@ -709,23 +799,36 @@ object SimilarityQueries {
          |FROM p GROUP BY label""".stripMargin,
 
     "q106_contrastive_triplets" ->
-      s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
-         |  FROM embeddings WHERE vec_id % 25 = 0),
-         |c AS (SELECT q.qid, q.q_label, e.vec_id AS nid,
-         |  e.label = q.q_label AS same,
-         |  ${cosSql("q.qe", "e.embedding")} AS cs
-         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-         |r AS (SELECT qid, q_label, nid, same, cs,
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings CROSS JOIN pn),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id % 25 = 0),
+         |cand AS (SELECT DISTINCT qb.qid, e.vec_id AS nid
+         |  FROM tb e JOIN qb ON e.tbl = qb.tbl AND e.bucket = qb.bucket
+         |  WHERE e.vec_id <> qb.qid),
+         |s AS (SELECT cand.qid, cand.nid, en.label = eq.label AS same,
+         |  ${cosSql("eq.embedding", "en.embedding")} AS cs
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.qid
+         |  JOIN embeddings en ON en.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, same, cs,
          |  ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cs DESC, nid ASC) AS rn
-         |  FROM c)
-         |SELECT qid, q_label,
+         |  FROM s),
+         |g AS (SELECT qid,
          |  MAX(CASE WHEN same THEN nid END) AS pos_id,
          |  MAX(CASE WHEN NOT same THEN nid END) AS neg_id,
          |  ROUND(MAX(CASE WHEN same THEN cs END), 6) AS pos_cos,
          |  ROUND(MAX(CASE WHEN NOT same THEN cs END), 6) AS neg_cos,
          |  ROUND(MAX(CASE WHEN same THEN cs END)
          |    - MAX(CASE WHEN NOT same THEN cs END), 6) AS margin
-         |FROM r WHERE rn = 1 GROUP BY qid, q_label""".stripMargin,
+         |  FROM r WHERE rn = 1 GROUP BY qid)
+         |SELECT a.vec_id AS qid, a.label AS q_label,
+         |  g.pos_id, g.neg_id, g.pos_cos, g.neg_cos, g.margin
+         |FROM embeddings a LEFT JOIN g ON g.qid = a.vec_id
+         |WHERE a.vec_id % 25 = 0""".stripMargin,
 
     "q97_rank_normalize" ->
       """WITH f AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, embedding[u.i] AS v
@@ -740,21 +843,36 @@ object SimilarityQueries {
         |FROM r""".stripMargin,
 
     "q90_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
-         |  FROM embeddings WHERE vec_id % 25 = 0),
-         |c AS (SELECT q.qid, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
-         |  ${cosSql("q.qe", "e.embedding")} AS cs
-         |  FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label),
-         |r AS (SELECT qid, q_label, neg_id, neg_label, cs,
-         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neg_id ASC) AS rn
-         |  FROM c)
-         |SELECT qid, q_label, neg_id, neg_label, ROUND(cs, 6) AS cos
-         |FROM r WHERE rn = 1""".stripMargin,
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings CROSS JOIN pn),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id % 25 = 0),
+         |cand AS (SELECT DISTINCT qb.qid, e.vec_id AS nid
+         |  FROM tb e JOIN qb ON e.tbl = qb.tbl AND e.bucket = qb.bucket
+         |  WHERE e.vec_id <> qb.qid),
+         |s AS (SELECT cand.qid, eq.label AS q_label, cand.nid,
+         |  en.label AS n_label, ${cosSql("eq.embedding", "en.embedding")} AS cs
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = cand.qid
+         |  JOIN embeddings en ON en.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, n_label, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rn
+         |  FROM s WHERE n_label <> q_label),
+         |b AS (SELECT qid, nid AS neg_id, n_label AS neg_label,
+         |  ROUND(cs, 6) AS cos FROM r WHERE rn = 1)
+         |SELECT a.vec_id AS qid, a.label AS q_label,
+         |  b.neg_id, b.neg_label, b.cos
+         |FROM embeddings a LEFT JOIN b ON b.qid = a.vec_id
+         |WHERE a.vec_id % 25 = 0""".stripMargin,
 
     "q83_embed_decontam" ->
-      s"""WITH bl AS (SELECT vec_id,
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
          |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
-         |  FROM embeddings),
+         |  FROM embeddings CROSS JOIN pn),
          |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
          |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
          |cand AS (SELECT DISTINCT c.vec_id AS vid, b.vec_id AS bid
@@ -823,9 +941,10 @@ object SimilarityQueries {
          |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
 
     "q28_cosine_neardup" ->
-      s"""WITH bl AS (SELECT vec_id,
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
          |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
-         |  FROM embeddings),
+         |  FROM embeddings CROSS JOIN pn),
          |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
          |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
          |pairs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -872,9 +991,10 @@ object SimilarityQueries {
          |GROUP BY label, i""".stripMargin,
 
     "q23_ann_srp" ->
-      s"""WITH bl AS (SELECT vec_id,
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
          |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
-         |  FROM embeddings),
+         |  FROM embeddings CROSS JOIN pn),
          |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
          |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
          |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),

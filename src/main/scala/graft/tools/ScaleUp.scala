@@ -87,10 +87,20 @@ object ScaleUp {
     }, "documents")
     write(scaled(Tables.embeddings(spark, src), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
-      // deterministic per-(copy, dim) sign: hash -> parity. Any fixed
-      // integer mix works; this one is cheap and has no run-to-run seed.
+      // per-copy orthogonal transform = dimension ROTATION (cyclic shift
+      // by 11·i) composed with a deterministic per-(copy, dim) SIGN flip.
+      // Sign flip alone leaves a twin pair's cosine at Σ ±x_j² — an
+      // all-positive-terms random-sign sum with sd √(3/d) ≈ 0.22 at d=64,
+      // so ~9% of cross-copy twins still landed above the 0.3 near-dup
+      // threshold (measured max |cos| 0.78). The rotation pairs DIFFERENT
+      // coordinates (Σ ±x_a x_b), which hits the 1/√d ≈ 0.125 floor of
+      // genuinely independent unit vectors — the statistics a real k×
+      // corpus would have.
       else d.withColumn("embedding", expr(
-        s"transform(embedding, (x, j) -> CAST(CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END AS FLOAT))"))
+        s"""transform(embedding, (x, j) -> CAST(
+           |  (CASE WHEN pmod(hash($i, j), 2) = 0 THEN 1.0 ELSE -1.0 END) *
+           |  element_at(embedding, pmod(j + 11 * $i, size(embedding)) + 1)
+           |  AS FLOAT))""".stripMargin))
     }, "embeddings")
 
     Tables.names.foreach { n =>

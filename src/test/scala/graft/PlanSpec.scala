@@ -253,12 +253,19 @@ class PlanSpec extends SparkSpec {
       (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")), p.take(800))
   }
 
-  test("q90: corpus never shuffles — query set broadcasts, top-1 keeps k rows per partition") {
+  test("q90: banded candidates only — equi-joins throughout, no nested loop over the corpus") {
+    // r3 shape was anchors × FULL corpus through a BroadcastNestedLoopJoin
+    // — quadratic, since the anchor panel is proportional (vec_id % 25).
+    // The rewrite joins anchors to their SRP bucket mates: every join in
+    // the plan must be an equi-join (hash or sort-merge), and the nested
+    // loop must be GONE.
     val df = SimilarityQueries.q90HardNegatives(spark, sfDir)
+    df.collect()
     val p = planString(df)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "expected broadcast cross join of the tiny query side:\n" + p.take(800))
-    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for a join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "anchor mining degenerated to a corpus nested loop:\n" + p.take(800))
+    assert(p.contains("tbl") && p.contains("bucket"),
+      "expected the SRP band-bucket candidate join:\n" + p.take(800))
   }
 
   test("q92: frontier joins back by broadcast; no O(n^2) dominator self-join anywhere") {
@@ -317,13 +324,12 @@ class PlanSpec extends SparkSpec {
       "cumulative-sum window lost its partition spec (single-partition funnel)"))
   }
 
-  test("q106: triplet mining is broadcast-only — no window sort, corpus never shuffles pre-agg") {
+  test("q106: banded triplet mining — equi-joins only, struct-max agg, no window") {
     val df = SimilarityQueries.q106ContrastiveTriplets(spark, sfDir)
     df.collect()
     val p = planString(df)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "anchor set should broadcast:\n" + p.take(800))
-    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for a join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "anchor mining degenerated to a corpus nested loop:\n" + p.take(800))
     assert(walkWindows(df.queryExecution.executedPlan).isEmpty,
       "top-1 should be a struct-max aggregate, not a row_number window")
     assert(p.contains("partial_"), "top-1 aggregate lost map-side combine")

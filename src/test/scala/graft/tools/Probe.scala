@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.ops.Similarity
 
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -20,21 +21,28 @@ object Probe {
     def drain(): Unit = org.apache.spark.sql.graft.shim.drainListenerBus(spark)
     def time(label: String)(f: => Unit): Unit = {
       f
-      drain(); val c0 = cpu.get(); val k0 = tasks.get(); val t0 = System.nanoTime(); f
+      drain(); val c0 = cpu.get(); val t0 = System.nanoTime(); f
       drain()
-      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s wall ${(cpu.get - c0) / 1e9}%7.2f cpu-s ${tasks.get - k0}%4d tasks")
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s wall ${(cpu.get - c0) / 1e9}%7.2f cpu-s")
     }
-    val d10 = spark.read.parquet("/tmp/graft-sf1/documents.parquet")
-    def re(pat: String) = sum(length(regexp_replace(col("text"), pat, " ")))
-    println("== 10x, natural 11 tasks, pattern variants")
-    time("[^a-z0-9\\s]") { d10.select(re("[^a-z0-9\\s]")).collect() }
-    time("[^a-z0-9 ]") { d10.select(re("[^a-z0-9 ]")).collect() }
-    time("[^a-z0-9\\t\\n ]") { d10.select(re("[^a-z0-9\\t\\n ]")).collect() }
-    time("[A-Z]") { d10.select(re("[A-Z]")).collect() }
-    time("\\s+") { d10.select(re("\\s+")).collect() }
-    println("== 10x forced to 2 tasks (coalesce)")
-    val d2 = d10.coalesce(2)
-    time("[^a-z0-9\\s] 2task") { d2.select(re("[^a-z0-9\\s]")).collect() }
+    val signs = Similarity.hyperplaneSigns(8 * Similarity.MaxPlanesPerTable, 64)
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/graft-sf1")) {
+      println(s"== $dir")
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val pn = Similarity.adaptivePlanes(n)
+      println(s"n=$n pn=$pn")
+      time("scan sum(label)") { emb.select(sum(col("label"))).collect() }
+      time("one vec_dot") { emb.select(sum(graft.ops.Similarity.dot(col("embedding"), col("embedding")))).collect() }
+      time(s"banded pn=$pn") {
+        emb.select(col("vec_id"),
+          posexplode(Similarity.srpBucketsAdaptive(col("embedding"), signs, 8, pn)))
+          .select(sum(col("col"))).collect() }
+      time("banded pn=3") {
+        emb.select(col("vec_id"),
+          posexplode(Similarity.srpBucketsAdaptive(col("embedding"), signs, 8, 3)))
+          .select(sum(col("col"))).collect() }
+    }
     spark.stop()
   }
 }
