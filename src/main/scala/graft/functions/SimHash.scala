@@ -10,17 +10,26 @@ import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types._
 
 /** Native SimHash over an array<string> of features (shingles/tokens):
-  * bit j is set iff sum over features of (+1 if md5-hex-digit j >= 8
-  * else -1) is positive — the same md5-nibble formula as the HOF
-  * `Dedup.simhashFromHashes` and the DuckDB oracle, but ONE digest and
+  * bit j is set iff sum over features of (+1 if the j-th vote bit of
+  * md5(feature) is set else -1) is positive. Vote bits: for j < 32 the
+  * TOP bit of hex digit j (`digit >= 8` — the original formula, so all
+  * widths ≤ 32 are bit-identical to the HOF `Dedup.simhashFromHashes`
+  * and the historical oracles); for 32 ≤ j < 64 the SECOND bit of hex
+  * digit j−32 (`(digit & 4) != 0`) — an independent md5 bit per
+  * position, extending the width without a second digest. One digest and
   * nBits integer ops per feature in a single compiled eval per row (the
   * HOF form re-scans the hash array once per bit, interpreted).
+  *
+  * Width matters at scale (Manku et al., WWW'07 use 64-bit): the
+  * Hamming-radius band index needs band width ≥ log2(corpus/occupancy)
+  * to keep candidate volume linear, and 4 bands × that width must fit in
+  * the hash — see `Dedup.adaptiveSimhashBits`.
   *
   * NULL for empty/null inputs, like [[MinHashSignature]]: featureless docs
   * must not all collide on simhash 0. */
 case class SimHash(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
-  require(nBits >= 1 && nBits <= 32, s"simhash width 1..32, got $nBits")
+  require(nBits >= 1 && nBits <= 64, s"simhash width 1..64, got $nBits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,10 +53,12 @@ case class SimHash(child: Expression, nBits: Int)
         val d = md.digest(arr.getUTF8String(j).getBytes)
         var b = 0
         while (b < nBits) {
-          // hex digit b = high nibble of byte b/2 when b even, low when odd
+          // hex digit g = high nibble of byte g/2 when g even, low when odd
+          val g = if (b < 32) b else b - 32
           val nib =
-            if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
-          sums(b) += (if (nib >= 8) 1 else -1)
+            if ((g & 1) == 0) (d(g >> 1) >> 4) & 0xf else d(g >> 1) & 0xf
+          val vote = if (b < 32) nib >= 8 else (nib & 4) != 0
+          sums(b) += (if (vote) 1 else -1)
           b += 1
         }
       }

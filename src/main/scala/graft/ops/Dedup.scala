@@ -105,6 +105,29 @@ object Dedup {
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Adaptive simhash WIDTH: 4 bands × bandBits where
+    * bandBits = bitLength((n-1)/32) clamped to [8, 15] — i.e. band-key
+    * space tracks corpus size so expected band-bucket occupancy stays
+    * near 32.
+    *
+    * Why width must grow with n (Manku et al., WWW'07, run 64-bit for
+    * 8B docs): radius-3 losslessness pins the band COUNT at 4
+    * (pigeonhole), so the only free selectivity is band WIDTH. With the
+    * historical fixed 32-bit hash the 8-bit band keys saturate — any two
+    * docs band-collide with p = 4/256, so candidate pairs are n²/64
+    * REGARDLESS of how the join is written: the 10× scale-ladder rung
+    * measured exactly that (160 MB shuffled vs 2.7 MB at 1×, ≈60×).
+    * Ladder values: n ≤ 8192 → 32 bits (all committed fixtures —
+    * results unchanged); 10× rung (50k docs) → 44 bits; cap 60 bits
+    * (bit 63 stays clear, so band-key arithmetic is positive in both
+    * engines). The oracle computes the identical integer ladder from
+    * COUNT(*). */
+  def adaptiveSimhashBits(n: Long): Int = {
+    val m = (n - 1).max(0L) / 32L
+    val bitLength = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    4 * math.min(15, math.max(8, bitLength))
+  }
+
   /** SimHash bit-bands: split a `bits`-wide simhash into `bands` equal
     * slices. By pigeonhole, any pair within Hamming distance `bands - 1`
     * agrees on at least one intact band — so banding is a LOSSLESS

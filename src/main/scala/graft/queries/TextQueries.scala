@@ -508,6 +508,12 @@ object TextQueries {
     * [[graft.functions.SimHash]] expression — one digest per shingle, one
     * compiled eval per row. The only shuffle is the band-bucket join on
     * tiny (band, byte) keys. */
+  /** Corpus-adaptive simhash width for this dir's documents table (see
+    * [[graft.ops.Dedup.adaptiveSimhashBits]]): one driver-side count-star
+    * per query build. 32 bits at every committed fixture SF. */
+  private def simhashWidth(spark: SparkSession, dir: String): Int =
+    Dedup.adaptiveSimhashBits(Tables.documents(spark, dir).count())
+
   /** The persisted (doc_id, simhash) signature frame — feeds the banding
     * and BOTH verify-join probes; persist so the tokenize→shingle→digest
     * lineage runs once, not 3× (measured: the recompute tripled q44's
@@ -515,16 +521,16 @@ object TextQueries {
     * the in-session twin. Exposed separately so EAGER composers (q51's
     * components loop) can release it the moment their result no longer
     * references it. */
-  private def simhash32Sims(spark: SparkSession, dir: String): DataFrame =
+  private def simhashSims(spark: SparkSession, dir: String, bits: Int): DataFrame =
     shingled(spark, dir)
       .select(col("doc_id"),
-        graft.functions.SimHash(col("sh"), 32).as("simhash"))
+        graft.functions.SimHash(col("sh"), bits).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def simhashPairsFrom(sims: DataFrame): DataFrame = {
+  private def simhashPairsFrom(sims: DataFrame, bits: Int): DataFrame = {
     val banded = sims
       .select(col("doc_id"),
-        explode(Dedup.simhashBands(col("simhash"), bits = 32, bands = 4)).as("bb"))
+        explode(Dedup.simhashBands(col("simhash"), bits = bits, bands = 4)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     Dedup.candidatePairs(banded)
       .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
@@ -538,8 +544,10 @@ object TextQueries {
     * the result is LAZY and reads it, so library callers running many
     * queries per session should clearCache between them (Bench/Verify do);
     * the data is tiny (doc_id + one long per doc). */
-  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsFrom(simhash32Sims(spark, dir))
+  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bits = simhashWidth(spark, dir)
+    simhashPairsFrom(simhashSims(spark, dir, bits), bits)
+  }
 
   /** Near-dup CLUSTERS from the q44 pair edges: pairs alone can't drive
     * dedup (A~B, B~C must collapse to one cluster even when A!~C) —
@@ -552,9 +560,10 @@ object TextQueries {
     // LogicalRDDs before returning, so unlike lazy q44 this query has no
     // cache excuse — release the signature frame on the way out (the
     // ContractSpec cache-lifetime sweep enforces exactly this).
-    val sims = simhash32Sims(spark, dir)
+    val bits = simhashWidth(spark, dir)
+    val sims = simhashSims(spark, dir, bits)
     try graft.ops.Components.connectedComponents(
-      simhashPairsFrom(sims).select("doc1", "doc2"))
+      simhashPairsFrom(sims, bits).select("doc1", "doc2"))
     finally sims.unpersist(blocking = true)
   }
 
@@ -1772,17 +1781,7 @@ object TextQueries {
          |FROM pairs LEFT JOIN p USING (source_a, source_b)""".stripMargin,
 
     "q173_dedup_savings" ->
-      s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),
-         |banded AS (SELECT doc_id, u.b AS band,
-         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
-         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-         |  FROM banded a JOIN banded c
-         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-         |near AS (SELECT p.doc1, p.doc2 FROM pairs p
-         |  JOIN sim s1 ON s1.doc_id = p.doc1
-         |  JOIN sim s2 ON s2.doc_id = p.doc2
-         |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3),
+      s"""WITH RECURSIVE $simhashPairsSqlCtes,
          |edges AS (SELECT doc1 AS a, doc2 AS b FROM near
          |  UNION SELECT doc2, doc1 FROM near),
          |reach(a, b) AS (
@@ -2434,17 +2433,7 @@ object TextQueries {
          |FROM fin WHERE cum_tokens <= 4000""".stripMargin,
 
     "q51_dup_clusters" ->
-      s"""WITH RECURSIVE sim AS ($shingleSimhash32Sql),
-         |banded AS (SELECT doc_id, u.b AS band,
-         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
-         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-         |  FROM banded a JOIN banded c
-         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-         |near AS (SELECT p.doc1, p.doc2 FROM pairs p
-         |  JOIN sim s1 ON s1.doc_id = p.doc1
-         |  JOIN sim s2 ON s2.doc_id = p.doc2
-         |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3),
+      s"""WITH RECURSIVE $simhashPairsSqlCtes,
          |edges AS (SELECT doc1 AS a, doc2 AS b FROM near
          |  UNION SELECT doc2, doc1 FROM near),
          |reach(a, b) AS (
@@ -2681,19 +2670,10 @@ object TextQueries {
         |FROM h""".stripMargin,
 
     "q44_simhash_neardup" ->
-      s"""WITH sim AS ($shingleSimhash32Sql),
-         |banded AS (SELECT doc_id, u.b AS band,
-         |  CAST((simhash // CAST(256 ** u.b AS BIGINT)) % 256 AS VARCHAR) AS bkey
-         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-         |  FROM banded a JOIN banded c
-         |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
-         |SELECT p.doc1, p.doc2,
-         |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
-         |FROM pairs p
-         |JOIN sim s1 ON s1.doc_id = p.doc1
-         |JOIN sim s2 ON s2.doc_id = p.doc2
-         |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""".stripMargin
+      s"""WITH $simhashPairsSqlCtes
+         |SELECT doc1, doc2,
+         |  CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+         |FROM near""".stripMargin
   )
 
   /** Oracle twin of q71: the same `bpeSteps` merge iterations unrolled as a
@@ -2746,26 +2726,56 @@ object TextQueries {
 
   private lazy val simhashSql: String = simhashSqlBits(16)
 
-  /** 32-bit simhash over 3-shingles; NULL for shingle-less docs (matches
-    * the native expression, so such docs never band-collide). */
-  private lazy val shingleSimhash32Sql: String =
-    s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared oracle CTE chain for the adaptive shingle-simhash near-dup
+    * pipeline (q44 pairs, q51 components, q173 savings): the `wb` CTE is
+    * the integer twin of [[graft.ops.Dedup.adaptiveSimhashBits]]
+    * (bandBits = bitLength((COUNT(*)-1)//32) clamped [8,15], width =
+    * 4·bandBits); `sim` votes bit j on md5 hex digit j's top bit for
+    * j < 32 (the historical formula — widths ≤ 32 are bit-identical to
+    * the old fixed-width oracle) and digit (j−32)'s second bit above;
+    * `banded`/`pairs`/`near` mirror the Spark band join + exact
+    * Hamming ≤ 3 verify. NULL simhash for shingle-less docs (matches the
+    * native expression, so such docs never band-collide). */
+  private lazy val simhashPairsSqlCtes: String =
+    s"""wb AS (SELECT bb, 4 * bb AS w FROM (SELECT LEAST(15, GREATEST(8,
+       |  CASE WHEN m >= 16384 THEN 15 WHEN m >= 8192 THEN 14
+       |       WHEN m >= 4096 THEN 13 WHEN m >= 2048 THEN 12
+       |       WHEN m >= 1024 THEN 11 WHEN m >= 512 THEN 10
+       |       WHEN m >= 256 THEN 9 ELSE 8 END)) AS bb
+       |  FROM (SELECT (COUNT(*) - 1) // 32 AS m FROM documents))),
+       |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh0 AS (SELECT doc_id,
        |  CASE WHEN len(toks) >= 3
        |    THEN list_transform(generate_series(1, len(toks) - 2),
        |           i -> array_to_string(toks[i:i+2], ' '))
        |    ELSE [] END AS s FROM t0),
-       |h0 AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh0)
-       |SELECT doc_id,
+       |h0 AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh0),
+       |sim AS (SELECT doc_id,
        |  CASE WHEN len(hs) = 0 THEN NULL ELSE
        |  list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(generate_series(0, 31), j ->
+       |    list_transform(generate_series(0, wb.w - 1), j ->
        |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
        |        list_transform(hs, h ->
-       |          CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
-       |               THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |          CASE WHEN (CASE WHEN j < 32
+       |              THEN strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8
+       |              ELSE ((strpos('0123456789abcdef', substr(h, j - 31, 1)) - 1) // 4) % 2 = 1
+       |            END)
+       |            THEN 1::BIGINT ELSE (-1)::BIGINT END)),
        |        (a, b) -> a + b) > 0
        |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
        |    (a, b) -> a + b) END AS simhash
-       |FROM h0""".stripMargin
+       |  FROM h0 CROSS JOIN wb),
+       |banded AS (SELECT doc_id, u.b AS band,
+       |  CAST((simhash // CAST(2 ** (u.b * wb.bb) AS BIGINT))
+       |    % CAST(2 ** wb.bb AS BIGINT) AS VARCHAR) AS bkey
+       |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u
+       |  CROSS JOIN wb),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+       |  FROM banded a JOIN banded c
+       |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+       |near AS (SELECT p.doc1, p.doc2, s1.simhash AS sh1, s2.simhash AS sh2
+       |  FROM pairs p
+       |  JOIN sim s1 ON s1.doc_id = p.doc1
+       |  JOIN sim s2 ON s2.doc_id = p.doc2
+       |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3)""".stripMargin
 }
