@@ -670,26 +670,36 @@ object DateTimeQueries {
     val e = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    // 128-bit widening (decimal(38,0) / oracle HUGEINT): the q sums are
+    // Σc² over the corpus and the variance numerators multiply them by n
+    // again — n·q ≈ n²·c̄² blows past 2⁶³ at the 100× ladder rung (first
+    // measured failure: 10M events → n·q ≈ 7e22), and Σc² alone would at
+    // 10¹¹ rows. Same integers, same truncating DIV, same final double —
+    // only the overflow ceiling moves (~1e38).
     def side(t: String, k: String) = Seq(
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$k"),
       sum(when(col("event_type") === t, col("c")).otherwise(0L)).as(s"s$k"),
-      sum(when(col("event_type") === t, col("c") * col("c")).otherwise(0L)).as(s"q$k"))
+      sum(when(col("event_type") === t,
+        (col("c") * col("c")).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q$k"))
     val sides = side("click", "1") ++ side("view", "2")
     val agg = e.agg(sides.head, sides.tail: _*)
+    def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     // vi/ni in cents² — sample variance over n: (n·q − s²) / (n·(n−1)) / n;
     // the denominator is NULL-guarded so an n<2 arm yields NULL t/dof
     // (the q60 convention: NULL, never 0/0 = NaN)
     def vOverN(k: String) =
-      (col(s"n$k") * col(s"q$k") - col(s"s$k") * col(s"s$k")).cast("double") /
-        nullif((col(s"n$k") * (col(s"n$k") - lit(1L)) * col(s"n$k"))
+      (dec38(col(s"n$k")) * col(s"q$k") - dec38(col(s"s$k")) * col(s"s$k"))
+        .cast("double") /
+        nullif((dec38(col(s"n$k")) * (col(s"n$k") - lit(1L)) * col(s"n$k"))
           .cast("double"), lit(0.0))
     val se2 = vOverN("1") + vOverN("2")
     agg.select(
       col("n1").as("n_click"), col("n2").as("n_view"),
-      (expr("(2 * s1 * 100 + n1) DIV (2 * n1)").cast("double") / 1e2)
-        .as("mean_click"),
-      (expr("(2 * s2 * 100 + n2) DIV (2 * n2)").cast("double") / 1e2)
-        .as("mean_view"),
+      (expr("(2 * CAST(s1 AS DECIMAL(38,0)) * 100 + n1) DIV (2 * n1)")
+        .cast("double") / 1e2).as("mean_click"),
+      (expr("(2 * CAST(s2 AS DECIMAL(38,0)) * 100 + n2) DIV (2 * n2)")
+        .cast("double") / 1e2).as("mean_view"),
       round((col("s1").cast("double") / col("n1").cast("double")
         - col("s2").cast("double") / col("n2").cast("double"))
         / nullif(sqrt(se2), lit(0.0)), 4).as("t"),
@@ -1111,14 +1121,31 @@ object DateTimeQueries {
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
-        sum(col("xa") * col("xa")).as("sxx"),
-        sum(col("xb") * col("xb")).as("syy"),
-        sum(col("xa") * col("xb")).as("sxy"))
-      .withColumn("corr",
-        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          nullif(sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
-            (col("n_days") * col("syy") - col("sy") * col("sy")))
-            .cast("double")), lit(0.0)))
+        // the per-day product fits a long at any realistic daily volume
+        // (c² ≤ 9e16 even at 3e8 events/day); the SUM is what needs the
+        // decimal — Σc² crosses 2⁶³ once daily counts reach ~1e8
+        sum((col("xa") * col("xa")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xb") * col("xb")).cast("decimal(38,0)")).as("syy"),
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("corr", {
+        // decimal(38,0) widening: the product of the two variance terms is
+        // ≈ (n·Σx²)² — past 2⁶³ at the 100× ladder rung (measured ~2e24);
+        // exact integers all the way to the final double, ceiling ~1e38
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        (d38(col("n_days")) * col("sxy") - d38(col("sx")) * col("sy"))
+          .cast("double") /
+          nullif(sqrt(((d38(col("n_days")) * col("sxx") - d38(col("sx")) * col("sx")) *
+            (d38(col("n_days")) * col("syy") - d38(col("sy")) * col("sy")))
+            .cast("double")), lit(0.0))
+      })
+      // contract columns stay BIGINT (the sums comfortably fit: ≤ ~4e9 at
+      // the 100× rung; the overflow was only in the corr products above)
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        col("sx"), col("sy"),
+        col("sxx").cast("long").as("sxx"),
+        col("syy").cast("long").as("syy"),
+        col("sxy").cast("long").as("sxy"),
+        col("corr"))
   }
 
   /** q175: incremental aggregate maintenance — the materialized-view
@@ -1191,9 +1218,9 @@ object DateTimeQueries {
         |  FROM f a JOIN f b ON a.day = b.day AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, n_days, sx, sy, sxx, syy, sxy,
-        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
-        |    nullif(sqrt(CAST((n_days * sxx - sx * sx)
-        |      * (n_days * syy - sy * sy) AS DOUBLE)), 0.0) AS corr
+        |  CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST((CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      * (CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) AS DOUBLE)), 0.0) AS corr
         |FROM p""".stripMargin,
 
     "q170_linear_attribution" ->
@@ -1426,6 +1453,9 @@ object DateTimeQueries {
         |    / NULLIF(CAST(SUM(w_sec) AS DOUBLE), 0.0) / 1e2, 4) AS twap
         |FROM f GROUP BY 1""".stripMargin,
 
+    // HUGEINT widening mirrors the engine's decimal(38,0): n·q ≈ n²·c̄²
+    // overflows BIGINT at the 100× ladder rung (and Σc² alone would at
+    // 10¹¹ rows); same integers, same // truncation, same final doubles.
     "q135_welch_ttest" ->
       """WITH e AS (SELECT event_type,
         |  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
@@ -1433,31 +1463,31 @@ object DateTimeQueries {
         |g AS (SELECT
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1,
-        |  CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS HUGEINT) AS q1,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS s2,
-        |  CAST(SUM(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS BIGINT) AS q2
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS HUGEINT) AS q2
         |  FROM e)
         |SELECT n1 AS n_click, n2 AS n_view,
-        |  CAST((2 * s1 * 100 + n1) // (2 * n1) AS DOUBLE) / 1e2 AS mean_click,
-        |  CAST((2 * s2 * 100 + n2) // (2 * n2) AS DOUBLE) / 1e2 AS mean_view,
+        |  CAST((2 * CAST(s1 AS HUGEINT) * 100 + n1) // (2 * n1) AS DOUBLE) / 1e2 AS mean_click,
+        |  CAST((2 * CAST(s2 AS HUGEINT) * 100 + n2) // (2 * n2) AS DOUBLE) / 1e2 AS mean_view,
         |  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |    / NULLIF(SQRT(
-        |        CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
-        |      + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0)),
+        |        CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / NULLIF(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |      + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / NULLIF(CAST(CAST(n2 AS HUGEINT) * (n2 - 1) * n2 AS DOUBLE), 0.0)),
         |      0.0), 4) AS t,
         |  ROUND(
-        |    (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
-        |     + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
-        |    * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0)
-        |       + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |    (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / NULLIF(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |     + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / NULLIF(CAST(CAST(n2 AS HUGEINT) * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |    * (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / NULLIF(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * n1 AS DOUBLE), 0.0)
+        |       + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / NULLIF(CAST(CAST(n2 AS HUGEINT) * (n2 - 1) * n2 AS DOUBLE), 0.0))
         |    / NULLIF(
-        |      (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0))
-        |        * (CAST(n1 * q1 - s1 * s1 AS DOUBLE) / NULLIF(CAST(n1 * (n1 - 1) * n1 AS DOUBLE), 0.0))
+        |      (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / NULLIF(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * n1 AS DOUBLE), 0.0))
+        |        * (CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / NULLIF(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * n1 AS DOUBLE), 0.0))
         |        / CAST(n1 - 1 AS DOUBLE)
-        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
-        |        * (CAST(n2 * q2 - s2 * s2 AS DOUBLE) / NULLIF(CAST(n2 * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |      + (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / NULLIF(CAST(CAST(n2 AS HUGEINT) * (n2 - 1) * n2 AS DOUBLE), 0.0))
+        |        * (CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) / NULLIF(CAST(CAST(n2 AS HUGEINT) * (n2 - 1) * n2 AS DOUBLE), 0.0))
         |        / CAST(n2 - 1 AS DOUBLE), 0.0), 2) AS dof
         |FROM g""".stripMargin,
 

@@ -1094,11 +1094,17 @@ object TextQueries {
       .join(obs, Seq("lang", "predicted"), "left")
       .crossJoin(broadcast(nTot))
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
-      .withColumn("d", col("n_obs") * col("n_tot") - col("r_tot") * col("c_tot"))
+      // decimal(38,0) widening (oracle: HUGEINT): d ≈ n_obs·n_tot is ~n²
+      // and d² is ~n⁴ — past 2⁶³ once the corpus crosses ~55k docs (first
+      // measured failure at the 100× ladder rung, 500k docs → d² ≈ 6e22).
+      // Same integers, same truncating DIV, same final double.
+      .withColumn("d", col("n_obs").cast("decimal(38,0)") * col("n_tot")
+        - col("r_tot").cast("decimal(38,0)") * col("c_tot"))
       .select(col("lang"), col("predicted"), col("n_obs"),
-        (expr("(2 * r_tot * c_tot * 10000 + n_tot) DIV (2 * n_tot)")
+        (expr("(2 * CAST(r_tot AS DECIMAL(38,0)) * c_tot * 10000 + n_tot) DIV (2 * n_tot)")
           .cast("double") / lit(1e4)).as("expected"),
-        (expr("(2 * d * d * 100 + r_tot * c_tot * n_tot) DIV (2 * r_tot * c_tot * n_tot)")
+        (expr("""(2 * d * d * 100 + CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot)
+                 DIV (2 * CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot)""")
           .cast("double") / lit(1e2)).as("chi2_contrib"))
   }
 
@@ -1752,7 +1758,76 @@ object TextQueries {
         col("tv_num").cast("double") / col("tv_den").cast("double"))
   }
 
+  /** q177: PII redaction — the scrub pass every published web-corpus
+    * pipeline runs before training (emails, phone numbers, IP addresses
+    * replaced by typed placeholder tokens, per-class hit counts kept for
+    * the curation report). The fixture corpus is PII-free by construction
+    * (pure word soup — verified no '@'/digit spans), so the query first
+    * APPENDS a deterministic contact tail derived from doc_id — one
+    * email, one NNN-NNN-NNNN phone, one dotted-quad IP — and then redacts
+    * it; the counts prove every pattern class fired on every row, and the
+    * oracle builds the identical tail, so the check exercises the regex
+    * semantics on both engines rather than a vacuous no-op. Patterns stay
+    * inside the Java-regex ∩ RE2 common dialect (char classes, bounded
+    * repeats, `\b`) so Spark and DuckDB agree byte-for-byte. Counts are
+    * measured on the pre-redaction text independently per class (the
+    * classes cannot overlap: emails carry '@', phones '-'-separated,
+    * IPs '.'-separated digit runs). Scale shape: one narrow projection,
+    * no shuffle at all — redaction is embarrassingly parallel, the 100 TB
+    * plan is scan→project→write. */
+  def q177PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val tailed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          expr("(doc_id div 256) % 256").cast("string"), lit(".1")
+        ).as("text"))
+    tailed.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>").as("redacted"),
+      size(expr(s"regexp_extract_all(text, '${emailRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '${phoneRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_phones"),
+      size(expr(s"regexp_extract_all(text, '${ipRe.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("n_ips"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q177_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST((doc_id // 256) % 256 AS VARCHAR) || '.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM p""".stripMargin,
+
     "q176_source_tv_distance" ->
       s"""WITH tk AS (SELECT source, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM (SELECT source, unnest($toksSql) AS token FROM documents) t
@@ -2187,11 +2262,12 @@ object TextQueries {
          |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
          |  FROM r CROSS JOIN c CROSS JOIN n
          |  LEFT JOIN o ON o.lang = r.lang AND o.predicted = c.predicted),
-         |d AS (SELECT *, n_obs * n_tot - r_tot * c_tot AS d FROM g)
+         |d AS (SELECT *, CAST(n_obs AS HUGEINT) * n_tot
+         |  - CAST(r_tot AS HUGEINT) * c_tot AS d FROM g)
          |SELECT lang, predicted, n_obs,
-         |  CAST((2 * r_tot * c_tot * 10000 + n_tot) // (2 * n_tot) AS DOUBLE) / 1e4 AS expected,
-         |  CAST((2 * d * d * 100 + r_tot * c_tot * n_tot)
-         |    // (2 * r_tot * c_tot * n_tot) AS DOUBLE) / 1e2 AS chi2_contrib
+         |  CAST((2 * CAST(r_tot AS HUGEINT) * c_tot * 10000 + n_tot) // (2 * n_tot) AS DOUBLE) / 1e4 AS expected,
+         |  CAST((2 * d * d * 100 + CAST(r_tot AS HUGEINT) * c_tot * n_tot)
+         |    // (2 * CAST(r_tot AS HUGEINT) * c_tot * n_tot) AS DOUBLE) / 1e2 AS chi2_contrib
          |FROM d""".stripMargin,
 
     "q113_containment" ->

@@ -40,6 +40,15 @@ import graft.sources.Tables
 object ScaleUp {
   private val Off = 1000000000L
 
+  /** All-letter copy code for the token prefix: one letter for the first 26
+    * copies (matching the original 10x ladder), excel-style two letters
+    * beyond ("aa".."zz"), so a 100x rung keeps the prefix inside
+    * `[A-Za-z]` and the token-class distribution unshifted.
+    */
+  private def letterCode(m: Int): String =
+    if (m < 26) ('a' + m).toChar.toString
+    else s"${('a' + m / 26 - 1).toChar}${('a' + m % 26).toChar}"
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -82,25 +91,48 @@ object ScaleUp {
       if (i == 0) d
       else d
         .withColumn("text", regexp_replace(
-          col("text"), "([A-Za-z0-9]+)", s"c${('a' + i - 1).toChar}x$$1"))
+          col("text"), "([A-Za-z0-9]+)", s"c${letterCode(i - 1)}x$$1"))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
+    // Embedding-dim sanity for the affine permutation below: a_i odd is a
+    // bijection mod d only when d is a power of two (gcd(a_i, d) = 1).
+    locally {
+      val dim = Tables.embeddings(spark, src)
+        .selectExpr("size(embedding)").head().getInt(0)
+      require((dim & (dim - 1)) == 0,
+        s"ScaleUp embedding transform needs power-of-two dim, got $dim")
+    }
     write(scaled(Tables.embeddings(spark, src), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
-      // per-copy orthogonal transform = dimension ROTATION (cyclic shift
-      // by 11·i) composed with a deterministic per-(copy, dim) SIGN flip.
-      // Sign flip alone leaves a twin pair's cosine at Σ ±x_j² — an
-      // all-positive-terms random-sign sum with sd √(3/d) ≈ 0.22 at d=64,
-      // so ~9% of cross-copy twins still landed above the 0.3 near-dup
-      // threshold (measured max |cos| 0.78). The rotation pairs DIFFERENT
+      // per-copy orthogonal transform = dimension PERMUTATION composed
+      // with a deterministic per-(copy, dim) SIGN flip. Sign flip alone
+      // leaves a twin pair's cosine at Σ ±x_j² — an all-positive-terms
+      // random-sign sum with sd √(3/d) ≈ 0.22 at d=64, so ~9% of
+      // cross-copy twins still landed above the 0.3 near-dup threshold
+      // (measured max |cos| 0.78). A permutation pairs DIFFERENT
       // coordinates (Σ ±x_a x_b), which hits the 1/√d ≈ 0.125 floor of
       // genuinely independent unit vectors — the statistics a real k×
-      // corpus would have.
-      else d.withColumn("embedding", expr(
-        s"""transform(embedding, (x, j) -> CAST(
-           |  (CASE WHEN pmod(hash($i, j), 2) = 0 THEN 1.0 ELSE -1.0 END) *
-           |  element_at(embedding, pmod(j + 11 * $i, size(embedding)) + 1)
-           |  AS FLOAT))""".stripMargin))
+      // corpus would have. The permutation is AFFINE, σ_i(j) = a_i·j + b_i
+      // (mod d) with a_i odd, not the first version's plain cyclic shift:
+      // a shift-only family collides once k > d (pigeonhole on d possible
+      // shifts), and two copies with EQUAL shifts degrade back to
+      // sign-flip-only statistics. With a_i = 2i+1 and
+      // b_i = 11i + 13·⌊i/64⌋, any two copies i ≠ j ≤ 2047 differ in
+      // (a, b) — a_i = a_j forces i ≡ j (mod 32), where b_i − b_j ≡
+      // 11·(i−j) + 13·Δ⌊/64⌋ ≠ 0 (mod 64) for every multiple of 32 in
+      // range — so the relative transform is never the identity and has at
+      // most gcd(a_rel − 1, d) fixed points; the cross-copy cosine stays
+      // at the 1/√d floor (measured: max |cos| 0.42 over 2000 twin pairs
+      // at k = 10; re-measured at k = 100 below).
+      else {
+        val a = 2 * i + 1
+        val b = 11 * i + 13 * (i / 64)
+        d.withColumn("embedding", expr(
+          s"""transform(embedding, (x, j) -> CAST(
+             |  (CASE WHEN pmod(hash($i, j), 2) = 0 THEN 1.0 ELSE -1.0 END) *
+             |  element_at(embedding, pmod($a * j + $b, size(embedding)) + 1)
+             |  AS FLOAT))""".stripMargin))
+      }
     }, "embeddings")
 
     Tables.names.foreach { n =>

@@ -433,4 +433,30 @@ class OpsEdgeSpec extends SparkSpec {
     assert(Quality.withinTolerance(150.0, 200.0, 0.25) === true)
     assert(Quality.withinTolerance(149.0, 200.0, 0.25) === false)
   }
+
+  test("q177 redacts every injected PII class exactly once per doc") {
+    import spark.implicits._
+    val out = graft.queries.TextQueries.q177PiiRedaction(spark, sfDir)
+    val agg = out.agg(
+      count(lit(1)).as("n"),
+      sum(col("n_emails")).as("e"),
+      sum(col("n_phones")).as("p"),
+      sum(col("n_ips")).as("i"),
+      sum(when(col("redacted").contains("<EMAIL>") &&
+        col("redacted").contains("<PHONE>") &&
+        col("redacted").contains("<IP>"), 1L).otherwise(0L)).as("all3"),
+      // post-redaction text must carry no residual match of any class
+      sum(when(col("redacted").rlike("@") ||
+        col("redacted").rlike("\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b") ||
+        col("redacted").rlike("\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"), 1L)
+        .otherwise(0L)).as("residual"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (n, e, p, i, all3, residual) = agg
+    assert(n > 0)
+    assert(e === n, "one email per doc")
+    assert(p === n, "one phone per doc")
+    assert(i === n, "one IP per doc")
+    assert(all3 === n, "every doc carries all three placeholders")
+    assert(residual === 0L, "no PII pattern survives redaction")
+  }
 }
