@@ -1277,56 +1277,53 @@ object TextQueries {
       .select(col("doc_id"), array_sort(array_distinct(col("sh"))).as("s"))
       .filter(size(col("s")) > 0)
 
-  /** q126 core over a caller-managed (persisted) sorted-shingle frame. */
+  /** q126 core over a caller-managed (persisted) sorted-shingle frame.
+    *
+    * Formulation: exact set-similarity join by COUNTING CO-OCCURRENCES in
+    * the inverted index — for every shingle g, emit each (doc1 < doc2)
+    * pair in g's posting list (with the standard J ≥ 0.5 length filter
+    * 2·min(n1,n2) ≥ max(n1,n2) applied during generation), then
+    * `inter = count per pair` and `J = inter / (n1 + n2 − inter)`. Any
+    * pair with J > 0 shares a shingle, so the co-occurring pairs are a
+    * superset of the answer and the J filter makes the output EXACTLY the
+    * J ≥ 0.5 pairs — the same set the previous prefix-filter + array
+    * merge-walk verify produced (PPJoin's prefix theorem guarantees its
+    * candidates cover J ≥ 0.5; both formulations then apply the identical
+    * exact filter), so the oracle is unchanged.
+    *
+    * WHY counting, not prefix + verify (a measured 100× ladder decision):
+    * the verify stage shipped both docs' full shingle-string arrays PER
+    * CANDIDATE PAIR — ~62 pairs/doc at the 100× rung means the corpus
+    * payload crosses the wire ~62×, and once the array side outgrew
+    * auto-broadcast the join flipped to sort-merge: 18.7 GB shuffled,
+    * 3,100 cpu-s (vs 234 MB / 203 cpu-s at 10× — an 80× cliff for 10×
+    * data). The counting join's volume is Σ_g df(g)² SKINNY rows — two
+    * longs, no arrays — which is 28M rows at the 10× rung (measured;
+    * max df = 25) and linear in corpus size whenever shingle frequency
+    * is bounded, the normal case for 3-shingle dedup corpora. At a
+    * boilerplate-heavy corpus where some df explodes (Σ df² ≫ N), the
+    * classic mitigation is dropping stop-shingles above a df cap from
+    * the index (Henzinger'06) or reverting to PPJoin prefix candidates
+    * with array payloads hashed to 8-byte keys; both are index-build
+    * policies, not changes to this plan shape. */
   private def q126FromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val vocab = docs.select(explode(col("s")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefixes = docs.select(col("doc_id"), explode(col("s")).as("g"))
-      .join(broadcast(vocab), Seq("g"))
-      // pin this exchange as well: the per-doc agg feeds the exploded
-      // self-join PROBE side map-side (broadcast join), so if AQE's
-      // byte-based coalescing folds these few MB into one partition, the
-      // whole candidate explosion runs in ONE task. Explicit-numPartitions
-      // repartition is exempt; the agg reuses it (no extra shuffle).
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)")
-        .as("rare_first"))
-      .select(col("doc_id"), size(col("rare_first")).as("n"),
-        expr("slice(rare_first, 1, size(rare_first) - (size(rare_first) + 1) DIV 2 + 1)")
-          .as("prefix"))
-    // length filter: J >= 0.5 forces |s1|/|s2| within 2x (J <= min/max),
-    // pruning pairs before the distinct — the standard prefix-join
-    // companion filter, and it only needs the two set sizes
-    val side = prefixes.select(col("doc_id"), col("n"), explode(col("prefix")).as("g"))
-    val cand = side.select(col("doc_id").as("doc1"), col("n").as("n1"), col("g"))
-      .join(side.select(col("doc_id").as("doc2"), col("n").as("n2"), col("g")),
+    val post = docs.select(col("doc_id"), size(col("s")).cast("long").as("n"),
+      explode(col("s")).as("g"))
+    // SHUFFLE_HASH, not sort-merge: both sides are the same exploded
+    // posting stream — hash-partitioning is unavoidable but SORTING 10s of
+    // millions of 20-char shingle keys is pure overhead for an equi-join
+    // whose build side (one partition's postings) comfortably fits memory
+    post.select(col("g"), col("doc_id").as("doc1"), col("n").as("n1"))
+      .join(post.select(col("g"), col("doc_id").as("doc2"), col("n").as("n2"))
+        .hint("shuffle_hash"),
         Seq("g"))
       .filter(col("doc1") < col("doc2")
         && lit(2) * least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")))
-      .select("doc1", "doc2")
-      // pin the verify stage's parallelism: the candidate stream is a few
-      // MB but each pair costs an interpreted array_intersect, so AQE's
-      // BYTE-based partition coalescing folds the whole verify into one
-      // task (measured: 32-way ~3 s vs coalesced-serial >100 s). An
-      // explicit numPartitions repartition is exempt from AQE coalescing,
-      // and distinct() reuses its hash partitioning — no extra shuffle.
-      // The same mismatch exists on a real cluster whenever per-row CPU,
-      // not bytes, dominates — pinning the exchange is the honest fix.
-      .repartition(spark.sparkContext.defaultParallelism, col("doc1"), col("doc2"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc1"), col("s").as("s1")), Seq("doc1"))
-      .join(docs.select(col("doc_id").as("doc2"), col("s").as("s2")), Seq("doc2"))
-      .select(col("doc1"), col("doc2"),
-        // native merge walk over the pre-sorted sets: measured ~50x less
-        // CPU than interpreted size(array_intersect(...)) on this stage
-        // (700 CPU-s -> noise at ~400k candidates), and it stays inside
-        // whole-stage codegen
-        graft.functions.GraftFunctions
-          .sortedIntersectSize(col("s1"), col("s2")).as("inter"),
-        (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
-      .withColumn("uni", col("sz") - col("inter"))
+      // partial count combines map-side inside the join's g-partitioning;
+      // only the surviving (pair, partial) rows shuffle to the final agg
+      .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / col("uni").cast("double"), 4).as("jacc"))

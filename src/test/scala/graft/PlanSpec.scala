@@ -440,12 +440,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q126: candidate and verify stages keep pinned parallelism (AQE must not serialize)") {
+  test("q126: co-occurrence count combines map-side and ships no arrays") {
     val df = graft.queries.TextQueries.q126PrefixJoin(spark, sfDir)
-    // the CPU-dense verify runs on the explicit repartition's partitioning;
-    // byte-based AQE coalescing would fold these few MB into ONE task
-    assert(df.queryExecution.toRdd.getNumPartitions > 1,
-      "verify stage collapsed to a single partition")
+    df.collect()
+    val p = planString(df)
+    // the pair counting must partial-aggregate inside the join's
+    // g-partitioning — without it the full Σ df² pair stream shuffles raw
+    assert(p.contains("partial_count"), "pair count lost map-side combine")
+    // the whole point of the counting formulation: no shingle-array payload
+    // may cross an exchange (the 100x ladder measured an 18.7 GB shuffle
+    // when the verify join shipped both arrays per candidate pair)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("s1") && !exchanges.contains("s2"),
+      "shingle arrays are being shuffled:\n" + exchanges)
   }
 
   test("q118: drift totals ride back as a broadcast over ONE token-count shuffle") {
