@@ -207,21 +207,33 @@ object SimilarityQueries {
     * re-rank. Returns (qid, q_label, nid, n_label, same, cs). */
   private def anchorScored(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val banded = bandedOf(emb, pnOf(spark, dir))
+    // label + embedding ride THROUGH the banding projection (a narrow map
+    // — banding is itself a function of the embedding) so the bucket
+    // equi-join scores pairs where the data already lives. The payload
+    // crosses the wire once per (row, table) — linear in corpus size —
+    // instead of once per candidate pair: the previous candidates →
+    // distinct → two verify joins shape shipped both arrays per pair once
+    // the corpus side outgrew auto-broadcast, measured 1.37 GB shuffled at
+    // the 100× ladder rung (vs 1.5 MB at 10× where the broadcast held) —
+    // an AQE-policy cliff, not a plan this library should emit. A pair
+    // colliding in several tables is scored identically in each; q90's
+    // rank-1 filter and q106's struct-max are duplicate-insensitive, so
+    // the distinct would be a pure extra shuffle.
+    val banded = emb
+      .select(col("vec_id"), col("label"), col("embedding"), posexplode(
+        Similarity.srpBucketsAdaptive(col("embedding"), signs, tables,
+          pnOf(spark, dir))))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("pos").as("tbl"), col("col").as("bucket"))
     val qb = banded.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-    val cand = banded.join(qb, Seq("tbl", "bucket"))
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"), col("tbl"), col("bucket"))
+    banded.join(qb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"))
-      .distinct()
-    cand
-      .join(emb.select(col("vec_id").as("qid"), col("label").as("q_label"),
-        col("embedding").as("qe")), Seq("qid"))
-      .join(emb.select(col("vec_id").as("nid"), col("label").as("n_label"),
-        col("embedding").as("ne")), Seq("nid"))
-      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
-        (col("n_label") === col("q_label")).as("same"),
-        Similarity.cosine(col("qe"), col("ne")).as("cs"))
+      .select(col("qid"), col("q_label"), col("vec_id").as("nid"),
+        col("label").as("n_label"),
+        (col("label") === col("q_label")).as("same"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
   }
 
   /** q90: hard-negative mining for contrastive training — for each anchor
@@ -657,27 +669,32 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"))
       .join(Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    // embeddings ride through the banding (anchorScored's rationale: the
+    // payload moves once per (row, table), never per candidate pair — the
+    // pair-wise verify joins measured 2.1 GB shuffled at the 100× rung)
     val banded = tagged
-      .select(col("vec_id"), col("lang"), posexplode(
+      .select(col("vec_id"), col("lang"), col("embedding"), posexplode(
         Similarity.srpBucketsAdaptive(col("embedding"), signs, tables,
           pnOf(spark, dir))))
-      .select(col("vec_id"), col("lang"),
+      .select(col("vec_id"), col("lang"), col("embedding"),
         col("pos").as("tbl"), col("col").as("bucket"))
     val qb = banded.filter(col("lang") =!= "en")
-      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tbl"), col("bucket"))
     val eb = banded.filter(col("lang") === "en")
-      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
-    val cand = qb.join(eb, Seq("tbl", "bucket"))
-      .select(col("qid"), col("cand_id")).distinct()
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("tbl"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("cand_id").asc)
-    val mined = cand
-      .join(tagged.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-        Seq("qid"))
-      .join(tagged.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce")), Seq("cand_id"))
+    val mined = qb.join(eb, Seq("tbl", "bucket"))
       .select(col("qid"), col("cand_id"),
         Similarity.cosine(col("qe"), col("ce")).as("cs"))
+      // UNLIKE q90/q106's duplicate-insensitive max, the top-2 margin
+      // must not see a multi-table collision twice (rn=1 and rn=2 would
+      // both be the winner, zeroing the margin) — dedup on the SKINNY
+      // scored stream (cosine is deterministic, max = the value)
+      .groupBy(col("qid"), col("cand_id"))
+      .agg(max(col("cs")).as("cs"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy(col("qid"))

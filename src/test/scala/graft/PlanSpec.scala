@@ -404,13 +404,23 @@ class PlanSpec extends SparkSpec {
       "shares must come from broadcast re-aggregation, not a global window")
   }
 
-  test("q115: bigram model joins stay hash-partitioned; prefix marginal broadcasts") {
+  test("q115: one pair-stream exchange; counts and joins reuse hash(w1)") {
+    spark.catalog.clearCache()
     val df = graft.queries.TextQueries.q115BigramLogprob(spark, sfDir)
     df.collect()
     val p = planString(df)
-    assert(p.contains("BroadcastHashJoin"), "unigram marginal should broadcast")
+    // the raw pair stream crosses the wire once (the explicit w1
+    // repartition, which the persist then serves to all three branches);
+    // the count joins run as shuffled-hash over that layout — a sort-merge
+    // here would re-sort tens of millions of token pairs per join
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "pair stream is not served from the persisted partitioning")
+    assert(p.contains("ShuffledHashJoin"),
+      "count joins fell back to sort-merge on the pair stream")
+    assert(!p.contains("SortMergeJoin"), "sort-merge join crept in")
     assert(p.contains("partial_"), "counts lost map-side combine")
     assert(walkWindows(df.queryExecution.executedPlan).isEmpty)
+    spark.catalog.clearCache()
   }
 
   test("q121/q129/q132/q136: GlobalIndex queries never run a partitionless window") {
