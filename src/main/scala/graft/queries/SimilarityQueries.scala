@@ -577,9 +577,10 @@ object SimilarityQueries {
        |FROM c$kmeansRounds""".stripMargin
   }
 
-  /** q157: SemDeDup-style semantic dedup — assign every vector to its
-    * nearest seed centroid (one Lloyd assignment round, q142's integer
-    * recurrence), then prune near-duplicates ONLY within a cluster: a
+  /** q157: SemDeDup-style semantic dedup — assign every vector to a seed
+    * centroid via a two-level (coarse/fine, IVF-style) quantizer using
+    * q142's integer distance recurrence, then prune near-duplicates ONLY
+    * within a cluster: a
     * vector is dropped when a lower-id cluster-mate has quantized cosine
     * >= tau. This is the published SemDeDup shape (cluster to bound the
     * candidate set, pairwise only inside the cluster) — at 100 TB the
@@ -612,28 +613,83 @@ object SimilarityQueries {
     // the oracle computes the identical k. SemDeDup's pairwise step costs
     // Σ cluster_size² ≈ n²/k: with k FIXED a 10× corpus is 100× pairs
     // (the ladder measured exactly that); with cluster size held ~256 the
-    // pairwise shuffle stays linear in n. The assignment stays a narrow
-    // broadcast map (k·n dots, no shuffle) — at extreme scale a
-    // production build swaps in a hierarchical/ANN quantizer for
-    // assignment, but the SHUFFLE-side story (the part a cluster can't
-    // parallelize away) is linear with this k.
+    // pairwise shuffle stays linear in n.
+    //
+    // Assignment is a TWO-LEVEL quantizer (the IVF coarse/fine split):
+    // a flat nearest-of-k scan is n·k dots = O(n²/256) CPU once k tracks
+    // n — the 100× ladder measured exactly that constant. Instead the
+    // first k1 = ceil(sqrt(k)) seeds form a coarse codebook; each fine
+    // centroid is labeled with its nearest coarse seed, each vector
+    // scans the k1 coarse seeds and then only the fine centroids of its
+    // coarse cell — n·(k1 + k/k1) ≈ 2n·sqrt(k) dots, with both centroid
+    // tables broadcast and the argmin's map-side partial-min keeping
+    // every shuffle at n skinny rows. Coarse seed j is also fine seed j
+    // (k1 <= k), so its self-distance 0 pins fine centroid j to coarse
+    // cell j and no coarse cell is empty. The two-level assignment is
+    // deterministic (struct-min ties on the lower id at both levels) and
+    // the oracle computes the identical two-level result — this is a
+    // defined semantics, not an approximation of the flat scan.
     val k = math.max(8L,
       (Tables.embeddings(spark, dir).count() + 255L) / 256L)
+    val k1 = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val coarse = vecs.filter(col("vec_id") < k1)
+      .select(col("vec_id").cast("int").as("coarse"),
+        col("vq6").as("gq6"), col("n6").as("gn6"))
     val cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("vq6").as("cq6"), col("n6").as("cn6"))
-    // d2 = |x|^2 - 2<x,c> + |c|^2 per (vector, centroid) — 8 codegen'd
-    // 64-long loops per vector, argmin via struct-min; ties break on the
-    // lower cluster id exactly like the oracle's (d2, cluster) ordering.
-    val assign = vecs.crossJoin(broadcast(cents))
+    // fine centroid -> its coarse cell (k rows x k1 broadcast seeds)
+    val centCoarse = cents.crossJoin(broadcast(coarse))
+      .select(col("cluster"), col("coarse"),
+        (col("cn6") - lit(2L) * longVecDot(col("cq6"), col("gq6")) +
+          col("gn6")).as("gd2"))
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("gd2"), col("coarse"))).as("m"))
+      .select(col("cluster"), col("m.coarse").as("coarse"))
+    val centsWithCoarse = cents.join(centCoarse, Seq("cluster"))
+    // vector -> coarse cell. The argmin stream stays SKINNY (vec_id,
+    // coarse, gd2): the quantized array is consumed inside the broadcast
+    // stage's projection and rejoined once on vec_id below. Carrying the
+    // 64-long array through the aggregate instead was measured at 2.6×
+    // the FLAT scan's total at the 100× rung — struct-min/first over an
+    // array-typed buffer is a non-mutable aggregation buffer, so
+    // ObjectHashAggregate falls back to sort-based past 128 groups and
+    // the sort then moves ~0.5 KiB per row instead of ~20 B.
+    val vecCoarse = vecs.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("coarse"),
+        (col("n6") - lit(2L) * longVecDot(col("vq6"), col("gq6")) +
+          col("gn6")).as("gd2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("gd2"), col("coarse"))).as("m"))
+      .select(col("vec_id"), col("m.coarse").as("coarse"))
+    // vector -> nearest fine centroid WITHIN its coarse cell.
+    // d2 = |x|^2 - 2<x,c> + |c|^2 per (vector, cell centroid) — codegen'd
+    // 64-long loops, argmin via struct-min; ties break on the lower
+    // cluster id exactly like the oracle's (d2, cluster) ordering.
+    val assign = vecs.select(col("vec_id"), col("vq6"), col("n6"))
+      .join(vecCoarse, Seq("vec_id"))
+      .join(broadcast(centsWithCoarse), Seq("coarse"))
       .select(col("vec_id"), col("cluster"),
         (col("n6") - lit(2L) * longVecDot(col("vq6"), col("cq6")) +
           col("cn6")).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("m.cluster").as("cluster"))
+    // Pin the pair-stage width: the cluster-keyed self-join's input is
+    // ~0.5 KiB/row, so AQE's size-targeted coalesce would pack the
+    // quadratic-in-cluster-size DOT-PRODUCT work into a handful of fat
+    // partitions (measured 3-of-32 cores busy at the 100× rung). An
+    // explicit width-pinned repartition on the join key keeps every core
+    // on the verify work. CACHE CONTRACT (ContractSpec whitelist): the
+    // frame feeds both pair sides and the final projection — persisting
+    // it computes the assignment chain once and lets the self-join reuse
+    // the cluster hash partitioning with no further exchange; the frame
+    // is n skinny rows (quantized ints, never raw text/embeddings). The
+    // release point is the caller's clearCache(), same as q44/q126.
     val clustered = vecs.select(col("vec_id"), col("vq3"), col("n2"))
       .join(assign, Seq("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = clustered.select(col("cluster"), col("vec_id").as("id_a"),
       col("vq3").as("vq_a"), col("n2").as("n2_a"))
     val b = clustered.select(col("cluster"), col("vec_id").as("id_b"),
@@ -707,22 +763,44 @@ object SimilarityQueries {
       .join(mined.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
   }
 
-  /** q157's oracle: the same integer assignment round + integer cosine
-    * cross-multiplication, in DuckDB list/unnest algebra. */
+  /** q157's oracle: the same two-level integer assignment + integer
+    * cosine cross-multiplication, in DuckDB list/unnest algebra. The
+    * offset (+1e6) on xq cancels inside every (a-b)^2, so the engine's
+    * un-offset arrays give identical distances. */
   private lazy val semdedupSql: String =
     s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
        |    + 1000000 AS xq
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
+       |kk AS (SELECT GREATEST(8, (COUNT(*) + 255) // 256) AS k
+       |  FROM embeddings),
+       |k1 AS (SELECT GREATEST(4,
+       |    CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS k1 FROM kk),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
-       |  FROM p WHERE vec_id <
-       |    (SELECT GREATEST(8, (COUNT(*) + 255) // 256) FROM embeddings)),
+       |  FROM p WHERE vec_id < (SELECT k FROM kk)),
+       |g0 AS (SELECT CAST(vec_id AS INT) AS coarse, dim, xq AS gq
+       |  FROM p WHERE vec_id < (SELECT k1 FROM k1)),
+       |ca AS (SELECT cluster, coarse FROM (
+       |  SELECT c.cluster, g.coarse,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY SUM((c.cq - g.gq) * (c.cq - g.gq)), g.coarse) AS rn
+       |  FROM c0 c JOIN g0 g ON g.dim = c.dim
+       |  GROUP BY c.cluster, g.coarse) t WHERE rn = 1),
+       |va AS (SELECT vec_id, coarse FROM (
+       |  SELECT p.vec_id, g.coarse,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY SUM((p.xq - g.gq) * (p.xq - g.gq)), g.coarse) AS rn
+       |  FROM p JOIN g0 g ON g.dim = p.dim
+       |  GROUP BY p.vec_id, g.coarse) t WHERE rn = 1),
        |a1 AS (SELECT vec_id, cluster FROM (
        |  SELECT p.vec_id, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)), c.cluster) AS rn
-       |  FROM p JOIN c0 c ON c.dim = p.dim
+       |  FROM p
+       |  JOIN va ON va.vec_id = p.vec_id
+       |  JOIN ca ON ca.coarse = va.coarse
+       |  JOIN c0 c ON c.cluster = ca.cluster AND c.dim = p.dim
        |  GROUP BY p.vec_id, c.cluster) t WHERE rn = 1),
        |v AS (SELECT e.vec_id, a1.cluster,
        |  list_transform(e.embedding,

@@ -24,7 +24,8 @@ class ContractSpec extends SparkSpec {
     "q115_bigram_logprob",  // partitioned pair stream feeds 3 branches
     "q126_prefix_join",     // shingle frame feeds prefix + verify stages
     "q141_pagerank",        // sym/deg state read every iteration
-    "q142_kmeans_iters")    // final round's assignment state stays pinned
+    "q142_kmeans_iters",    // final round's assignment state stays pinned
+    "q157_semdedup")        // clustered frame feeds both pair sides + output
 
   test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
     spark.catalog.clearCache()
