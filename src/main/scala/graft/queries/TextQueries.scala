@@ -1169,7 +1169,14 @@ object TextQueries {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .repartition(spark.sparkContext.defaultParallelism, col("w1"))
+      // width is data-proportional, not the fixed session parallelism:
+      // the shuffle-hash build sides below are per-partition BIGRAM
+      // VOCABULARY counts, which grow with the corpus — a fixed width
+      // means per-task build memory grows linearly with scale (the exact
+      // cliff the 100× rung hit in q126's posting join). ~2000 docs of
+      // pairs per partition holds the build side constant at every rung.
+      .repartition(math.max(spark.sparkContext.defaultParallelism,
+        (Tables.documents(spark, dir).count() / 2000L).toInt), col("w1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -1326,12 +1333,27 @@ object TextQueries {
     * with array payloads hashed to 8-byte keys; both are index-build
     * policies, not changes to this plan shape. */
   private def q126FromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // SHUFFLE_HASH's build side is ONE PARTITION of the whole posting
+    // stream, so per-task build memory is total/width: with the session's
+    // fixed 32 partitions (or worse, an AQE size-coalesced handful) the
+    // build map grows linearly with the corpus — the 100× rung OOM'd the
+    // 64 GiB heap in exactly this stage after AQE packed the postings
+    // into 5 partitions. Width must therefore be DATA-PROPORTIONAL:
+    // ~2000 docs' postings per partition keeps the build side at a few
+    // tens of MB at every rung (docs is persisted by both callers, so
+    // the count reads cached state, and the explicit width blocks AQE
+    // coalescing). Both join sides project from the same repartitioned
+    // frame, so the g-hash partitioning is reused and the join itself
+    // adds no further exchange.
+    val width = math.max(spark.sparkContext.defaultParallelism,
+      (docs.count() / 2000L).toInt)
     val post = docs.select(col("doc_id"), size(col("s")).cast("long").as("n"),
       explode(col("s")).as("g"))
+      .repartition(width, col("g"))
     // SHUFFLE_HASH, not sort-merge: both sides are the same exploded
     // posting stream — hash-partitioning is unavoidable but SORTING 10s of
     // millions of 20-char shingle keys is pure overhead for an equi-join
-    // whose build side (one partition's postings) comfortably fits memory
+    // whose build side (one width-bounded partition's postings) fits memory
     post.select(col("g"), col("doc_id").as("doc1"), col("n").as("n1"))
       .join(post.select(col("g"), col("doc_id").as("doc2"), col("n").as("n2"))
         .hint("shuffle_hash"),
