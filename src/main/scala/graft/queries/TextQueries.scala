@@ -493,9 +493,19 @@ object TextQueries {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), Dedup.tokenHashes(col("toks")).as("hs"))
+      // native SimHash, not the HOF `Dedup.simhash16FromHashes` builder:
+      // the HOF form re-aggregates the md5-hex array once PER BIT with a
+      // string substr+conv per token — 16 interpreted array scans per doc,
+      // measured 476 cpu-s at the 100× rung for what is one digest and 16
+      // integer ops per token (native: 21.5 cpu-s, 22×). Bit-identical for
+      // widths ≤ 32 (SimHashSpec asserts native == HOF); the coalesce
+      // pins the empty-token-list case to the HOF/oracle's simhash 0
+      // (the native expression returns NULL there so featureless docs
+      // never band-collide — q21 publishes the signature itself, so 0 is
+      // the documented value, not a collision risk).
       .select(col("doc_id"),
-        Dedup.simhash16FromHashes(col("hs")).as("simhash"))
+        coalesce(graft.functions.SimHash(col("toks"), 16), lit(0L))
+          .as("simhash"))
 
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashed(spark, dir)
