@@ -105,41 +105,52 @@ object Dedup {
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Adaptive simhash WIDTH: 4 bands × bandBits where
-    * bandBits = bitLength((n-1)/32) clamped to [8, 15] — i.e. band-key
-    * space tracks corpus size so expected band-bucket occupancy stays
-    * near 32.
-    *
-    * Why width must grow with n (Manku et al., WWW'07, run 64-bit for
-    * 8B docs): radius-3 losslessness pins the band COUNT at 4
-    * (pigeonhole), so the only free selectivity is band WIDTH. With the
-    * historical fixed 32-bit hash the 8-bit band keys saturate — any two
-    * docs band-collide with p = 4/256, so candidate pairs are n²/64
-    * REGARDLESS of how the join is written: the 10× scale-ladder rung
-    * measured exactly that (160 MB shuffled vs 2.7 MB at 1×, ≈60×).
-    * Ladder values: n ≤ 8192 → 32 bits (all committed fixtures —
-    * results unchanged); 10× rung (50k docs) → 44 bits; cap 60 bits
-    * (bit 63 stays clear, so band-key arithmetic is positive in both
-    * engines). The oracle computes the identical integer ladder from
-    * COUNT(*). */
-  def adaptiveSimhashBits(n: Long): Int = {
-    val m = (n - 1).max(0L) / 32L
-    val bitLength = 64 - java.lang.Long.numberOfLeadingZeros(m)
-    4 * math.min(15, math.max(8, bitLength))
-  }
+  /** Fingerprint width for the simhash near-dup pipeline (q44/q51/q173 and
+    * the incremental corpus pipeline): 60 bits — Manku et al.'s 64-bit
+    * design point rounded down so bit 63 stays clear and every packed
+    * band key / additive oracle term is a positive BIGINT in both
+    * engines (DuckDB's `2**59` construction fits; `2**63` overflows). */
+  val SimhashBits = 60
 
-  /** SimHash bit-bands: split a `bits`-wide simhash into `bands` equal
-    * slices. By pigeonhole, any pair within Hamming distance `bands - 1`
-    * agrees on at least one intact band — so banding is a LOSSLESS
-    * candidate filter at that radius (the simhash analog of MinHash LSH
-    * banding). Returns (band, band_key) structs for [[candidatePairs]]. */
-  def simhashBands(sim: Column, bits: Int = 16, bands: Int = 4): Column = {
-    val w = bits / bands
-    require(bands * w == bits, s"bands must divide bits: $bands / $bits")
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(sim, b * w).bitwiseAND(lit((1L << w) - 1))
-          .cast("string").as("band_key"))
+  /** Manku-style block-permutation band tables (Manku, Jain & Sarma,
+    * WWW'07 §3): split the `bits`-wide fingerprint into `blocks` nearly
+    * equal bit-blocks; one table per C(blocks, blocks-radius) choice of
+    * blocks; a table's key packs the chosen blocks' bits into one long.
+    * Pigeonhole: a pair within Hamming distance `radius` has ≥
+    * blocks-radius intact blocks, so SOME choice is intact in both docs
+    * — a LOSSLESS candidate filter at that radius, like 4-band slicing,
+    * but with key width (blocks-radius)/blocks · bits instead of
+    * bits/4.
+    *
+    * Why this replaces the historical adaptive 4-band slicing: radius-3
+    * losslessness pins contiguous banding at 4 bands, so its key width
+    * is bits/4 ≤ 15 — past ~4M docs those keys saturate and candidate
+    * volume reverts to n²/2^15·4 (the measured 1000×-rung OOM). Here
+    * the default 6-choose-3 gives 20 tables × 30-bit keys: per-table
+    * collisions n²/2^30 stay sub-linear to ~10⁹ docs, at the price of
+    * 20 band rows per doc instead of 4 — rows of (long, int, long), not
+    * documents. Past ~4·10⁹ docs, step `blocks` up (7→C(7,4)=35 tables
+    * × ~34-bit keys, 8→C(8,5)=56 × 37-bit) — same losslessness proof,
+    * selectivity grows with the corpus.
+    *
+    * NULL fingerprints (featureless docs) propagate to NULL keys and
+    * never pair. Returns (band, band_key) structs for
+    * [[candidatePairs]]; band_key is a packed long (≤ 62 bits). */
+  def mankuBands(sim: Column, bits: Int = SimhashBits, blocks: Int = 6,
+                 radius: Int = 3): Column = {
+    require(0 < radius && radius < blocks,
+      s"need 0 < radius < blocks, got radius=$radius blocks=$blocks")
+    require(bits <= 62, s"packed band keys must stay positive: bits=$bits")
+    val base = bits / blocks
+    val widths = (0 until blocks).map(i => base + (if (i < bits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val combos = (0 until blocks).combinations(blocks - radius).toSeq
+    array(combos.zipWithIndex.map { case (combo, t) =>
+      val key = combo.foldLeft(lit(0L): Column) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(
+          shiftright(sim, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)))
+      }
+      struct(lit(t).as("band"), key.as("band_key"))
     }: _*)
   }
 }

@@ -50,7 +50,8 @@ object CorpusPipeline {
         canonicalKey(col("text")).as("canonical_key"),
         // the MATERIALIZED near-dup signature: stored in the lake so later
         // increments band-join against it instead of re-digesting the corpus
-        graft.functions.SimHash(Dedup.shingles3(col("toks")), 32).as("simhash"))
+        graft.functions.SimHash(Dedup.shingles3(col("toks")), Dedup.SimhashBits)
+          .as("simhash"))
       .filter(col("quality_score") >= minQuality)
     // exact dedup within the batch: keep the lowest doc_id per canonical key
     val keepers = scored.groupBy(col("canonical_key"))
@@ -84,11 +85,12 @@ object CorpusPipeline {
       .join(lake.select("canonical_key"), Seq("canonical_key"), "left_anti")
       .drop("canonical_key")
     val curated = curate(fresh, minQuality)
-    // near-dup gate: candidates = incoming x lake pairs sharing a simhash
-    // band (pigeonhole-lossless at Hamming <= bands-1 = 3), verified exact
+    // near-dup gate: candidates = incoming x lake pairs sharing a Manku
+    // block-permutation band (pigeonhole-lossless at Hamming <= 3, key
+    // width that holds selectivity to ~1e9 docs), verified exact
     def banded(df: DataFrame, idAs: String, simAs: String): DataFrame = df
       .select(col("doc_id").as(idAs), col("simhash").as(simAs))
-      .withColumn("bb", explode(Dedup.simhashBands(col(simAs), bits = 32, bands = 4)))
+      .withColumn("bb", explode(Dedup.mankuBands(col(simAs))))
       .select(col(idAs), col(simAs),
         col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     val nearDupIds = banded(curated, "in_id", "in_sim")

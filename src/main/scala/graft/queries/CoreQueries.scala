@@ -104,11 +104,17 @@ object CoreQueries {
 
   /** Shuffle join: lineitem x orders on orderkey (both sides large — at
     * scale this is the sort-merge/shuffled-hash path; AQE picks). Filter on
-    * the orders side prunes before the join. */
+    * the orders side prunes before the join — in RANGE form, not
+    * `year(o_orderdate) === 1996`: Catalyst cannot push a function-wrapped
+    * predicate to the parquet scan, so the function form read the orders
+    * table in full at every scale, while the equivalent half-open range
+    * reaches PushedFilters and prunes row groups by min/max stats
+    * (PlanSpec asserts the pushdown, the q84 standard). */
   def q04JoinLarge(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
-          .filter(year(col("o_orderdate")) === 1996),
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -620,9 +626,12 @@ object CoreQueries {
     * SinksSpec's mergeSchema read. */
   def q128UnionByName(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
-    val old = orders.filter(year(col("o_orderdate")) < 1997)
+    // range form so both branch predicates reach the scan (q04's rule);
+    // the union covers the whole table either way, but each branch's scan
+    // should still prune its half
+    val old = orders.filter(col("o_orderdate") < lit("1997-01-01"))
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val neu = orders.filter(year(col("o_orderdate")) >= 1997)
+    val neu = orders.filter(col("o_orderdate") >= lit("1997-01-01"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("price_cents"))
     old.unionByName(neu, allowMissingColumns = true)

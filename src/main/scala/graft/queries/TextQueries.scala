@@ -94,34 +94,73 @@ object TextQueries {
     * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
     * but near 0 on shingle sets.)
     *
-    * The shingle frame feeds the banding AND both verify-join probes.
-    * Deliberately NOT cached — measured both ways at local[32]/sf0.1:
-    * persist(MEMORY_AND_DISK) 4.8 s vs recompute 2.9 s. The expensive
-    * branch (minhash signatures) runs ONCE either way; the probes only
-    * re-run the cheap tokenize→shingle narrow maps, while caching pays a
-    * columnar encode of fat array<string> rows and severs whole-stage
-    * codegen. Contrast q44, where the heavy digest sits in all three
-    * branches and persist wins 5×. At 100 TB neither recompute nor cache
-    * is right: you materialize the SIGNATURE table (small, reusable) and
-    * band/verify off that. */
+    * inter comes from [[shingleCoCounts]] (posting co-occurrence counting
+    * — no shingle array ever crosses an exchange), intersected with the
+    * LSH candidate set; see that method for why the historical
+    * array-payload verify join was a measured 100×-rung cliff.
+    *
+    * The shingle frame feeds the banding, the posting stream, and the
+    * size frames. Deliberately NOT cached — measured at local[32]/sf0.1:
+    * the expensive branch (minhash signatures) runs ONCE either way; the
+    * other consumers only re-run the cheap tokenize→shingle narrow maps,
+    * while caching pays a columnar encode of fat array<string> rows and
+    * severs whole-stage codegen. Contrast q44, where the heavy digest
+    * sits in all three branches and persist wins 5×. At 100 TB neither
+    * recompute nor cache is right: you materialize the SIGNATURE table
+    * (small, reusable) and band/verify off that. */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
-    // probe sides carry the sets sorted+distinct (once per doc) so the
-    // per-pair Jaccard is the native merge walk, not an interpreted
-    // filter/array_contains nest — same values, same rounding
-    def side(n: Int) = docs.select(col("doc_id").as(s"doc$n"),
-      array_sort(array_distinct(col("sh"))).as(s"s$n"))
-    pairs
-      .join(side(1), Seq("doc1"))
-      .join(side(2), Seq("doc2"))
-      .withColumn("inter", graft.functions.GraftFunctions
-        .sortedIntersectSize(col("s1"), col("s2")))
+    pairs.join(shingleCoCounts(spark, dir, docs), Seq("doc1", "doc2"))
+      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
+      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double")
-          / (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"),
+          / (col("n1") + col("n2") - col("inter")).cast("double"),
           4).as("jacc"))
       .filter(col("jacc") >= 0.3)
+  }
+
+  /** Per-doc distinct 3-shingle count, keyed as `idAs` — the n1/n2 verify
+    * denominators. A narrow recompute of the shingle map, never a joined
+    * array payload. */
+  private def distinctShingleCounts(docs: DataFrame, idAs: String,
+                                    nAs: String): DataFrame =
+    docs.select(col("doc_id").as(idAs),
+      size(array_distinct(col("sh"))).cast("long").as(nAs))
+
+  /** Exact |S1 ∩ S2| for every co-occurring (doc1 < doc2) pair, by
+    * COUNTING CO-OCCURRENCES in the distinct-shingle inverted index —
+    * q126's measured shape, reused as the verify stage for the LSH
+    * candidate queries (q20 Jaccard, q113 containment). The historical
+    * verify joined `array_sort(array_distinct(sh))` onto BOTH sides of
+    * every candidate pair, shipping the corpus payload once per pair —
+    * the exact cliff the q126 rewrite removed (at the 100× rung q113 was
+    * the worst query in the suite: 29.2× wall, 430 cpu-s). Here arrays
+    * never cross an exchange: the join moves skinny (g, doc_id) posting
+    * rows, Σ_g df(g)² of them, and the count-agg combines map-side
+    * inside the posting partitioning. Callers intersect the result with
+    * their LSH candidate set — pairs whose inter is 0 have no
+    * co-occurrence row, and no caller's threshold admits inter = 0, so
+    * the inner join is exact.
+    *
+    * Width is data-proportional for the same reason as q126 (fixed-width
+    * SHUFFLE_HASH build sides OOM at 100×); the sizing count is a
+    * parquet metadata count-star on the base table, not a recompute of
+    * the shingle pipeline. */
+  private def shingleCoCounts(spark: SparkSession, dir: String,
+                              docs: DataFrame): DataFrame = {
+    val width = math.max(spark.sparkContext.defaultParallelism,
+      (Tables.documents(spark, dir).count() / 2000L).toInt)
+    val post = docs
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+      .repartition(width, col("g"))
+    post.select(col("g"), col("doc_id").as("doc1"))
+      .join(post.select(col("g"), col("doc_id").as("doc2")).hint("shuffle_hash"),
+        Seq("g"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
   }
 
   /** BPE-ish subword token counting: a GPT-style pre-tokenizer regex
@@ -510,19 +549,17 @@ object TextQueries {
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashed(spark, dir)
 
-  /** SimHash near-dup pairs: bit-band candidates (lossless within Hamming
-    * radius bands-1 = 3 by pigeonhole) + exact Hamming verify — completes
-    * the dedup trio (exact q18, MinHash q19/q20, SimHash q21/q44). 32-bit
-    * hash over 3-SHINGLES (token-level simhash clusters on topically
-    * similar corpora and 16 bits pairs nearly everything) via the native
+  /** SimHash near-dup pairs: Manku block-permutation band candidates
+    * (lossless within Hamming radius 3 by pigeonhole — see
+    * [[graft.ops.Dedup.mankuBands]]) + exact Hamming verify — completes
+    * the dedup trio (exact q18, MinHash q19/q20, SimHash q21/q44).
+    * Fixed 60-bit hash over 3-SHINGLES (token-level simhash clusters on
+    * topically similar corpora) via the native
     * [[graft.functions.SimHash]] expression — one digest per shingle, one
     * compiled eval per row. The only shuffle is the band-bucket join on
-    * tiny (band, byte) keys. */
-  /** Corpus-adaptive simhash width for this dir's documents table (see
-    * [[graft.ops.Dedup.adaptiveSimhashBits]]): one driver-side count-star
-    * per query build. 32 bits at every committed fixture SF. */
-  private def simhashWidth(spark: SparkSession, dir: String): Int =
-    Dedup.adaptiveSimhashBits(Tables.documents(spark, dir).count())
+    * (int, packed-long) keys; 20 tables × 30-bit keys keep candidate
+    * volume sub-linear to ~10⁹ docs (the historical adaptive 4-band
+    * slicing saturated at ~4M docs — the 1000×-rung wall). */
 
   /** The persisted (doc_id, simhash) signature frame — feeds the banding
     * and BOTH verify-join probes; persist so the tokenize→shingle→digest
@@ -531,16 +568,16 @@ object TextQueries {
     * the in-session twin. Exposed separately so EAGER composers (q51's
     * components loop) can release it the moment their result no longer
     * references it. */
-  private def simhashSims(spark: SparkSession, dir: String, bits: Int): DataFrame =
+  private def simhashSims(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
       .select(col("doc_id"),
-        graft.functions.SimHash(col("sh"), bits).as("simhash"))
+        graft.functions.SimHash(col("sh"), Dedup.SimhashBits).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def simhashPairsFrom(sims: DataFrame, bits: Int): DataFrame = {
+  private def simhashPairsFrom(sims: DataFrame): DataFrame = {
     val banded = sims
       .select(col("doc_id"),
-        explode(Dedup.simhashBands(col("simhash"), bits = bits, bands = 4)).as("bb"))
+        explode(Dedup.mankuBands(col("simhash"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     Dedup.candidatePairs(banded)
       .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
@@ -554,10 +591,8 @@ object TextQueries {
     * the result is LAZY and reads it, so library callers running many
     * queries per session should clearCache between them (Bench/Verify do);
     * the data is tiny (doc_id + one long per doc). */
-  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val bits = simhashWidth(spark, dir)
-    simhashPairsFrom(simhashSims(spark, dir, bits), bits)
-  }
+  def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(simhashSims(spark, dir))
 
   /** Near-dup CLUSTERS from the q44 pair edges: pairs alone can't drive
     * dedup (A~B, B~C must collapse to one cluster even when A!~C) —
@@ -570,10 +605,9 @@ object TextQueries {
     // LogicalRDDs before returning, so unlike lazy q44 this query has no
     // cache excuse — release the signature frame on the way out (the
     // ContractSpec cache-lifetime sweep enforces exactly this).
-    val bits = simhashWidth(spark, dir)
-    val sims = simhashSims(spark, dir, bits)
+    val sims = simhashSims(spark, dir)
     try graft.ops.Components.connectedComponents(
-      simhashPairsFrom(sims, bits).select("doc1", "doc2"))
+      simhashPairsFrom(sims).select("doc1", "doc2"))
     finally sims.unpersist(blocking = true)
   }
 
@@ -1123,23 +1157,16 @@ object TextQueries {
     * (q20) misses sub-document duplication: a short doc fully quoted
     * inside a long one scores low Jaccard but containment ≈ 1 on the
     * short side — the signal quote/boilerplate dedup actually needs.
-    * Same band-bucket candidate stream and verify-join shape as q20
-    * (and the same measured no-persist decision); ratios via the
-    * integer half-up rule. */
+    * Same band-bucket candidate stream as q20, and the same
+    * co-occurrence-counting verify ([[shingleCoCounts]] — arrays never
+    * cross an exchange); ratios via the integer half-up rule. */
   def q113Containment(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
-    // sorted+distinct on the probe sides -> native merge-walk intersection
-    // (q20's rationale); containment denominators are the set sizes
     Dedup.candidatePairs(bandedFrom(docs))
-      .join(docs.select(col("doc_id").as("doc1"),
-        array_sort(array_distinct(col("sh"))).as("s1")), Seq("doc1"))
-      .join(docs.select(col("doc_id").as("doc2"),
-        array_sort(array_distinct(col("sh"))).as("s2")), Seq("doc2"))
-      .select(col("doc1"), col("doc2"),
-        size(col("s1")).cast("long").as("n1"),
-        size(col("s2")).cast("long").as("n2"),
-        graft.functions.GraftFunctions
-          .sortedIntersectSize(col("s1"), col("s2")).as("inter"))
+      .join(shingleCoCounts(spark, dir, docs), Seq("doc1", "doc2"))
+      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
+      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("n1"), col("n2"), col("inter"))
       .withColumn("contain1",
         expr("(2 * inter * 10000 + n1) DIV (2 * n1)").cast("double") / lit(1e4))
       .withColumn("contain2",
@@ -1342,7 +1369,15 @@ object TextQueries {
     * the index (Henzinger'06) or reverting to PPJoin prefix candidates
     * with array payloads hashed to 8-byte keys; both are index-build
     * policies, not changes to this plan shape. */
+  /** PRECONDITION: `docs` must be persisted by the caller — this method
+    * calls `docs.count()` eagerly at plan-construction time to size the
+    * shuffle width, and an unpersisted frame would silently run the full
+    * tokenize→shingle→sort materialization twice (guarded below so a
+    * future composer fails fast instead). */
   private def q126FromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    require(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "q126FromDocs requires a persisted docs frame (the width-sizing " +
+        "count() would otherwise recompute the shingle pipeline)")
     // SHUFFLE_HASH's build side is ONE PARTITION of the whole posting
     // stream, so per-task build memory is total/width: with the session's
     // fixed 32 partitions (or worse, an AQE size-coalesced handful) the
@@ -2850,24 +2885,20 @@ object TextQueries {
 
   private lazy val simhashSql: String = simhashSqlBits(16)
 
-  /** Shared oracle CTE chain for the adaptive shingle-simhash near-dup
-    * pipeline (q44 pairs, q51 components, q173 savings): the `wb` CTE is
-    * the integer twin of [[graft.ops.Dedup.adaptiveSimhashBits]]
-    * (bandBits = bitLength((COUNT(*)-1)//32) clamped [8,15], width =
-    * 4·bandBits); `sim` votes bit j on md5 hex digit j's top bit for
-    * j < 32 (the historical formula — widths ≤ 32 are bit-identical to
-    * the old fixed-width oracle) and digit (j−32)'s second bit above;
-    * `banded`/`pairs`/`near` mirror the Spark band join + exact
-    * Hamming ≤ 3 verify. NULL simhash for shingle-less docs (matches the
-    * native expression, so such docs never band-collide). */
+  /** Shared oracle CTE chain for the shingle-simhash near-dup pipeline
+    * (q44 pairs, q51 components, q173 savings): `sim` computes the fixed
+    * 60-bit fingerprint ([[graft.ops.Dedup.SimhashBits]]) — bit j votes
+    * on md5 hex digit j's top bit for j < 32 (the historical formula)
+    * and digit (j−32)'s second bit above; 60 keeps `2**59` inside
+    * BIGINT. `near` is deliberately BRUTE-FORCE all-pairs + exact
+    * Hamming ≤ 3 — NOT a mirror of the Spark-side Manku band tables —
+    * so the correctness gate verifies the banding's radius-3
+    * LOSSLESSNESS against ground truth rather than checking the
+    * construction against itself (a shared banding bug could never
+    * hide here). NULL simhash for shingle-less docs (matches the native
+    * expression, so such docs never pair). */
   private lazy val simhashPairsSqlCtes: String =
-    s"""wb AS (SELECT bb, 4 * bb AS w FROM (SELECT LEAST(15, GREATEST(8,
-       |  CASE WHEN m >= 16384 THEN 15 WHEN m >= 8192 THEN 14
-       |       WHEN m >= 4096 THEN 13 WHEN m >= 2048 THEN 12
-       |       WHEN m >= 1024 THEN 11 WHEN m >= 512 THEN 10
-       |       WHEN m >= 256 THEN 9 ELSE 8 END)) AS bb
-       |  FROM (SELECT (COUNT(*) - 1) // 32 AS m FROM documents))),
-       |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh0 AS (SELECT doc_id,
        |  CASE WHEN len(toks) >= 3
        |    THEN list_transform(generate_series(1, len(toks) - 2),
@@ -2877,7 +2908,7 @@ object TextQueries {
        |sim AS (SELECT doc_id,
        |  CASE WHEN len(hs) = 0 THEN NULL ELSE
        |  list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(generate_series(0, wb.w - 1), j ->
+       |    list_transform(generate_series(0, ${graft.ops.Dedup.SimhashBits - 1}), j ->
        |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
        |        list_transform(hs, h ->
        |          CASE WHEN (CASE WHEN j < 32
@@ -2888,18 +2919,9 @@ object TextQueries {
        |        (a, b) -> a + b) > 0
        |      THEN (2 ** j)::BIGINT ELSE 0::BIGINT END)),
        |    (a, b) -> a + b) END AS simhash
-       |  FROM h0 CROSS JOIN wb),
-       |banded AS (SELECT doc_id, u.b AS band,
-       |  CAST((simhash // CAST(2 ** (u.b * wb.bb) AS BIGINT))
-       |    % CAST(2 ** wb.bb AS BIGINT) AS VARCHAR) AS bkey
-       |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) u
-       |  CROSS JOIN wb),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-       |  FROM banded a JOIN banded c
-       |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-       |near AS (SELECT p.doc1, p.doc2, s1.simhash AS sh1, s2.simhash AS sh2
-       |  FROM pairs p
-       |  JOIN sim s1 ON s1.doc_id = p.doc1
-       |  JOIN sim s2 ON s2.doc_id = p.doc2
+       |  FROM h0),
+       |near AS (SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+       |  s1.simhash AS sh1, s2.simhash AS sh2
+       |  FROM sim s1 JOIN sim s2 ON s1.doc_id < s2.doc_id
        |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3)""".stripMargin
 }

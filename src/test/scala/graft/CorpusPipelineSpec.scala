@@ -76,7 +76,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val sims = Seq((1L, base), (100L, nearText), (101L, farText))
       .toDF("doc_id", "text")
       .select(col("doc_id"), graft.functions.SimHash(
-        graft.ops.Dedup.shingles3(graft.ops.TextAnalysis.tokens(col("text"))), 32).as("s"))
+        graft.ops.Dedup.shingles3(graft.ops.TextAnalysis.tokens(col("text"))),
+        graft.ops.Dedup.SimhashBits).as("s"))
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(kept.contains(100L) === (ham(sims(1L), sims(100L)) > 3))

@@ -245,6 +245,17 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("o_orderdate"), s"date filter not pushed: $pushed")
   }
 
+  test("q04: the orders date filter is range-form and reaches the parquet scan") {
+    // year(o_orderdate) === 1996 would read orders in full at any scale —
+    // Catalyst can't push a function-wrapped predicate; the half-open
+    // range form must appear in PushedFilters (the q84 standard)
+    val df = graft.queries.CoreQueries.q04JoinLarge(spark, sfDir)
+    val pushed = scans(df).map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"orders date range not pushed to the scan: $pushed")
+  }
+
   test("q85: correlated scalar subquery decorrelates to an aggregate + join (no per-row subquery)") {
     val p = planString(graft.queries.SqlQueries.q85ScalarSubquery(spark, sfDir))
     assert(!p.toLowerCase.contains("scalar-subquery"),
