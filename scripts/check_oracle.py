@@ -26,7 +26,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # fixtures are single files; ScaleUp rungs are Spark directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name in sorted(oracle):

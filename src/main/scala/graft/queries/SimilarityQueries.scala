@@ -615,66 +615,72 @@ object SimilarityQueries {
     // (the ladder measured exactly that); with cluster size held ~256 the
     // pairwise shuffle stays linear in n.
     //
-    // Assignment is a TWO-LEVEL quantizer (the IVF coarse/fine split):
-    // a flat nearest-of-k scan is n·k dots = O(n²/256) CPU once k tracks
-    // n — the 100× ladder measured exactly that constant. Instead the
-    // first k1 = ceil(sqrt(k)) seeds form a coarse codebook; each fine
-    // centroid is labeled with its nearest coarse seed, each vector
-    // scans the k1 coarse seeds and then only the fine centroids of its
-    // coarse cell — n·(k1 + k/k1) ≈ 2n·sqrt(k) dots, with both centroid
-    // tables broadcast and the argmin's map-side partial-min keeping
-    // every shuffle at n skinny rows. Coarse seed j is also fine seed j
-    // (k1 <= k), so its self-distance 0 pins fine centroid j to coarse
-    // cell j and no coarse cell is empty. The two-level assignment is
-    // deterministic (struct-min ties on the lower id at both levels) and
-    // the oracle computes the identical two-level result — this is a
-    // defined semantics, not an approximation of the flat scan.
+    // Assignment is a THREE-LEVEL quantizer (IVF top/mid/fine): a flat
+    // nearest-of-k scan is n·k dots = O(n²/256) once k tracks n, and the
+    // previous TWO-level split (√k + k/√k per vector) still measured an
+    // n^1.5 law at the 1000× ladder rung (432 s at 5M vectors). With a
+    // top codebook of k2 ≈ k^(1/3) seeds, a mid codebook of k1 = k2²,
+    // and per-cell descent at each level, every vector costs
+    // ~3·k^(1/3) dots — n^(4/3) total. Codebook sizes are INTEGER-exact
+    // (k2 = min i with i³ ≥ k, clamped [4, ∞); k1 = clamp(k2², [k2, k]))
+    // so no floating pow/ceil at an integer boundary can disagree with
+    // the oracle's arithmetic. Seed nesting (ids < k2 ⊂ < k1 ⊂ < k)
+    // plus self-distance 0 pins mid j to top j's cell and fine j to
+    // mid j's cell, so no cell at any level is empty. All three
+    // codebooks broadcast; every argmin's map-side partial-min keeps
+    // shuffles at n skinny rows (the array NEVER rides through an
+    // aggregate — struct-min over an array buffer is a non-mutable
+    // ObjectHashAggregate that falls back to sort past 128 groups,
+    // measured 2.6× worse than the flat scan). Deterministic ties on
+    // the lower id at every level; the oracle computes the identical
+    // three-level result — a defined semantics, not an approximation
+    // of the flat scan.
     val k = math.max(8L,
       (Tables.embeddings(spark, dir).count() + 255L) / 256L)
-    val k1 = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val coarse = vecs.filter(col("vec_id") < k1)
-      .select(col("vec_id").cast("int").as("coarse"),
-        col("vq6").as("gq6"), col("n6").as("gn6"))
-    val cents = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"),
-        col("vq6").as("cq6"), col("n6").as("cn6"))
-    // fine centroid -> its coarse cell (k rows x k1 broadcast seeds)
-    val centCoarse = cents.crossJoin(broadcast(coarse))
-      .select(col("cluster"), col("coarse"),
-        (col("cn6") - lit(2L) * longVecDot(col("cq6"), col("gq6")) +
-          col("gn6")).as("gd2"))
-      .groupBy(col("cluster"))
-      .agg(min(struct(col("gd2"), col("coarse"))).as("m"))
-      .select(col("cluster"), col("m.coarse").as("coarse"))
-    val centsWithCoarse = cents.join(centCoarse, Seq("cluster"))
-    // vector -> coarse cell. The argmin stream stays SKINNY (vec_id,
-    // coarse, gd2): the quantized array is consumed inside the broadcast
-    // stage's projection and rejoined once on vec_id below. Carrying the
-    // 64-long array through the aggregate instead was measured at 2.6×
-    // the FLAT scan's total at the 100× rung — struct-min/first over an
-    // array-typed buffer is a non-mutable aggregation buffer, so
-    // ObjectHashAggregate falls back to sort-based past 128 groups and
-    // the sort then moves ~0.5 KiB per row instead of ~20 B.
-    val vecCoarse = vecs.crossJoin(broadcast(coarse))
-      .select(col("vec_id"), col("coarse"),
-        (col("n6") - lit(2L) * longVecDot(col("vq6"), col("gq6")) +
-          col("gn6")).as("gd2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("gd2"), col("coarse"))).as("m"))
-      .select(col("vec_id"), col("m.coarse").as("coarse"))
-    // vector -> nearest fine centroid WITHIN its coarse cell.
-    // d2 = |x|^2 - 2<x,c> + |c|^2 per (vector, cell centroid) — codegen'd
-    // 64-long loops, argmin via struct-min; ties break on the lower
-    // cluster id exactly like the oracle's (d2, cluster) ordering.
-    val assign = vecs.select(col("vec_id"), col("vq6"), col("n6"))
-      .join(vecCoarse, Seq("vec_id"))
-      .join(broadcast(centsWithCoarse), Seq("coarse"))
-      .select(col("vec_id"), col("cluster"),
-        (col("n6") - lit(2L) * longVecDot(col("vq6"), col("cq6")) +
-          col("cn6")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    val k2 = math.max(4L,
+      Iterator.from(1).find(i => i.toLong * i * i >= k).get.toLong)
+    val k1 = math.max(k2, math.min(k, k2 * k2))
+    // generic argmin stage: nearest candidate (cid, cq6, cn6[, cell]) for
+    // every row (id, vq6, n6[, cell]) by quantized d2 = |x|²−2⟨x,c⟩+|c|²,
+    // (d2, cid) struct-min tie-break, candidates broadcast (codebooks are
+    // tiny at every level), output the SKINNY (id, cid) stream
+    def nearest(rows: DataFrame, id: String, cands: DataFrame, cid: String,
+                cell: Seq[String]): DataFrame = {
+      val joined =
+        if (cell.isEmpty) rows.crossJoin(broadcast(cands))
+        else rows.join(broadcast(cands), cell)
+      joined.select(col(id), col(cid),
+          (col("n6") - lit(2L) * longVecDot(col("vq6"), col("cq6")) +
+            col("cn6")).as("d2"))
+        .groupBy(col(id))
+        .agg(min(struct(col("d2"), col(cid))).as("m"))
+        .select(col(id), col(s"m.$cid").as(cid))
+    }
+    def seedCands(limit: Long, cid: String): DataFrame =
+      vecs.filter(col("vec_id") < limit)
+        .select(col("vec_id").cast("int").as(cid),
+          col("vq6").as("cq6"), col("n6").as("cn6"))
+    def seedRows(limit: Long, id: String): DataFrame =
+      vecs.filter(col("vec_id") < limit)
+        .select(col("vec_id").cast("int").as(id), col("vq6"), col("n6"))
+    val tops = seedCands(k2, "top")
+    // codebook labeling: mid -> top flat (k1·k2 dots), fine -> top flat
+    // then fine -> mid within the top cell (k·k2 + ~k·k1/k2 dots) — all
+    // tiny relative to the vector-side descent
+    val midTop = nearest(seedRows(k1, "mid"), "mid", tops, "top", Nil)
+    val fineTop = nearest(seedRows(k, "cluster"), "cluster", tops, "top", Nil)
+    val midCands = seedCands(k1, "mid").join(midTop, Seq("mid"))
+    val fineMid = nearest(seedRows(k, "cluster").join(fineTop, Seq("cluster")),
+      "cluster", midCands, "mid", Seq("top"))
+    val fineCands = seedCands(k, "cluster").join(fineMid, Seq("cluster"))
+    // vector descent: top (flat k2 scan) -> mid in top cell -> fine in
+    // mid cell; each stage rejoins the skinny assignment on vec_id
+    val vrows = vecs.select(col("vec_id"), col("vq6"), col("n6"))
+    val vecTop = nearest(vrows, "vec_id", tops, "top", Nil)
+    val vecMid = nearest(vrows.join(vecTop, Seq("vec_id")), "vec_id",
+      midCands, "mid", Seq("top"))
+    val assign = nearest(vrows.join(vecMid, Seq("vec_id")), "vec_id",
+      fineCands, "cluster", Seq("mid"))
     // Pin the pair-stage width: the cluster-keyed self-join's input is
     // ~0.5 KiB/row, so AQE's size-targeted coalesce would pack the
     // quadratic-in-cluster-size DOT-PRODUCT work into a handful of fat
@@ -763,10 +769,16 @@ object SimilarityQueries {
       .join(mined.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
   }
 
-  /** q157's oracle: the same two-level integer assignment + integer
+  /** q157's oracle: the same three-level integer assignment + integer
     * cosine cross-multiplication, in DuckDB list/unnest algebra. The
     * offset (+1e6) on xq cancels inside every (a-b)^2, so the engine's
-    * un-offset arrays give identical distances. */
+    * un-offset arrays give identical distances. Codebook sizes are
+    * integer-exact: k2 = MIN(i: i³ ≥ k) over a series scan (no
+    * floating pow/ceil that could straddle an integer boundary across
+    * engines), k1 = clamp(k2², [k2, k]). Stage order mirrors the Spark
+    * descent exactly: mid→top, fine→top, fine→mid (within the top
+    * cell), then vec→top, vec→mid, vec→fine; ties (d2, id) at every
+    * level. */
   private lazy val semdedupSql: String =
     s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
@@ -775,33 +787,63 @@ object SimilarityQueries {
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
        |kk AS (SELECT GREATEST(8, (COUNT(*) + 255) // 256) AS k
        |  FROM embeddings),
-       |k1 AS (SELECT GREATEST(4,
-       |    CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS k1 FROM kk),
+       |kc AS (SELECT GREATEST(4, MIN(i)) AS k2
+       |  FROM (SELECT unnest(generate_series(1, 100000)) AS i) s
+       |  WHERE i * i * i >= (SELECT k FROM kk)),
+       |km AS (SELECT GREATEST((SELECT k2 FROM kc),
+       |  LEAST((SELECT k FROM kk),
+       |    (SELECT k2 FROM kc) * (SELECT k2 FROM kc))) AS k1),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
        |  FROM p WHERE vec_id < (SELECT k FROM kk)),
-       |g0 AS (SELECT CAST(vec_id AS INT) AS coarse, dim, xq AS gq
-       |  FROM p WHERE vec_id < (SELECT k1 FROM k1)),
-       |ca AS (SELECT cluster, coarse FROM (
-       |  SELECT c.cluster, g.coarse,
+       |m0 AS (SELECT CAST(vec_id AS INT) AS mid, dim, xq AS mq
+       |  FROM p WHERE vec_id < (SELECT k1 FROM km)),
+       |t0 AS (SELECT CAST(vec_id AS INT) AS top, dim, xq AS tq
+       |  FROM p WHERE vec_id < (SELECT k2 FROM kc)),
+       |mt AS (SELECT mid, top FROM (
+       |  SELECT m.mid, t.top,
+       |    ROW_NUMBER() OVER (PARTITION BY m.mid
+       |      ORDER BY SUM((m.mq - t.tq) * (m.mq - t.tq)), t.top) AS rn
+       |  FROM m0 m JOIN t0 t ON t.dim = m.dim
+       |  GROUP BY m.mid, t.top) x WHERE rn = 1),
+       |ft AS (SELECT cluster, top FROM (
+       |  SELECT c.cluster, t.top,
        |    ROW_NUMBER() OVER (PARTITION BY c.cluster
-       |      ORDER BY SUM((c.cq - g.gq) * (c.cq - g.gq)), g.coarse) AS rn
-       |  FROM c0 c JOIN g0 g ON g.dim = c.dim
-       |  GROUP BY c.cluster, g.coarse) t WHERE rn = 1),
-       |va AS (SELECT vec_id, coarse FROM (
-       |  SELECT p.vec_id, g.coarse,
+       |      ORDER BY SUM((c.cq - t.tq) * (c.cq - t.tq)), t.top) AS rn
+       |  FROM c0 c JOIN t0 t ON t.dim = c.dim
+       |  GROUP BY c.cluster, t.top) x WHERE rn = 1),
+       |fm AS (SELECT cluster, mid FROM (
+       |  SELECT c.cluster, m.mid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY SUM((c.cq - m.mq) * (c.cq - m.mq)), m.mid) AS rn
+       |  FROM c0 c
+       |  JOIN ft ON ft.cluster = c.cluster
+       |  JOIN mt ON mt.top = ft.top
+       |  JOIN m0 m ON m.mid = mt.mid AND m.dim = c.dim
+       |  GROUP BY c.cluster, m.mid) x WHERE rn = 1),
+       |vt AS (SELECT vec_id, top FROM (
+       |  SELECT p.vec_id, t.top,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
-       |      ORDER BY SUM((p.xq - g.gq) * (p.xq - g.gq)), g.coarse) AS rn
-       |  FROM p JOIN g0 g ON g.dim = p.dim
-       |  GROUP BY p.vec_id, g.coarse) t WHERE rn = 1),
+       |      ORDER BY SUM((p.xq - t.tq) * (p.xq - t.tq)), t.top) AS rn
+       |  FROM p JOIN t0 t ON t.dim = p.dim
+       |  GROUP BY p.vec_id, t.top) x WHERE rn = 1),
+       |vm AS (SELECT vec_id, mid FROM (
+       |  SELECT p.vec_id, m.mid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY SUM((p.xq - m.mq) * (p.xq - m.mq)), m.mid) AS rn
+       |  FROM p
+       |  JOIN vt ON vt.vec_id = p.vec_id
+       |  JOIN mt ON mt.top = vt.top
+       |  JOIN m0 m ON m.mid = mt.mid AND m.dim = p.dim
+       |  GROUP BY p.vec_id, m.mid) x WHERE rn = 1),
        |a1 AS (SELECT vec_id, cluster FROM (
        |  SELECT p.vec_id, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)), c.cluster) AS rn
        |  FROM p
-       |  JOIN va ON va.vec_id = p.vec_id
-       |  JOIN ca ON ca.coarse = va.coarse
-       |  JOIN c0 c ON c.cluster = ca.cluster AND c.dim = p.dim
-       |  GROUP BY p.vec_id, c.cluster) t WHERE rn = 1),
+       |  JOIN vm ON vm.vec_id = p.vec_id
+       |  JOIN fm ON fm.mid = vm.mid
+       |  JOIN c0 c ON c.cluster = fm.cluster AND c.dim = p.dim
+       |  GROUP BY p.vec_id, c.cluster) x WHERE rn = 1),
        |v AS (SELECT e.vec_id, a1.cluster,
        |  list_transform(e.embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS vq
