@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -295,15 +295,29 @@ object CoreQueries {
     * shuffle for the edges, one for the (lang, bin) counts, no sort of the
     * full table. Bin membership compares n_chars against the UNROUNDED
     * interpolated edges on both engines (rounding only in the output
-    * projection), so boundary docs land identically. At 100 TB the same
-    * plan holds with approx_percentile edges — the broadcast-back shape is
-    * what matters. */
+    * projection), so boundary docs land identically.
+    *
+    * THE 100 TB PATH IS EXECUTABLE, not prose: setting the session conf
+    * `spark.graft.approx.percentile=true` swaps the edge aggregate to
+    * `approx_percentile` (KLL-style bounded-memory sketch) with the SAME
+    * downstream plan — edges broadcast back onto the scan, narrow bin
+    * map, count agg. Exact `percentile` buffers every value per group
+    * and is the right call up to memory; the sketch caps the buffer at
+    * the accuracy parameter (1e4 here → exact below 10k rows/group,
+    * rank error ≤ n/accuracy above). Q72ApproxSpec asserts the swap
+    * keeps schema + plan shape and, at spec scale, the exact values.
+    * The exact form stays the oracle-checked default. */
   def q72EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val approx =
+      spark.conf.getOption("spark.graft.approx.percentile").contains("true")
+    def pct(q: String): Column =
+      if (approx) expr(s"CAST(approx_percentile(n_chars, ${q}D, 10000) AS DOUBLE)")
+      else expr(s"percentile(n_chars, ${q}D)")
     val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
     val edges = docs.groupBy("lang").agg(
-      expr("percentile(n_chars, 0.25D)").as("q1"),
-      expr("percentile(n_chars, 0.5D)").as("q2"),
-      expr("percentile(n_chars, 0.75D)").as("q3"))
+      pct("0.25").as("q1"),
+      pct("0.5").as("q2"),
+      pct("0.75").as("q3"))
     docs.join(broadcast(edges), Seq("lang"))
       .select(col("lang"), col("n_chars"), col("q1"), col("q2"), col("q3"),
         (lit(1) + (col("n_chars") > col("q1")).cast("int")

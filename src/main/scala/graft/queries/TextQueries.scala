@@ -108,10 +108,15 @@ object TextQueries {
     * sits in all three branches and persist wins 5×. At 100 TB neither
     * recompute nor cache is right: you materialize the SIGNATURE table
     * (small, reusable) and band/verify off that. */
+  /** CACHE CONTRACT: the skinny candidate-pair spine persists until
+    * clearCache (Bench/Verify clear per query) — it drives the verify's
+    * two posting semi-joins and the join spine, and recomputing it would
+    * re-run the minhash digest three times. Two longs per row. */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
-    pairs.join(shingleCoCounts(spark, dir, docs), Seq("doc1", "doc2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCoCounts(docs, pairs)
       .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
       .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
@@ -129,36 +134,39 @@ object TextQueries {
     docs.select(col("doc_id").as(idAs),
       size(array_distinct(col("sh"))).cast("long").as(nAs))
 
-  /** Exact |S1 ∩ S2| for every co-occurring (doc1 < doc2) pair, by
-    * COUNTING CO-OCCURRENCES in the distinct-shingle inverted index —
-    * q126's measured shape, reused as the verify stage for the LSH
+  /** Exact |S1 ∩ S2| for every CANDIDATE pair, by counting shingle
+    * co-occurrences in posting-row space — the verify stage for the LSH
     * candidate queries (q20 Jaccard, q113 containment). The historical
     * verify joined `array_sort(array_distinct(sh))` onto BOTH sides of
     * every candidate pair, shipping the corpus payload once per pair —
-    * the exact cliff the q126 rewrite removed (at the 100× rung q113 was
-    * the worst query in the suite: 29.2× wall, 430 cpu-s). Here arrays
-    * never cross an exchange: the join moves skinny (g, doc_id) posting
-    * rows, Σ_g df(g)² of them, and the count-agg combines map-side
-    * inside the posting partitioning. Callers intersect the result with
-    * their LSH candidate set — pairs whose inter is 0 have no
-    * co-occurrence row, and no caller's threshold admits inter = 0, so
-    * the inner join is exact.
+    * the cliff the q126 rewrite removed (q113 was the worst query in
+    * the suite at the 100× rung: 29.2× wall, 430 cpu-s).
     *
-    * Width is data-proportional for the same reason as q126 (fixed-width
-    * SHUFFLE_HASH build sides OOM at 100×); the sizing count is a
-    * parquet metadata count-star on the base table, not a recompute of
-    * the shingle pipeline. */
-  private def shingleCoCounts(spark: SparkSession, dir: String,
-                              docs: DataFrame): DataFrame = {
-    val width = math.max(spark.sparkContext.defaultParallelism,
-      (Tables.documents(spark, dir).count() / 2000L).toInt)
-    val post = docs
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
-      .repartition(width, col("g"))
-    post.select(col("g"), col("doc_id").as("doc1"))
-      .join(post.select(col("g"), col("doc_id").as("doc2")).hint("shuffle_hash"),
-        Seq("g"))
-      .filter(col("doc1") < col("doc2"))
+    * Shape: the candidate pairs DRIVE the intersection. Each side's
+    * postings are semi-joined to that side's candidate docs BEFORE the
+    * explode (only candidate docs' shingles are ever emitted), then
+    * pairs ⋈ postings(doc1) ⋈ postings(doc2, g) keeps exactly the
+    * shared shingles and the count per pair is inter. Volume is
+    * Σ_pairs |S1| skinny (long, long, shingle-key) rows — measured 60×
+    * smaller than the corpus-wide Σ_g df(g)² co-occurrence stream at
+    * sf0.1 (48k vs 2.8M; the corpus-wide form was tried first and
+    * measured TEN TIMES WORSE than even the array-payload join at the
+    * 100× rung: 194 s / 5,355 cpu-s / 27.7 GB shuffled, because with no
+    * q126-style in-stage filter the whole pair stream crosses the final
+    * exchange). Arrays still never move: only posting rows and the
+    * skinny pair stream shuffle. Pairs whose inter is 0 produce no row;
+    * no caller's threshold admits inter = 0, so the inner join is
+    * exact. `pairs` must be persisted by the caller — it drives three
+    * subplans (two semi-joins and the join spine). */
+  private def shingleCoCounts(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def postFor(side: String) = docs
+      .join(pairs.select(col(side).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as(side),
+        explode(array_distinct(col("sh"))).as("g"))
+    pairs
+      .join(postFor("doc1"), Seq("doc1"))
+      .join(postFor("doc2"), Seq("doc2", "g"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("inter"))
   }
@@ -746,9 +754,17 @@ object TextQueries {
     * with full parallelism (q34's broadcast self-count trick is for top-20;
     * this is the full-dictionary path). Re-encoding is posexplode → join on
     * the token (dictionary broadcast or shuffled by Catalyst's sizing) →
-    * re-assemble ordered by position (sort_array fixes collect_list order).
-    * Ids emit as a comma-joined string: arrays break the driver's
-    * hash-compare (the q26 lesson) and a string round-trips exactly. */
+    * re-assemble ordered by position. The (pos, token_id) pair rides the
+    * aggregate PACKED INTO ONE LONG (pos·2³⁴ | id): collect_list over a
+    * primitive is a flat array buffer and sort_array on longs is a
+    * primitive sort, where the earlier struct form paid per-element
+    * allocation plus an interpreted two-field comparator per compare —
+    * the dominant 100×-rung cost of this query. pos is unique per doc,
+    * so the packed order IS position order; 34 id bits hold any
+    * realistic vocabulary (≤ 17 B entries) and 29 pos bits any document
+    * (≤ 536 M tokens). Ids emit as a comma-joined string: arrays break
+    * the driver's hash-compare (the q26 lesson) and a string round-trips
+    * exactly. */
   def q77TokenIds(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
@@ -759,11 +775,14 @@ object TextQueries {
     toks.join(ids.select("token", "token_id"), Seq("token"))
       .groupBy("doc_id")
       .agg(
-        sort_array(collect_list(struct(col("pos"), col("token_id")))).as("s"),
+        sort_array(collect_list(
+          shiftleft(col("pos").cast("long"), 34).bitwiseOR(col("token_id"))))
+          .as("s"),
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         concat_ws(",",
-          transform(col("s"), x => x.getField("token_id").cast("string")))
+          transform(col("s"),
+            x => x.bitwiseAND(lit((1L << 34) - 1)).cast("string")))
           .as("ids"))
   }
 
@@ -815,19 +834,23 @@ object TextQueries {
 
   /** q87: MapType column workflow — the per-doc term-frequency map the
     * reference's jsonb stage column plays at row level, done with Spark's
-    * map functions end to end: build `token -> count` per document
-    * (map_from_entries over SORTED entries, so map order is deterministic),
-    * then interrogate it with map_values/map_keys/map_filter — all
+    * map functions end to end: build `token -> count` per document, then
+    * interrogate it with map_values/map_keys/map_filter — all
     * codegen-friendly collection expressions, zero UDFs. The map stays
     * per-row (never shuffled as a map): the only shuffle is the (doc_id,
-    * token) count agg that feeds it. */
+    * token) count agg that feeds it. Entries are deliberately NOT sorted
+    * before map_from_entries: every consumer below is order-independent
+    * (size, a commutative integer sum over map_values, and map_keys that
+    * are array_sort'ed after the filter), and the per-doc string-struct
+    * sort was the query's dominant 100×-rung cost for zero semantic
+    * effect. */
   def q87TokenMaps(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     tf.groupBy(col("doc_id"))
       .agg(map_from_entries(
-        array_sort(collect_list(struct(col("token"), col("cnt"))))).as("m"))
+        collect_list(struct(col("token"), col("cnt")))).as("m"))
       .select(col("doc_id"),
         size(col("m")).cast("long").as("n_distinct"),
         aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("n_tokens"),
@@ -1160,10 +1183,12 @@ object TextQueries {
     * Same band-bucket candidate stream as q20, and the same
     * co-occurrence-counting verify ([[shingleCoCounts]] — arrays never
     * cross an exchange); ratios via the integer half-up rule. */
+  /** CACHE CONTRACT: same persisted pair spine as q20 (see there). */
   def q113Containment(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
-    Dedup.candidatePairs(bandedFrom(docs))
-      .join(shingleCoCounts(spark, dir, docs), Seq("doc1", "doc2"))
+    val pairs = Dedup.candidatePairs(bandedFrom(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCoCounts(docs, pairs)
       .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
       .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
       .select(col("doc1"), col("doc2"), col("n1"), col("n2"), col("inter"))

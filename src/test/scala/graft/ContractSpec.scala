@@ -19,7 +19,9 @@ class ContractSpec extends SparkSpec {
     * documenting the contract and being listed here. */
   private val cacheContract = Set(
     "q34_top_tokens",       // wordcount feeds both join sides
+    "q20_jaccard_pairs",    // candidate-pair spine drives 3 verify subplans
     "q44_simhash_neardup",  // signature table read 3x (bands + both verify probes)
+    "q113_containment",     // candidate-pair spine drives 3 verify subplans
     "q71_bpe_merges",       // corpus frame re-read per merge step
     "q115_bigram_logprob",  // partitioned pair stream feeds 3 branches
     "q126_prefix_join",     // shingle frame feeds prefix + verify stages
