@@ -504,8 +504,13 @@ object TextQueries {
     * complement to Jaccard (q20) and Hamming (q44): Levenshtein distance
     * and a normalized similarity on lowercased 40-char prefixes, computed
     * ONLY for pairs the banding already surfaced (never all-pairs; at any
-    * corpus size the O(len²) DP runs on |candidates| rows). Both engines
-    * implement the same unit-cost Levenshtein, so the audit is exact. */
+    * corpus size the O(len²) DP runs on |candidates| rows). Unlike the
+    * q20/q113 verifies (rewritten to posting co-occurrence so arrays
+    * never ride a join), this one KEEPS the per-pair payload join by
+    * design: Levenshtein needs the actual characters, and the payload is
+    * a BOUNDED 40-byte prefix per side — O(1) per candidate, not O(doc).
+    * Both engines implement the same unit-cost Levenshtein, so the audit
+    * is exact. */
   def q67EditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("pfx"))
