@@ -112,6 +112,21 @@ object Dedup {
     * engines (DuckDB's `2**59` construction fits; `2**63` overflows). */
   val SimhashBits = 60
 
+  /** Corpus-adaptive block count for [[mankuBands]]: every value is
+    * radius-3 lossless (the pigeonhole proof below holds for any
+    * blocks > 3); what changes is the SELECTIVITY/COST trade. Small
+    * corpora take 5 blocks (C(5,2) = 10 tables × 24-bit keys — half the
+    * band rows of 6, and 24-bit keys keep expected per-table collisions
+    * n²/2^25 under ~1 per doc to ~2M docs); past 2M docs, 6 blocks
+    * (20 tables × 30-bit keys, good to ~4·10⁹); past that, 7
+    * (C(7,4) = 35 tables × ~34-bit keys). The banding scheme is FREE to
+    * vary because the oracle verifies the survivors against brute-force
+    * ground truth, not against a mirrored construction. */
+  def mankuBlocksFor(n: Long): Int =
+    if (n < 2L * 1000 * 1000) 5
+    else if (n < 4L * 1000 * 1000 * 1000) 6
+    else 7
+
   /** Manku-style block-permutation band tables (Manku, Jain & Sarma,
     * WWW'07 §3): split the `bits`-wide fingerprint into `blocks` nearly
     * equal bit-blocks; one table per C(blocks, blocks-radius) choice of
@@ -125,13 +140,12 @@ object Dedup {
     * Why this replaces the historical adaptive 4-band slicing: radius-3
     * losslessness pins contiguous banding at 4 bands, so its key width
     * is bits/4 ≤ 15 — past ~4M docs those keys saturate and candidate
-    * volume reverts to n²/2^15·4 (the measured 1000×-rung OOM). Here
-    * the default 6-choose-3 gives 20 tables × 30-bit keys: per-table
-    * collisions n²/2^30 stay sub-linear to ~10⁹ docs, at the price of
-    * 20 band rows per doc instead of 4 — rows of (long, int, long), not
-    * documents. Past ~4·10⁹ docs, step `blocks` up (7→C(7,4)=35 tables
-    * × ~34-bit keys, 8→C(8,5)=56 × 37-bit) — same losslessness proof,
-    * selectivity grows with the corpus.
+    * volume reverts to n²/2^15·4 (the measured 1000×-rung OOM). Block
+    * permutation decouples key width from the band count: 6-choose-3
+    * gives 20 tables × 30-bit keys whose per-table collisions n²/2^30
+    * stay sub-linear to ~10⁹ docs, at the price of 20 band rows per doc
+    * — rows of (long, int, long), not documents. [[mankuBlocksFor]]
+    * picks the cheapest lossless scheme for the corpus size.
     *
     * NULL fingerprints (featureless docs) propagate to NULL keys and
     * never pair. Returns (band, band_key) structs for

@@ -86,11 +86,14 @@ object CorpusPipeline {
       .drop("canonical_key")
     val curated = curate(fresh, minQuality)
     // near-dup gate: candidates = incoming x lake pairs sharing a Manku
-    // block-permutation band (pigeonhole-lossless at Hamming <= 3, key
-    // width that holds selectivity to ~1e9 docs), verified exact
+    // block-permutation band (pigeonhole-lossless at Hamming <= 3);
+    // the table scheme adapts to the lake's size (one parquet-metadata
+    // count per increment) so selectivity grows with the corpus while
+    // small lakes pay the 10-table scheme
+    val blocks = Dedup.mankuBlocksFor(lake.count())
     def banded(df: DataFrame, idAs: String, simAs: String): DataFrame = df
       .select(col("doc_id").as(idAs), col("simhash").as(simAs))
-      .withColumn("bb", explode(Dedup.mankuBands(col(simAs))))
+      .withColumn("bb", explode(Dedup.mankuBands(col(simAs), blocks = blocks)))
       .select(col(idAs), col(simAs),
         col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     val nearDupIds = banded(curated, "in_id", "in_sim")

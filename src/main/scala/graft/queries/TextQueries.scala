@@ -587,10 +587,14 @@ object TextQueries {
         graft.functions.SimHash(col("sh"), Dedup.SimhashBits).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def simhashPairsFrom(sims: DataFrame): DataFrame = {
+  /** blocks comes from [[graft.ops.Dedup.mankuBlocksFor]] on the corpus
+    * row count — one driver-side parquet-metadata count per query build
+    * picks the cheapest radius-3-lossless table scheme (10 tables below
+    * 2M docs, 20 to 4B, 35 beyond). */
+  private def simhashPairsFrom(sims: DataFrame, blocks: Int): DataFrame = {
     val banded = sims
       .select(col("doc_id"),
-        explode(Dedup.mankuBands(col("simhash"))).as("bb"))
+        explode(Dedup.mankuBands(col("simhash"), blocks = blocks)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     Dedup.candidatePairs(banded)
       .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
@@ -600,12 +604,15 @@ object TextQueries {
       .filter(col("hamming") <= 3)
   }
 
+  private def mankuBlocks(spark: SparkSession, dir: String): Int =
+    Dedup.mankuBlocksFor(Tables.documents(spark, dir).count())
+
   /** CACHE CONTRACT: the signature entry lives until unpersist/clearCache —
     * the result is LAZY and reads it, so library callers running many
     * queries per session should clearCache between them (Bench/Verify do);
     * the data is tiny (doc_id + one long per doc). */
   def q44SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsFrom(simhashSims(spark, dir))
+    simhashPairsFrom(simhashSims(spark, dir), mankuBlocks(spark, dir))
 
   /** Near-dup CLUSTERS from the q44 pair edges: pairs alone can't drive
     * dedup (A~B, B~C must collapse to one cluster even when A!~C) —
@@ -620,7 +627,7 @@ object TextQueries {
     // ContractSpec cache-lifetime sweep enforces exactly this).
     val sims = simhashSims(spark, dir)
     try graft.ops.Components.connectedComponents(
-      simhashPairsFrom(sims).select("doc1", "doc2"))
+      simhashPairsFrom(sims, mankuBlocks(spark, dir)).select("doc1", "doc2"))
     finally sims.unpersist(blocking = true)
   }
 

@@ -31,14 +31,23 @@ class DedupSpec extends SparkSpec {
   test("pigeonhole: any pair within Hamming distance 3 shares a band table key") {
     val rnd = new scala.util.Random(42)
     val mask60 = (1L << 60) - 1
-    for (_ <- 1 to 500) {
+    // every scheme mankuBlocksFor can pick must be lossless
+    for (blocks <- Seq(5, 6, 7); _ <- 1 to 300) {
       val a = rnd.nextLong() & mask60
       val k = rnd.nextInt(4) // 0..3 flipped bits
       val flipped = rnd.shuffle((0 until 60).toList).take(k)
         .foldLeft(a)((v, b) => v ^ (1L << b))
-      assert(bandsOf(a).intersect(bandsOf(flipped)).nonEmpty,
-        s"lossless filter dropped a radius-$k pair: $a vs $flipped")
+      assert(bandsOf(a, blocks = blocks)
+          .intersect(bandsOf(flipped, blocks = blocks)).nonEmpty,
+        s"lossless filter dropped a radius-$k pair at $blocks blocks: $a vs $flipped")
     }
+  }
+
+  test("mankuBlocksFor: scheme thresholds and monotone selectivity") {
+    import graft.ops.Dedup.mankuBlocksFor
+    assert(mankuBlocksFor(0) === 5 && mankuBlocksFor(1999999) === 5)
+    assert(mankuBlocksFor(2000000) === 6 && mankuBlocksFor(3999999999L) === 6)
+    assert(mankuBlocksFor(4000000000L) === 7)
   }
 
   test("selectivity: unrelated random fingerprints almost never collide") {
@@ -77,22 +86,25 @@ class DedupSpec extends SparkSpec {
           Dedup.SimhashBits).as("simhash"))
       .persist()
     try {
-      val banded = sims
-        .select(col("doc_id"), explode(Dedup.mankuBands(col("simhash"))).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-      val viaBands = Dedup.candidatePairs(banded)
-        .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
-        .join(sims.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
-        .filter(Dedup.hammingDistance(col("s1"), col("s2")) <= 3)
-        .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val a = sims.select(col("doc_id").as("doc1"), col("simhash").as("s1"))
       val b = sims.select(col("doc_id").as("doc2"), col("simhash").as("s2"))
       val brute = a.crossJoin(b)
         .filter(col("doc1") < col("doc2") &&
           Dedup.hammingDistance(col("s1"), col("s2")) <= 3)
         .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(viaBands === brute)
       assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+      for (blocks <- Seq(5, 6)) { // both schemes small corpora can take
+        val banded = sims
+          .select(col("doc_id"),
+            explode(Dedup.mankuBands(col("simhash"), blocks = blocks)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+        val viaBands = Dedup.candidatePairs(banded)
+          .join(sims.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
+          .join(sims.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
+          .filter(Dedup.hammingDistance(col("s1"), col("s2")) <= 3)
+          .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(viaBands === brute, s"at $blocks blocks")
+      }
     } finally sims.unpersist(blocking = true)
   }
 
