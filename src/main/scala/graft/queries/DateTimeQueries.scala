@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Dims
@@ -298,17 +298,27 @@ object DateTimeQueries {
     * per-type stat frames broadcast back onto the event stream, so the
     * scan stays narrow. 1.4826·MAD rescales to σ-equivalents under
     * normality (the standard public constant); nullif guards MAD = 0
-    * (NULL rz rows filter out rather than dividing to Infinity). At
-    * 100 TB swap the exact percentile for percentile_approx and keep the
-    * identical plan shape. */
+    * (NULL rz rows filter out rather than dividing to Infinity). The
+    * 100 TB swap is EXECUTABLE: the same session conf as q72
+    * (`spark.graft.approx.percentile=true`) turns both medians into
+    * approx_percentile sketches with the identical plan shape (stat
+    * frames broadcast back, scan stays narrow) — exact below the 10k
+    * accuracy buffer per group, rank error ≤ n/1e4 above, exact stays
+    * the oracle-checked default (the ApproxPathsSpec/Q72ApproxSpec
+    * pattern). */
   def q68RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val approx =
+      spark.conf.getOption("spark.graft.approx.percentile").contains("true")
+    def median(c: String): Column =
+      if (approx) expr(s"CAST(approx_percentile($c, 0.5D, 10000) AS DOUBLE)")
+      else expr(s"percentile($c, 0.5D)")
     val ev = Tables.events(spark, dir)
     val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5D)").as("med"))
+      .agg(median("value").as("med"))
     val withMed = ev.join(broadcast(med), Seq("event_type"))
     val mad = withMed
       .groupBy(col("event_type"))
-      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      .agg(median("abs(value - med)").as("mad"))
     withMed.join(broadcast(mad), Seq("event_type"))
       .select(col("event_type"), col("event_id"), col("value"),
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),

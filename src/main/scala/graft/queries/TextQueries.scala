@@ -875,21 +875,40 @@ object TextQueries {
     * score each document by the mean log-probability of its tokens under
     * the corpus's own unigram model. Low scorers are gibberish/boilerplate
     * candidates. The model (token -> count) is broadcast — at this SF the
-    * whole vocabulary fits; at 100 TB you broadcast the top-K vocabulary
-    * with an OOV floor, or shuffle-join on token (the per-token join is an
-    * equi-join either way). Determinism: ln(p) is quantized to integer
+    * whole vocabulary fits. Determinism: ln(p) is quantized to integer
     * micro-nats with floor() BEFORE the per-doc sum, so the aggregate is
     * exact integer arithmetic, independent of partition order; doubles
-    * appear only in the final one-division projection. */
+    * appear only in the final one-division projection.
+    *
+    * THE 100 TB PATH IS EXECUTABLE: session conf
+    * `spark.graft.approx.vocab.k = K` swaps the full-vocabulary model
+    * for the top-K vocabulary (count desc, token asc — a total order,
+    * planned as TakeOrderedAndProject: per-partition top-K + driver
+    * merge, no global sort) with an OOV floor of "count 0.5" for
+    * out-of-vocab tokens — the CCNet-style bounded model. The plan
+    * shape is IDENTICAL (model broadcast onto the token stream); only
+    * the model's row bound changes, which is what makes it broadcastable
+    * when the true vocabulary is billions of rows. ApproxPathsSpec pins
+    * the contract: K ≥ |vocab| reproduces the exact output bit for bit,
+    * small K keeps the broadcast shape and only ever LOWERS a doc's
+    * score (the floor is strictly below every real token's logprob).
+    * Exact stays the oracle-checked default. */
   def q89UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val approxK = spark.conf.getOption("spark.graft.approx.vocab.k").map(_.toInt)
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
-    val model = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val full = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val model = approxK.fold(full)(k =>
+      full.orderBy(col("cnt").desc, col("token").asc).limit(k))
     val total = tok.agg(count(lit(1)).as("n_total"))
-    tok.join(broadcast(model), Seq("token"))
+    // left join + OOV floor: in exact mode every token is in the model,
+    // so cnt is never NULL and the values are identical to the plain
+    // inner-join form the oracle mirrors
+    tok.join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
-        floor(log(col("cnt").cast("double") / col("n_total").cast("double")) * lit(1e6))
+        floor(log(coalesce(col("cnt").cast("double"), lit(0.5))
+            / col("n_total").cast("double")) * lit(1e6))
           .cast("long").as("lp_q"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_q")).as("s"))
@@ -1403,9 +1422,17 @@ object TextQueries {
     * is bounded, the normal case for 3-shingle dedup corpora. At a
     * boilerplate-heavy corpus where some df explodes (Σ df² ≫ N), the
     * classic mitigation is dropping stop-shingles above a df cap from
-    * the index (Henzinger'06) or reverting to PPJoin prefix candidates
-    * with array payloads hashed to 8-byte keys; both are index-build
-    * policies, not changes to this plan shape. */
+    * the index (Henzinger'06) — and that path is EXECUTABLE here:
+    * session conf `spark.graft.dfcap = C` filters the posting index to
+    * shingles with df ≤ C before the self-join (the df aggregate and
+    * the semi-join both reuse the posting stream's g-partitioning — no
+    * extra exchange). Capping only DROPS intersections: n1/n2 stay the
+    * full set sizes, so J is underestimated for pairs containing a
+    * stop-shingle and the output is a subset of the exact answer —
+    * recall trades against the Σ df² bound, never precision.
+    * ApproxPathsSpec pins the contract (cap ≥ max df reproduces the exact
+    * output; any cap yields a subset with per-pair J ≤ exact). Exact
+    * stays the oracle-checked default. */
   /** PRECONDITION: `docs` must be persisted by the caller — this method
     * calls `docs.count()` eagerly at plan-construction time to size the
     * shuffle width, and an unpersisted frame would silently run the full
@@ -1429,9 +1456,18 @@ object TextQueries {
     // adds no further exchange.
     val width = math.max(spark.sparkContext.defaultParallelism,
       (docs.count() / 2000L).toInt)
-    val post = docs.select(col("doc_id"), size(col("s")).cast("long").as("n"),
+    val post0 = docs.select(col("doc_id"), size(col("s")).cast("long").as("n"),
       explode(col("s")).as("g"))
       .repartition(width, col("g"))
+    // optional Henzinger stop-shingle cap (see Scaladoc): the df agg and
+    // the semi-join probe are both clustered by g already, so the filter
+    // costs one co-partitioned pass, no new exchange
+    val post = spark.conf.getOption("spark.graft.dfcap").map(_.toLong)
+      .fold(post0) { cap =>
+        val keep = post0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        post0.join(keep, Seq("g"), "left_semi")
+      }
     // SHUFFLE_HASH, not sort-merge: both sides are the same exploded
     // posting stream — hash-partitioning is unavoidable but SORTING 10s of
     // millions of 20-char shingle keys is pure overhead for an equi-join
