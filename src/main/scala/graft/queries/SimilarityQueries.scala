@@ -550,6 +550,98 @@ object SimilarityQueries {
         round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))
   }
 
+  private val pcaRounds = 3
+
+  /** q180: top principal component by POWER ITERATION — the spectral
+    * member of the embedding-audit family (q79 gives per-dim moments,
+    * q112 class separation; this gives the dominant variance DIRECTION,
+    * the whitening/anisotropy diagnostic real embedding pipelines run
+    * before indexing). Three unrolled rounds of v ← C·v on the mean-
+    * centered 1e-6-quantized grid, bit-exact across engines:
+    *
+    * - the mean and both per-round normalizations are POSITIVITY-SHIFTED
+    *   integer floor divisions ((a + K·m) DIV m − K, the q161/q164
+    *   portability trick), so Spark's truncating DIV and DuckDB's
+    *   flooring // agree on negative components;
+    * - C·v never materializes C (64×64 covariance is tiny, but n·d² row
+    *   streams are not): each round is s_i = x_cᵀv per row (one broadcast
+    *   of the 64-row v), then w_d = Σᵢ sᵢ·x_c,d — a map-side-combined
+    *   (dim) agg whose shuffle is 64 rows per partition at any scale;
+    * - sᵢ is renormalized to ±1000 BEFORE the w sum and the w sum
+    *   accumulates in decimal(38,0) (DuckDB HUGEINT) — exact at any
+    *   corpus size (the r4 overflow-widening convention);
+    * - degenerate inputs (all-identical vectors ⇒ max|w| = 0) yield NULL
+    *   loadings via nullif, not a divide-by-zero.
+    *
+    * The centered frame is persisted across the `pcaRounds` scans (same
+    * contract as q142's pts). Output: 64 (dim, loading) rows, loading in
+    * exact milli-units of the max-normalized eigenvector estimate. */
+  def q180PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
+    val mu = pts.groupBy(col("dim"))
+      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        (expr("(s + 4000000 * n) DIV n") - lit(4000000L)).as("mu"))
+    val c = pts.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("xq") - col("mu")).as("xc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = mu.select(col("dim"), (lit(1000L) + col("dim")).as("v"))
+    for (_ <- 1 to pcaRounds) {
+      val sr = c.join(broadcast(v), Seq("dim"))
+        .groupBy(col("vec_id")).agg(sum(col("xc") * col("v")).as("sr"))
+      val sm = sr.agg(max(greatest(col("sr"), -col("sr"))).as("sm"))
+      val sn = sr.crossJoin(broadcast(sm))
+        .select(col("vec_id"),
+          (expr("(sr * 1000 + 2000 * sm) DIV nullif(sm, 0)") - lit(2000L)).as("sv"))
+      val w = c.join(sn, Seq("vec_id"))
+        .groupBy(col("dim"))
+        .agg(sum((col("sv") * col("xc")).cast("decimal(38,0)")).as("w"))
+      val wm = w.agg(max(greatest(col("w"), -col("w"))).as("wm"))
+      v = w.crossJoin(broadcast(wm))
+        .select(col("dim"),
+          (expr("(w * 1000 + 2000 * wm) DIV nullif(wm, 0)") - lit(2000L))
+            .cast("long").as("v"))
+    }
+    v.select(col("dim"), col("v").as("loading_milli"),
+      round(col("v").cast("double") / 1e3, 3).as("loading"))
+  }
+
+  /** q180's oracle: the identical shifted-integer power recurrence
+    * unrolled one CTE trio (sr, sn, w→v) per round; HUGEINT is DuckDB's
+    * exact twin of the Spark side's decimal(38,0) accumulator. */
+  private lazy val pcaPowerSql: String = {
+    val steps = (1 to pcaRounds).map { k =>
+      s"""sr$k AS (SELECT vec_id, CAST(SUM(xc * v) AS BIGINT) AS sr
+         |  FROM c JOIN v${k - 1} USING (dim) GROUP BY 1),
+         |sm$k AS (SELECT MAX(GREATEST(sr, -sr)) AS sm FROM sr$k),
+         |sn$k AS (SELECT vec_id,
+         |  CAST((sr * 1000 + 2000 * sm) // NULLIF(sm, 0) AS BIGINT) - 2000 AS sv
+         |  FROM sr$k CROSS JOIN sm$k),
+         |w$k AS (SELECT dim, SUM(CAST(sv AS HUGEINT) * xc) AS w
+         |  FROM c JOIN sn$k USING (vec_id) GROUP BY 1),
+         |wm$k AS (SELECT MAX(GREATEST(w, -w)) AS wm FROM w$k),
+         |v$k AS (SELECT dim,
+         |  CAST((w * 1000 + 2000 * wm) // NULLIF(wm, 0) AS BIGINT) - 2000 AS v
+         |  FROM w$k CROSS JOIN wm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+       |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
+       |mu AS (SELECT dim,
+       |  CAST((SUM(xq) + 4000000 * COUNT(*)) // COUNT(*) AS BIGINT)
+       |    - 4000000 AS mu FROM p GROUP BY 1),
+       |c AS (SELECT vec_id, p.dim, xq - mu AS xc
+       |  FROM p JOIN mu ON mu.dim = p.dim),
+       |v0 AS (SELECT dim, CAST(1000 + dim AS BIGINT) AS v FROM mu),
+       |$steps
+       |SELECT dim, v AS loading_milli,
+       |  ROUND(CAST(v AS DOUBLE) / 1e3, 3) AS loading FROM v$pcaRounds""".stripMargin
+  }
+
   /** q142's oracle, generated for [[kmeansRounds]]: the identical integer
     * recurrence unrolled as one CTE pair (assign, centroid) per round. */
   private lazy val kmeansSql: String = {
@@ -897,6 +989,7 @@ object SimilarityQueries {
          |WHERE t.lang <> 'en'""".stripMargin,
 
     "q142_kmeans_iters" -> kmeansSql,
+    "q180_pca_power" -> pcaPowerSql,
     "q157_semdedup" -> semdedupSql,
     "q122_hof_surface" ->
       """WITH q AS (SELECT vec_id, embedding AS e,

@@ -1705,6 +1705,117 @@ object TextQueries {
           .as("aug_md5"))
   }
 
+  /** q178: exact duplicated-substring SPANS — the span-granular layer of
+    * the dedup ladder (doc-exact q18 → fixed chunks q82 → CDC chunks q138
+    * → fuzzy q19/q44): per document, the maximal token ranges covered by
+    * any 8-token window that occurs ≥2 times ANYWHERE in the corpus (the
+    * published exact-substring-dedup recipe: suffix-array span removal;
+    * re-expressed relationally as sliding-window seed match + island
+    * merge, the shape a distributed engine can run at corpus scale).
+    *
+    * Plan: windows are a narrow per-row transform (one md5 DIGEST per
+    * 8-token window — the window text itself never leaves the row); the
+    * corpus-frequency agg and the match-back join both shuffle only
+    * (digest, doc_id, pos) — map-side combined, 16-byte-key rows, never
+    * arrays. Matched positions then shuffle ONCE on doc_id; the island
+    * merge (new span iff pos > prev + 8, i.e. the windows neither overlap
+    * nor touch) and the span rollup are two window passes + one agg over
+    * the SAME doc_id partitioning — Catalyst plans a single exchange.
+    * At 100 TB the digest agg is the only corpus-wide shuffle and it
+    * carries ~(n_tokens) fixed-width rows; dup docs (the output) are a
+    * small fraction. Within-doc repeats count as duplication (same
+    * convention as q82's global nk>1 — self-boilerplate IS duplication). */
+  def q178DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val wins = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= W)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      .where(col("nh") >= 2).select(col("h"))
+    val matched = wins.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = matched
+      .withColumn("new_span",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          || col("pos") > lag(col("pos"), 1).over(byDoc) + W, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg((max(col("pos")) - min(col("pos")) + W).cast("long").as("span_tokens"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("dup_share"))
+  }
+
+  /** q179: BM25 top-k lexical retrieval — the term-match complement to the
+    * embedding similarity family (q22/q23/q29 answer "nearest vector";
+    * this answers "best keyword match", the other half of every retrieval
+    * / decontamination stack). Terms are word-3-grams (the fixture's
+    * 31-token vocabulary makes unigram retrieval degenerate — q57's
+    * phrase-term convention), queries are the bounded q54-style slice
+    * (doc_id % 100 == 0), the searched collection is everything else.
+    *
+    * Score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with k1=1.2, b=0.75 and the Lucene positive idf ln(1+(N−df+½)/(df+½))
+    * = ln((2N+2)/(2df+1)) — an ln over EXACT INTEGER counts (q89's
+    * convention). Each per-term contribution is evaluated in ONE fixed
+    * double shape (avgdl enters as the exact-integer cross product dl·N
+    * over total grams — never a pre-divided constant) and floor-quantized
+    * to integer micro-units BEFORE the per-(query,doc) sum, so the final
+    * score is an order-independent integer agg both engines bit-match.
+    *
+    * Plan at scale: tf is one map-side-combined (doc, gram) agg; df
+    * REUSES tf's output (one row per (doc,gram) — q56's no-second-pass
+    * trick) and rides the same gram partitioning; N and total-gram count
+    * are a 1-row broadcast; the bounded query-gram set broadcasts onto
+    * the tf stream (contribution volume = Σ_{t∈queries} df(t), capped by
+    * the df ≤ 50 stop-phrase band — q57's guard against the posting lists
+    * that explode at corpus scale); top-3 per query is a qid-partitioned
+    * window over ≤ |queries|·Σdf rows. The corpus never self-joins. */
+  def q179Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingles3(col("toks"))).as("gram"))
+    val corpusTf = grams.where(col("doc_id") % 100 =!= 0)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+    val df = corpusTf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50) // stop-phrase band: caps posting length
+    val sizes = corpusTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = corpusTf.agg(
+      count_distinct(col("doc_id")).as("nd"), sum(col("tf")).as("tot"))
+    val qGrams = grams.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("gram")).distinct()
+    val contrib = corpusTf
+      .join(broadcast(qGrams), Seq("gram"))
+      .join(df, Seq("gram"))
+      .join(sizes, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("qid"), col("doc_id"),
+        floor(lit(1000000.0) * (
+          log((lit(2.0) * col("nd").cast("double") + lit(2.0))
+            / (lit(2.0) * col("df").cast("double") + lit(1.0)))
+          * ((lit(2.2) * col("tf").cast("double"))
+            / (col("tf").cast("double") + lit(0.3)
+              + (lit(0.9) * (col("dl") * col("nd")).cast("double"))
+                / col("tot").cast("double"))))).cast("long").as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(byQ).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2905,7 +3016,73 @@ object TextQueries {
       s"""WITH $simhashPairsSqlCtes
          |SELECT doc1, doc2,
          |  CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
-         |FROM near""".stripMargin
+         |FROM near""".stripMargin,
+
+    // pos is the 0-based window start on both engines (Spark's posexplode
+    // index == DuckDB's generate_series p - 1); the island threshold
+    // pos > prev + 8 means the 8-token windows neither overlap nor touch
+    "q178_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  unnest(generate_series(1, len(toks) - 7)) AS p
+         |  FROM t WHERE len(toks) >= 8),
+         |x AS (SELECT doc_id, n_tokens, p - 1 AS pos,
+         |  md5(array_to_string(toks[p : p + 7], ' ')) AS h FROM w),
+         |f AS (SELECT h FROM x GROUP BY h HAVING COUNT(*) >= 2),
+         |m AS (SELECT doc_id, n_tokens, pos FROM x JOIN f USING (h)),
+         |s AS (SELECT doc_id, n_tokens, pos,
+         |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         |       THEN 1 ELSE 0 END AS ns FROM m),
+         |g AS (SELECT doc_id, n_tokens, pos,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS span_id FROM s),
+         |sp AS (SELECT doc_id, n_tokens, span_id,
+         |  CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+         |  ROUND(CAST(SUM(span_tokens) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         |    AS dup_share
+         |FROM sp GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // per-term BM25 contribution floor-quantized to integer micro-units in
+    // the IDENTICAL double expression shape as the Spark side (ln over
+    // exact integer counts; avgdl as the integer cross product dl*nd/tot)
+    "q179_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         |tf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM g WHERE doc_id % 100 <> 0 GROUP BY 1, 2),
+         |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1 HAVING COUNT(*) <= 50),
+         |sz AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+         |  CAST(SUM(tf) AS BIGINT) AS tot FROM tf),
+         |qg AS (SELECT DISTINCT doc_id AS qid, gram FROM g
+         |  WHERE doc_id % 100 = 0),
+         |c AS (SELECT qg.qid, tf.doc_id,
+         |  CAST(FLOOR(1000000.0 * (
+         |    ln((2.0 * CAST(nd AS DOUBLE) + 2.0)
+         |      / (2.0 * CAST(df.df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf.tf AS DOUBLE))
+         |      / (CAST(tf.tf AS DOUBLE) + 0.3
+         |        + (0.9 * CAST(sz.dl * nd AS DOUBLE))
+         |          / CAST(tot.tot AS DOUBLE))))) AS BIGINT) AS c
+         |  FROM tf JOIN qg USING (gram) JOIN df USING (gram)
+         |  JOIN sz ON sz.doc_id = tf.doc_id CROSS JOIN tot),
+         |s AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+         |  FROM c GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, score_micro,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT qid, rank, doc_id, score_micro FROM r WHERE rank <= 3""".stripMargin
   )
 
   /** Oracle twin of q71: the same `bpeSteps` merge iterations unrolled as a

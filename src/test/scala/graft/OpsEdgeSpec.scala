@@ -459,4 +459,59 @@ class OpsEdgeSpec extends SparkSpec {
     assert(all3 === n, "every doc carries all three placeholders")
     assert(residual === 0L, "no PII pattern survives redaction")
   }
+
+  test("q178 span edges: overlapping windows merge, touching spans merge, distant repeats split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs178").toString
+    def words(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    val shared10 = words("s", 10) // 10-token run shared by docs 0 and 1
+    val p8 = words("p", 8)        // 8-token phrase repeated far apart in doc 3
+    val r8 = words("r", 8)        // 8-token phrase repeated back-to-back in doc 4
+    Seq(
+      (0L, s"$shared10 x1 x2 x3"),          // windows 0,1,2 match -> ONE span of 10
+      (1L, s"y1 y2 $shared10"),             // windows 2,3,4 match -> ONE span of 10
+      (2L, words("z", 8)),                  // unique window: absent from output
+      (3L, s"$p8 ${words("q", 9)} $p8"),    // matches at pos 0 and 17: 17 > 0+8 -> TWO spans
+      (4L, s"$r8 $r8"))                     // matches at pos 0 and 8: touching -> ONE span of 16
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q178DupSpans(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 13L, 1L, 10L, 0.7692), // span tokens 0..9 of 13
+      (1L, 12L, 1L, 10L, 0.8333),
+      (3L, 25L, 2L, 16L, 0.64),   // two disjoint 8-token spans
+      (4L, 16L, 1L, 16L, 1.0)))   // adjacency (pos diff exactly 8) merges
+  }
+
+  test("q179 edges: identical corpus docs tie on score and break to the lower doc_id; no shared gram, no row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs179").toString
+    Seq(
+      (100L, "alpha beta gamma delta"),     // query doc (doc_id % 100 == 0)
+      (1L, "alpha beta gamma zz1 zz2"),     // shares gram "alpha beta gamma"
+      (2L, "alpha beta gamma zz1 zz2"),     // identical text -> identical score
+      (3L, "uu1 uu2 uu3 uu4 uu5"))          // no shared gram -> absent
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q179Bm25(spark, dir)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) === Seq((100L, 1L, 1L), (100L, 2L, 2L)))
+    assert(got(0)._4 === got(1)._4, "identical docs must score identically")
+    assert(got(0)._4 > 0L, "positive idf: Lucene form never goes negative")
+  }
+
+  test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
+    val vec = Array.fill(64)(0.25f)
+    (0L to 9L).map(i => (i, vec, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q180PcaPower(spark, dir).collect()
+    assert(got.length === 64)
+    assert(got.forall(_.isNullAt(1)), "centered data is all-zero: max|w| = 0 must null out, not throw")
+  }
 }
