@@ -550,6 +550,63 @@ object SimilarityQueries {
         round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))
   }
 
+  /** q181: hybrid retrieval via Reciprocal-Rank Fusion — the fusion layer
+    * every production retrieval stack (RAG, dedup triage, contamination
+    * review) puts on top of its lexical and semantic arms. Queries are
+    * the id % 100 == 0 slice in BOTH modalities (the fixture's documents
+    * and embeddings are id-aligned); the lexical arm is q179's BM25
+    * scored frame ranked top-10, the semantic arm is q23's SRP-LSH
+    * candidate shape (bucket equi-join, never all-pairs) ranked top-10 by
+    * exact cosine, and the fused score is the classic k=60 RRF
+    * Σ 1/(60+rank) — evaluated as the EXACT integer division
+    * 1000000 DIV (60+rank), so fusion is pure integer arithmetic on rank
+    * positions (rank ties in each arm break to the lower doc_id, making
+    * the whole query engine-deterministic end to end).
+    *
+    * Scale: both arms are already bounded (broadcast query slice; banded
+    * candidates); fusion adds one (qid, doc_id) full-outer join over two
+    * ≤10-row-per-query frames and a qid-partitioned window — negligible
+    * at any corpus size. A doc surfaced by only one arm gets that arm's
+    * term alone (standard RRF semantics; its other rank emits NULL). */
+  def q181HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = TextQueries.bm25Scored(spark, dir)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .where(col("lex_rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val banded = bandedOf(emb, pnOf(spark, dir))
+    val qb = banded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = banded.filter(col("vec_id") % 100 =!= 0)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("qid"), col("vec_id").as("doc_id"))
+      .distinct()
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = Similarity.cosine(col("qe"), col("embedding"))
+    val wSem = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("doc_id").asc)
+    val sem = cand
+      .join(broadcast(q), Seq("qid"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), cos.as("cs"))
+      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+      .where(col("sem_rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("sem_rank"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L))
+          + coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_micro"),
+        col("lex_rank"), col("sem_rank"))
+  }
+
   private val pcaRounds = 3
 
   /** q180: top principal component by POWER ITERATION — the spectral
@@ -573,9 +630,16 @@ object SimilarityQueries {
     * - degenerate inputs (all-identical vectors ⇒ max|w| = 0) yield NULL
     *   loadings via nullif, not a divide-by-zero.
     *
-    * The centered frame is persisted across the `pcaRounds` scans (same
-    * contract as q142's pts). Output: 64 (dim, loading) rows, loading in
-    * exact milli-units of the max-normalized eigenvector estimate. */
+    * CACHE CONTRACT (q142's per-round convention): the centered frame c
+    * is persisted across the `pcaRounds` scans, and each round persists
+    * its sr (one row per vector), w and v (64 rows each) — every one of
+    * those frames is referenced TWICE (by its max-abs normalizer and by
+    * the next stage), and without materialization the double references
+    * compound to ~4^rounds re-executions of the early rounds (measured:
+    * 123 cpu-s at sf0.1 unpersisted vs sub-second persisted). Bench and
+    * Verify clear the cache per query. Output: 64 (dim, loading) rows,
+    * loading in exact milli-units of the max-normalized eigenvector
+    * estimate. */
   def q180PcaPower(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -589,9 +653,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("dim"), (col("xq") - col("mu")).as("xc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v = mu.select(col("dim"), (lit(1000L) + col("dim")).as("v"))
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     for (_ <- 1 to pcaRounds) {
       val sr = c.join(broadcast(v), Seq("dim"))
         .groupBy(col("vec_id")).agg(sum(col("xc") * col("v")).as("sr"))
+        .persist(mad)
       val sm = sr.agg(max(greatest(col("sr"), -col("sr"))).as("sm"))
       val sn = sr.crossJoin(broadcast(sm))
         .select(col("vec_id"),
@@ -599,11 +665,13 @@ object SimilarityQueries {
       val w = c.join(sn, Seq("vec_id"))
         .groupBy(col("dim"))
         .agg(sum((col("sv") * col("xc")).cast("decimal(38,0)")).as("w"))
+        .persist(mad)
       val wm = w.agg(max(greatest(col("w"), -col("w"))).as("wm"))
       v = w.crossJoin(broadcast(wm))
         .select(col("dim"),
           (expr("(w * 1000 + 2000 * wm) DIV nullif(wm, 0)") - lit(2000L))
             .cast("long").as("v"))
+        .persist(mad)
     }
     v.select(col("dim"), col("v").as("loading_milli"),
       round(col("v").cast("double") / 1e3, 3).as("loading"))
@@ -1240,6 +1308,50 @@ object SimilarityQueries {
          |r AS (SELECT qid, neighbor_id, cs,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
          |  FROM c)
-         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
+         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // lexical arm = the shared bm25 CTE chain (TextQueries); semantic arm
+    // mirrors q23's SRP banding with se-prefixed CTE names; fusion is
+    // exact integer 1000000 // (60 + rank) per arm
+    "q181_hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25ScoredSqlCtes},
+         |lr AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+         |  SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score_micro DESC, doc_id ASC) AS rn FROM bm25s) x
+         |  WHERE rn <= 10),
+         |${pnCte("embeddings")},
+         |sebl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings CROSS JOIN pn),
+         |setb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM sebl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |seqb AS (SELECT vec_id AS qid, tbl, bucket FROM setb WHERE vec_id % 100 = 0),
+         |secand AS (SELECT DISTINCT seqb.qid, e.vec_id AS doc_id
+         |  FROM setb e JOIN seqb ON e.tbl = seqb.tbl AND e.bucket = seqb.bucket
+         |  WHERE e.vec_id % 100 <> 0),
+         |seq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |sec AS (SELECT secand.qid, secand.doc_id,
+         |  ${cosSql("seq.qe", "e.embedding")} AS cs
+         |  FROM secand
+         |  JOIN seq ON seq.qid = secand.qid
+         |  JOIN embeddings e ON e.vec_id = secand.doc_id),
+         |sr AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+         |  SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cs DESC, doc_id ASC) AS rn FROM sec) x
+         |  WHERE rn <= 10),
+         |f AS (SELECT COALESCE(lr.qid, sr.qid) AS qid,
+         |  COALESCE(lr.doc_id, sr.doc_id) AS doc_id, lr.lex_rank, sr.sem_rank
+         |  FROM lr FULL OUTER JOIN sr
+         |    ON lr.qid = sr.qid AND lr.doc_id = sr.doc_id),
+         |ff AS (SELECT qid, doc_id, lex_rank, sem_rank,
+         |  COALESCE(1000000 // (60 + lex_rank), 0)
+         |    + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf_micro FROM f),
+         |fr AS (SELECT qid, doc_id, rrf_micro, lex_rank, sem_rank,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank FROM ff)
+         |SELECT qid, rank, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |  lex_rank, sem_rank
+         |FROM fr WHERE rank <= 5""".stripMargin
   )
 }

@@ -1781,6 +1781,19 @@ object TextQueries {
     * that explode at corpus scale); top-3 per query is a qid-partitioned
     * window over ≤ |queries|·Σdf rows. The corpus never self-joins. */
   def q179Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    bm25Scored(spark, dir)
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** The BM25 scored frame (qid, doc_id, score_micro) shared by q179
+    * (which ranks it top-3) and q181's hybrid fusion (which fuses its
+    * top-10 with the semantic arm). See [[q179Bm25]] for the full
+    * scoring/exactness/scale contract. */
+  private[queries] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
@@ -1807,13 +1820,8 @@ object TextQueries {
             / (col("tf").cast("double") + lit(0.3)
               + (lit(0.9) * (col("dl") * col("nd")).cast("double"))
                 / col("tot").cast("double"))))).cast("long").as("c"))
-    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("c")).as("score_micro"))
-    val byQ = Window.partitionBy(col("qid"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(byQ).cast("long"))
-      .where(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score_micro"))
   }
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -3051,39 +3059,47 @@ object TextQueries {
     // the IDENTICAL double expression shape as the Spark side (ln over
     // exact integer counts; avgdl as the integer cross product dl*nd/tot)
     "q179_bm25" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len(toks) - 2),
-         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
-         |  FROM t WHERE len(toks) >= 3),
-         |tf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM g WHERE doc_id % 100 <> 0 GROUP BY 1, 2),
-         |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY 1 HAVING COUNT(*) <= 50),
-         |sz AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-         |  FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
-         |  CAST(SUM(tf) AS BIGINT) AS tot FROM tf),
-         |qg AS (SELECT DISTINCT doc_id AS qid, gram FROM g
-         |  WHERE doc_id % 100 = 0),
-         |c AS (SELECT qg.qid, tf.doc_id,
-         |  CAST(FLOOR(1000000.0 * (
-         |    ln((2.0 * CAST(nd AS DOUBLE) + 2.0)
-         |      / (2.0 * CAST(df.df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf.tf AS DOUBLE))
-         |      / (CAST(tf.tf AS DOUBLE) + 0.3
-         |        + (0.9 * CAST(sz.dl * nd AS DOUBLE))
-         |          / CAST(tot.tot AS DOUBLE))))) AS BIGINT) AS c
-         |  FROM tf JOIN qg USING (gram) JOIN df USING (gram)
-         |  JOIN sz ON sz.doc_id = tf.doc_id CROSS JOIN tot),
-         |s AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
-         |  FROM c GROUP BY 1, 2),
+      s"""WITH $bm25ScoredSqlCtes,
          |r AS (SELECT qid, doc_id, score_micro,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM s)
+         |  FROM bm25s)
          |SELECT qid, rank, doc_id, score_micro FROM r WHERE rank <= 3""".stripMargin
   )
+
+  /** The q179 BM25 scoring pipeline as a reusable CTE chain ending in
+    * `bm25s(qid, doc_id, score_micro)` — the SQL twin of [[bm25Scored]],
+    * shared by the q179 oracle and q181's hybrid-fusion oracle (CTE names
+    * are bm25-prefixed where collisions with the semantic arm are
+    * possible). */
+  private[queries] lazy val bm25ScoredSqlCtes: String =
+    s"""bm25t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bm25g AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+       |  FROM bm25t WHERE len(toks) >= 3),
+       |bm25tf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM bm25g WHERE doc_id % 100 <> 0 GROUP BY 1, 2),
+       |bm25df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM bm25tf GROUP BY 1 HAVING COUNT(*) <= 50),
+       |bm25sz AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM bm25tf GROUP BY 1),
+       |bm25tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+       |  CAST(SUM(tf) AS BIGINT) AS tot FROM bm25tf),
+       |bm25qg AS (SELECT DISTINCT doc_id AS qid, gram FROM bm25g
+       |  WHERE doc_id % 100 = 0),
+       |bm25c AS (SELECT bm25qg.qid, bm25tf.doc_id,
+       |  CAST(FLOOR(1000000.0 * (
+       |    ln((2.0 * CAST(nd AS DOUBLE) + 2.0)
+       |      / (2.0 * CAST(bm25df.df AS DOUBLE) + 1.0))
+       |    * ((2.2 * CAST(bm25tf.tf AS DOUBLE))
+       |      / (CAST(bm25tf.tf AS DOUBLE) + 0.3
+       |        + (0.9 * CAST(bm25sz.dl * nd AS DOUBLE))
+       |          / CAST(bm25tot.tot AS DOUBLE))))) AS BIGINT) AS c
+       |  FROM bm25tf JOIN bm25qg USING (gram) JOIN bm25df USING (gram)
+       |  JOIN bm25sz ON bm25sz.doc_id = bm25tf.doc_id CROSS JOIN bm25tot),
+       |bm25s AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+       |  FROM bm25c GROUP BY 1, 2)""".stripMargin
 
   /** Oracle twin of q71: the same `bpeSteps` merge iterations unrolled as a
     * CTE chain — per step, weighted pair counts (pK), the (count DESC, pair
