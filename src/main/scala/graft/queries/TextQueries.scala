@@ -1755,6 +1755,63 @@ object TextQueries {
           .as("dup_share"))
   }
 
+  /** q182: the REMOVAL pass that completes q178 — exact substring dedup's
+    * actual output: every duplicated 8-token window keeps its corpus-FIRST
+    * occurrence (minimal (doc_id, pos) struct — the published keep-one
+    * rule) and every other occurrence's token positions are cut; the
+    * result row carries the rewritten-text md5 (q144's reassembly
+    * checksum convention: both engines must agree on the cut set AND the
+    * reassembly order to match). Fully-deduplicated documents emit no row
+    * — their kept token set is empty, matching the recipe's discard of
+    * emptied docs. Within-doc repeats dedup too (the second back-to-back
+    * copy of a phrase is cut, the first kept).
+    *
+    * Plan: same digest-only window stream as q178; the keeper is a
+    * min(struct) carried INSIDE the digest agg (no second pass); cut
+    * positions explode only from REMOVABLE windows (≤ 8 rows per
+    * duplicated occurrence — bounded by the dup volume, not the corpus)
+    * and collapse to ONE int-array row per affected doc; the rewrite is
+    * then a narrow indexed-filter HOF over the original token array —
+    * the token stream is never exploded, never anti-joined, never
+    * re-sorted (the array already carries the order). The first form of
+    * this query exploded all tokens, anti-joined the cut set and
+    * re-assembled via array_sort(collect_list(struct)) — measured 1505
+    * cpu-s at the 100× rung vs ~600 for the digest stage alone; the HOF
+    * rewrite deletes the whole reassembly family. At 100 TB the only
+    * corpus-wide shuffles are the digest agg and the per-doc cut-array
+    * join, both fixed-width. */
+  def q182DedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+    val wins = toks
+      .where(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))).as(Seq("pos", "h")))
+    val keepers = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .where(col("nh") >= 2)
+      .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
+    val cuts = wins.join(keepers, Seq("h"))
+      .where(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_list(col("tp")).as("cuts"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) =>
+          !array_contains(coalesce(col("cuts"), array().cast("array<int>")), i))
+          .as("kept"))
+      .where(size(col("kept")) > 0) // fully-deduplicated docs emit no row
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+  }
+
   /** q179: BM25 top-k lexical retrieval — the term-match complement to the
     * embedding similarity family (q22/q23/q29 answer "nearest vector";
     * this answers "best keyword match", the other half of every retrieval
@@ -3054,6 +3111,35 @@ object TextQueries {
          |  ROUND(CAST(SUM(span_tokens) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
          |    AS dup_share
          |FROM sp GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // keeper = first (doc_id, pos) occurrence per duplicated window hash
+    // (lexicographic struct min == ROW_NUMBER rn=1 here); token positions
+    // are 0-based on both engines; reassembly is q144's ordered string_agg
+    "q182_dedup_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, len(toks) - 7)) AS p
+         |  FROM t WHERE len(toks) >= 8),
+         |x AS (SELECT doc_id, p - 1 AS pos,
+         |  md5(array_to_string(toks[p : p + 7], ' ')) AS h FROM w),
+         |k AS (SELECT h, doc_id AS kdoc, pos AS kpos FROM (
+         |  SELECT h, doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt
+         |  FROM x) z WHERE rn = 1 AND cnt >= 2),
+         |rw AS (SELECT x.doc_id, x.pos FROM x JOIN k USING (h)
+         |  WHERE NOT (x.doc_id = k.kdoc AND x.pos = k.kpos)),
+         |rp AS (SELECT DISTINCT doc_id, tp FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rw) y),
+         |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  generate_subscripts(toks, 1) - 1 AS tp, unnest(toks) AS tok FROM t),
+         |kept AS (SELECT e.doc_id, e.n_tokens, e.tp, e.tok FROM e
+         |  ANTI JOIN rp USING (doc_id, tp))
+         |SELECT doc_id, n_tokens,
+         |  n_tokens - CAST(COUNT(*) AS BIGINT) AS n_removed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY tp)) AS kept_md5
+         |FROM kept GROUP BY doc_id, n_tokens""".stripMargin,
 
     // per-term BM25 contribution floor-quantized to integer micro-units in
     // the IDENTICAL double expression shape as the Spark side (ln over

@@ -503,6 +503,36 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got(0)._4 > 0L, "positive idf: Lucene form never goes negative")
   }
 
+  test("q182 rewrite edges: keep-first wins, later copies are cut, fully-deduped docs vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs182").toString
+    def words(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shared10 = words("s", 10)
+    val p8 = words("p", 8)
+    val r8 = words("r", 8)
+    val z8 = words("z", 8)
+    Seq(
+      (0L, s"$shared10 x1 x2 x3"),       // corpus-first occurrence: loses nothing
+      (1L, s"y1 y2 $shared10"),          // later copy: positions 2..11 cut
+      (2L, z8),                          // first occurrence of z-run: intact
+      (3L, s"$p8 ${words("q", 9)} $p8"), // within-doc repeat: SECOND p-run cut
+      (4L, s"$r8 $r8"),                  // back-to-back repeat: second half cut
+      (5L, z8))                          // exact copy of doc 2: fully deduped -> NO row
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q182DedupRewrite(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (0L, 13L, 0L, 13L), (1L, 12L, 10L, 2L), (2L, 8L, 0L, 8L),
+      (3L, 25L, 8L, 17L), (4L, 16L, 8L, 8L)))
+    assert(got(1)._5 === md5hex("y1 y2"))
+    assert(got(3)._5 === md5hex(s"$p8 ${words("q", 9)}"))
+    assert(got(4)._5 === md5hex(r8))
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
