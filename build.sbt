@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes straight to the console, NOT through sbt's
+// logger: the logger prefixes every line with "[info] ", which breaks any
+// harness that tail-parses a JSON line from the bench/verify mains (the
+// driver's per-round bench capture recorded "parsed": null every round
+// because the summary line arrived as "[info] {...}").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,6 +18,17 @@ object Bench {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ladder hook: SPARK_GRAFT_CONF="spark.graft.dedup.digestHex=16,
+    // spark.graft.retrieval.queryCap=500" sets session confs before the
+    // run — how the scale ladder measures the conf-gated 100-TB paths
+    // (digest truncation, bounded query set) under bench discipline.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        require(k.startsWith("spark.graft."),
+          s"SPARK_GRAFT_CONF only sets spark.graft.* keys, got $k")
+        spark.conf.set(k, v)
+      })
     // Per-query shuffle-write volume: wall-clock at sf0.1 is dominated by
     // fixed overheads, but bytes exchanged scale linearly with data — the
     // number that predicts 100x behavior. Collected from task metrics.
@@ -127,6 +138,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.contains(":")).map { s =>
         val Array(q, ms) = s.split(":", 2); q -> ms.toLong
       }.toMap).getOrElse(Map.empty)
+    // ladder watchdog: SPARK_GRAFT_BENCH_TIMEOUT=900 caps each query at
+    // 900 s — on an unexplored rung one pathological plan must cost its
+    // own budget, not the whole run. The query executes in a worker
+    // thread under its own job group (job groups are thread-local) so a
+    // timeout can cancel ITS jobs without touching the session; the
+    // query is then recorded under "failed" like a crash.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT")
+      .flatMap(_.toLongOption)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var shBytes = 0L
@@ -144,9 +163,33 @@ object Bench {
         // (token stats, fingerprints, variant extraction, ...) would be
         // timed as bare parquet scans. toRdd runs the plan as the user's
         // query planned it — every output column materialized.
-        ok = try {
+        def runOnce(): Unit = {
           fn(spark, sfDir).queryExecution.toRdd.count()
           sleepInject.get(name).foreach(Thread.sleep)
+        }
+        ok = try {
+          timeoutSec match {
+            case None => runOnce()
+            case Some(ts) =>
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration._
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val f = Future {
+                spark.sparkContext.setJobGroup(name, name,
+                  interruptOnCancel = true)
+                try runOnce() finally spark.sparkContext.clearJobGroup()
+              }
+              try Await.result(f, ts.seconds)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  spark.sparkContext.cancelJobGroup(name)
+                  // let the cancelled jobs actually unwind before the next
+                  // query's measurement starts
+                  try Await.result(f, 120.seconds)
+                  catch { case _: Throwable => () }
+                  throw new RuntimeException(s"timed out after $ts s")
+              }
+          }
           true
         } catch {
           case e: Throwable =>

@@ -125,6 +125,12 @@ object GraftFunctions {
   def longVecDot(a: Column, b: Column): Column =
     shim.column(LongVecDot(shim.expression(a), shim.expression(b)))
 
+  /** `prune_sorted_positions(toks, cuts)` as a Column — drop the elements of
+    * a string array at the given sorted distinct 0-based positions via an
+    * O(n+m) merge walk (see [[PruneSortedPositions]] for the contract). */
+  def pruneSortedPositions(toks: Column, cuts: Column): Column =
+    shim.column(PruneSortedPositions(shim.expression(toks), shim.expression(cuts)))
+
   /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
     * Column API alike; float/double arrays are left alone. */
   private[functions] def toVecType(e: Expression): Expression = e.dataType match {
@@ -165,6 +171,9 @@ object GraftFunctions {
         }
         LongVecDot(toLongArr(args(0)), toLongArr(args(1)))
       }),
+    (FunctionIdentifier("prune_sorted_positions"),
+      new ExpressionInfo(classOf[PruneSortedPositions].getName, "prune_sorted_positions"),
+      (args: Seq[Expression]) => PruneSortedPositions(args(0), args(1))),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (args: Seq[Expression]) => NormalizeText(args.head)),

@@ -567,7 +567,11 @@ object SimilarityQueries {
     * candidates); fusion adds one (qid, doc_id) full-outer join over two
     * ≤10-row-per-query frames and a qid-partitioned window — negligible
     * at any corpus size. A doc surfaced by only one arm gets that arm's
-    * term alone (standard RRF semantics; its other rank emits NULL). */
+    * term alone (standard RRF semantics; its other rank emits NULL).
+    * `spark.graft.retrieval.queryCap = K` bounds BOTH arms to the K
+    * smallest query ids (see [[TextQueries.retrievalQueryCap]]) — the
+    * fixture's proportional query slice is a ladder artifact; the cap is
+    * how the ladder measures corpus growth at fixed workload. */
   def q181HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val wLex = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
@@ -576,15 +580,23 @@ object SimilarityQueries {
       .where(col("lex_rank") <= 10)
       .select(col("qid"), col("doc_id"), col("lex_rank"))
     val emb = Tables.embeddings(spark, dir)
+    // the semantic arm's query cap rides the id-aligned embeddings table
+    // (documents and embeddings share the id domain, so both arms keep
+    // the SAME K queries)
+    val capIds = TextQueries.retrievalQueryCap(spark).map(k =>
+      emb.select(col("vec_id").as("qid")).where(col("qid") % 100 === 0)
+        .orderBy(col("qid")).limit(k))
+    def capped(df: DataFrame): DataFrame =
+      capIds.fold(df)(ids => df.join(broadcast(ids), Seq("qid"), "left_semi"))
     val banded = bandedOf(emb, pnOf(spark, dir))
-    val qb = banded.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val qb = capped(banded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket")))
     val cand = banded.filter(col("vec_id") % 100 =!= 0)
       .join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col("qid"), col("vec_id").as("doc_id"))
       .distinct()
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val q = capped(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val cos = Similarity.cosine(col("qe"), col("embedding"))
     val wSem = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("doc_id").asc)
@@ -788,31 +800,36 @@ object SimilarityQueries {
     // (the ladder measured exactly that); with cluster size held ~256 the
     // pairwise shuffle stays linear in n.
     //
-    // Assignment is a THREE-LEVEL quantizer (IVF top/mid/fine): a flat
-    // nearest-of-k scan is n·k dots = O(n²/256) once k tracks n, and the
-    // previous TWO-level split (√k + k/√k per vector) still measured an
-    // n^1.5 law at the 1000× ladder rung (432 s at 5M vectors). With a
-    // top codebook of k2 ≈ k^(1/3) seeds, a mid codebook of k1 = k2²,
-    // and per-cell descent at each level, every vector costs
-    // ~3·k^(1/3) dots — n^(4/3) total. Codebook sizes are INTEGER-exact
-    // (k2 = min i with i³ ≥ k, clamped [4, ∞); k1 = clamp(k2², [k2, k]))
-    // so no floating pow/ceil at an integer boundary can disagree with
-    // the oracle's arithmetic. Seed nesting (ids < k2 ⊂ < k1 ⊂ < k)
-    // plus self-distance 0 pins mid j to top j's cell and fine j to
-    // mid j's cell, so no cell at any level is empty. All three
-    // codebooks broadcast; every argmin's map-side partial-min keeps
-    // shuffles at n skinny rows (the array NEVER rides through an
-    // aggregate — struct-min over an array buffer is a non-mutable
-    // ObjectHashAggregate that falls back to sort past 128 groups,
-    // measured 2.6× worse than the flat scan). Deterministic ties on
-    // the lower id at every level; the oracle computes the identical
-    // three-level result — a defined semantics, not an approximation
-    // of the flat scan.
+    // Assignment is a FOUR-LEVEL quantizer (IVF top/m1/m2/fine): a flat
+    // nearest-of-k scan is n·k dots = O(n²/256) once k tracks n; the
+    // TWO-level split (√k + k/√k per vector) measured an n^1.5 law at
+    // the 1000× ladder rung (432 s at 5M vectors) and the r5 THREE-level
+    // (3·k^(1/3), n^(4/3)) measured 187 s there — still the frontier's
+    // most expensive query. With a top codebook of k3 ≈ k^(1/4) seeds
+    // and geometric levels k2 = k3², k1 = k3³, every vector costs
+    // ~4·k^(1/4) dots — n^(5/4) total (at 5M vectors: 81 → ~47 dots per
+    // vector vs three-level). Codebook sizes are INTEGER-exact
+    // (k3 = min i with i⁴ ≥ k, clamped [4, ∞); k2 = clamp(k3², [k3, k]);
+    // k1 = clamp(k3³, [k2, k])) so no floating pow/ceil at an integer
+    // boundary can disagree with the oracle's arithmetic — the clamps
+    // also make the ladder DEGENERATE CLEANLY on small corpora (at the
+    // fixture k = 8: levels 4/8/8/8, extra levels collapse to the fine
+    // codebook). Seed nesting (ids < k3 ⊂ < k2 ⊂ < k1 ⊂ < k) plus
+    // self-distance 0 pins each level-j seed to its own parent cell, so
+    // no cell at any level is empty. All four codebooks broadcast; every
+    // argmin's map-side partial-min keeps shuffles at n skinny rows (the
+    // array NEVER rides through an aggregate — struct-min over an array
+    // buffer is a non-mutable ObjectHashAggregate that falls back to
+    // sort past 128 groups, measured 2.6× worse than the flat scan).
+    // Deterministic ties on the lower id at every level; the oracle
+    // computes the identical four-level result — a defined semantics,
+    // not an approximation of the flat scan.
     val k = math.max(8L,
       (Tables.embeddings(spark, dir).count() + 255L) / 256L)
-    val k2 = math.max(4L,
-      Iterator.from(1).find(i => i.toLong * i * i >= k).get.toLong)
-    val k1 = math.max(k2, math.min(k, k2 * k2))
+    val k3 = math.max(4L,
+      Iterator.from(1).find(i => i.toLong * i * i * i >= k).get.toLong)
+    val k2 = math.max(k3, math.min(k, k3 * k3))
+    val k1 = math.max(k2, math.min(k, k3 * k3 * k3))
     // generic argmin stage: nearest candidate (cid, cq6, cn6[, cell]) for
     // every row (id, vq6, n6[, cell]) by quantized d2 = |x|²−2⟨x,c⟩+|c|²,
     // (d2, cid) struct-min tie-break, candidates broadcast (codebooks are
@@ -836,24 +853,35 @@ object SimilarityQueries {
     def seedRows(limit: Long, id: String): DataFrame =
       vecs.filter(col("vec_id") < limit)
         .select(col("vec_id").cast("int").as(id), col("vq6"), col("n6"))
-    val tops = seedCands(k2, "top")
-    // codebook labeling: mid -> top flat (k1·k2 dots), fine -> top flat
-    // then fine -> mid within the top cell (k·k2 + ~k·k1/k2 dots) — all
-    // tiny relative to the vector-side descent
-    val midTop = nearest(seedRows(k1, "mid"), "mid", tops, "top", Nil)
+    val tops = seedCands(k3, "top")
+    // codebook labeling, coarse to fine — each level's codebook descends
+    // through the already-labeled coarser levels (flat against top, then
+    // within-cell at each finer level): ~k·3·k^(1/4) dots total, tiny
+    // relative to the vector-side descent
+    val m1Top = nearest(seedRows(k2, "m1"), "m1", tops, "top", Nil)
+    val m1Cands = seedCands(k2, "m1").join(m1Top, Seq("m1"))
+    val m2Top = nearest(seedRows(k1, "m2"), "m2", tops, "top", Nil)
+    val m2M1 = nearest(seedRows(k1, "m2").join(m2Top, Seq("m2")),
+      "m2", m1Cands, "m1", Seq("top"))
+    val m2Cands = seedCands(k1, "m2").join(m2M1, Seq("m2"))
     val fineTop = nearest(seedRows(k, "cluster"), "cluster", tops, "top", Nil)
-    val midCands = seedCands(k1, "mid").join(midTop, Seq("mid"))
-    val fineMid = nearest(seedRows(k, "cluster").join(fineTop, Seq("cluster")),
-      "cluster", midCands, "mid", Seq("top"))
-    val fineCands = seedCands(k, "cluster").join(fineMid, Seq("cluster"))
-    // vector descent: top (flat k2 scan) -> mid in top cell -> fine in
-    // mid cell; each stage rejoins the skinny assignment on vec_id
+    val fineM1 = nearest(seedRows(k, "cluster").join(fineTop, Seq("cluster")),
+      "cluster", m1Cands, "m1", Seq("top"))
+    val fineM2 = nearest(seedRows(k, "cluster").join(fineM1, Seq("cluster")),
+      "cluster", m2Cands, "m2", Seq("m1"))
+    val fineCands = seedCands(k, "cluster").join(fineM2, Seq("cluster"))
+    // vector descent: top (flat k3 scan) -> m1 in top cell -> m2 in m1
+    // cell -> fine in m2 cell; each stage rejoins the skinny assignment
+    // on vec_id
     val vrows = vecs.select(col("vec_id"), col("vq6"), col("n6"))
     val vecTop = nearest(vrows, "vec_id", tops, "top", Nil)
-    val vecMid = nearest(vrows.join(vecTop, Seq("vec_id")), "vec_id",
-      midCands, "mid", Seq("top"))
-    val assign = nearest(vrows.join(vecMid, Seq("vec_id")), "vec_id",
-      fineCands, "cluster", Seq("mid"))
+    val vecM1 = nearest(vrows.join(vecTop, Seq("vec_id")), "vec_id",
+      m1Cands, "m1", Seq("top"))
+    val vecM2 = nearest(vrows.join(vecM1, Seq("vec_id")), "vec_id",
+      m2Cands.select(col("m2"), col("cq6"), col("cn6"), col("m1")),
+      "m2", Seq("m1"))
+    val assign = nearest(vrows.join(vecM2, Seq("vec_id")), "vec_id",
+      fineCands, "cluster", Seq("m2"))
     // Pin the pair-stage width: the cluster-keyed self-join's input is
     // ~0.5 KiB/row, so AQE's size-targeted coalesce would pack the
     // quadratic-in-cluster-size DOT-PRODUCT work into a handful of fat
@@ -942,16 +970,16 @@ object SimilarityQueries {
       .join(mined.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
   }
 
-  /** q157's oracle: the same three-level integer assignment + integer
+  /** q157's oracle: the same four-level integer assignment + integer
     * cosine cross-multiplication, in DuckDB list/unnest algebra. The
     * offset (+1e6) on xq cancels inside every (a-b)^2, so the engine's
     * un-offset arrays give identical distances. Codebook sizes are
-    * integer-exact: k2 = MIN(i: i³ ≥ k) over a series scan (no
+    * integer-exact: k3 = MIN(i: i⁴ ≥ k) over a series scan (no
     * floating pow/ceil that could straddle an integer boundary across
-    * engines), k1 = clamp(k2², [k2, k]). Stage order mirrors the Spark
-    * descent exactly: mid→top, fine→top, fine→mid (within the top
-    * cell), then vec→top, vec→mid, vec→fine; ties (d2, id) at every
-    * level. */
+    * engines), k2 = clamp(k3², [k3, k]), k1 = clamp(k3³, [k2, k]).
+    * Stage order mirrors the Spark descent exactly: m1→top, m2→top,
+    * m2→m1 (within the top cell), fine→top, fine→m1, fine→m2, then
+    * vec→top, vec→m1, vec→m2, vec→fine; ties (d2, id) at every level. */
   private lazy val semdedupSql: String =
     s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
@@ -960,62 +988,100 @@ object SimilarityQueries {
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
        |kk AS (SELECT GREATEST(8, (COUNT(*) + 255) // 256) AS k
        |  FROM embeddings),
-       |kc AS (SELECT GREATEST(4, MIN(i)) AS k2
-       |  FROM (SELECT unnest(generate_series(1, 100000)) AS i) s
-       |  WHERE i * i * i >= (SELECT k FROM kk)),
-       |km AS (SELECT GREATEST((SELECT k2 FROM kc),
+       |kc AS (SELECT GREATEST(4, MIN(i)) AS k3
+       |  FROM (SELECT unnest(generate_series(1, 55000)) AS i) s
+       |  WHERE i * i * i * i >= (SELECT k FROM kk)),
+       |km2 AS (SELECT GREATEST((SELECT k3 FROM kc),
        |  LEAST((SELECT k FROM kk),
-       |    (SELECT k2 FROM kc) * (SELECT k2 FROM kc))) AS k1),
+       |    (SELECT k3 FROM kc) * (SELECT k3 FROM kc))) AS k2),
+       |km1 AS (SELECT GREATEST((SELECT k2 FROM km2),
+       |  LEAST((SELECT k FROM kk),
+       |    (SELECT k3 FROM kc) * (SELECT k3 FROM kc) * (SELECT k3 FROM kc))) AS k1),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
        |  FROM p WHERE vec_id < (SELECT k FROM kk)),
-       |m0 AS (SELECT CAST(vec_id AS INT) AS mid, dim, xq AS mq
-       |  FROM p WHERE vec_id < (SELECT k1 FROM km)),
+       |b0 AS (SELECT CAST(vec_id AS INT) AS m2, dim, xq AS bq
+       |  FROM p WHERE vec_id < (SELECT k1 FROM km1)),
+       |a0 AS (SELECT CAST(vec_id AS INT) AS m1, dim, xq AS aq
+       |  FROM p WHERE vec_id < (SELECT k2 FROM km2)),
        |t0 AS (SELECT CAST(vec_id AS INT) AS top, dim, xq AS tq
-       |  FROM p WHERE vec_id < (SELECT k2 FROM kc)),
-       |mt AS (SELECT mid, top FROM (
-       |  SELECT m.mid, t.top,
-       |    ROW_NUMBER() OVER (PARTITION BY m.mid
-       |      ORDER BY SUM((m.mq - t.tq) * (m.mq - t.tq)), t.top) AS rn
-       |  FROM m0 m JOIN t0 t ON t.dim = m.dim
-       |  GROUP BY m.mid, t.top) x WHERE rn = 1),
-       |ft AS (SELECT cluster, top FROM (
+       |  FROM p WHERE vec_id < (SELECT k3 FROM kc)),
+       |at AS (SELECT m1, top FROM (
+       |  SELECT a.m1, t.top,
+       |    ROW_NUMBER() OVER (PARTITION BY a.m1
+       |      ORDER BY SUM((a.aq - t.tq) * (a.aq - t.tq)), t.top) AS rn
+       |  FROM a0 a JOIN t0 t ON t.dim = a.dim
+       |  GROUP BY a.m1, t.top) x WHERE rn = 1),
+       |bt AS (SELECT m2, top FROM (
+       |  SELECT b.m2, t.top,
+       |    ROW_NUMBER() OVER (PARTITION BY b.m2
+       |      ORDER BY SUM((b.bq - t.tq) * (b.bq - t.tq)), t.top) AS rn
+       |  FROM b0 b JOIN t0 t ON t.dim = b.dim
+       |  GROUP BY b.m2, t.top) x WHERE rn = 1),
+       |ba AS (SELECT m2, m1 FROM (
+       |  SELECT b.m2, a.m1,
+       |    ROW_NUMBER() OVER (PARTITION BY b.m2
+       |      ORDER BY SUM((b.bq - a.aq) * (b.bq - a.aq)), a.m1) AS rn
+       |  FROM b0 b
+       |  JOIN bt ON bt.m2 = b.m2
+       |  JOIN at ON at.top = bt.top
+       |  JOIN a0 a ON a.m1 = at.m1 AND a.dim = b.dim
+       |  GROUP BY b.m2, a.m1) x WHERE rn = 1),
+       |ct AS (SELECT cluster, top FROM (
        |  SELECT c.cluster, t.top,
        |    ROW_NUMBER() OVER (PARTITION BY c.cluster
        |      ORDER BY SUM((c.cq - t.tq) * (c.cq - t.tq)), t.top) AS rn
        |  FROM c0 c JOIN t0 t ON t.dim = c.dim
        |  GROUP BY c.cluster, t.top) x WHERE rn = 1),
-       |fm AS (SELECT cluster, mid FROM (
-       |  SELECT c.cluster, m.mid,
+       |ca AS (SELECT cluster, m1 FROM (
+       |  SELECT c.cluster, a.m1,
        |    ROW_NUMBER() OVER (PARTITION BY c.cluster
-       |      ORDER BY SUM((c.cq - m.mq) * (c.cq - m.mq)), m.mid) AS rn
+       |      ORDER BY SUM((c.cq - a.aq) * (c.cq - a.aq)), a.m1) AS rn
        |  FROM c0 c
-       |  JOIN ft ON ft.cluster = c.cluster
-       |  JOIN mt ON mt.top = ft.top
-       |  JOIN m0 m ON m.mid = mt.mid AND m.dim = c.dim
-       |  GROUP BY c.cluster, m.mid) x WHERE rn = 1),
+       |  JOIN ct ON ct.cluster = c.cluster
+       |  JOIN at ON at.top = ct.top
+       |  JOIN a0 a ON a.m1 = at.m1 AND a.dim = c.dim
+       |  GROUP BY c.cluster, a.m1) x WHERE rn = 1),
+       |cb AS (SELECT cluster, m2 FROM (
+       |  SELECT c.cluster, b.m2,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY SUM((c.cq - b.bq) * (c.cq - b.bq)), b.m2) AS rn
+       |  FROM c0 c
+       |  JOIN ca ON ca.cluster = c.cluster
+       |  JOIN ba ON ba.m1 = ca.m1
+       |  JOIN b0 b ON b.m2 = ba.m2 AND b.dim = c.dim
+       |  GROUP BY c.cluster, b.m2) x WHERE rn = 1),
        |vt AS (SELECT vec_id, top FROM (
        |  SELECT p.vec_id, t.top,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY SUM((p.xq - t.tq) * (p.xq - t.tq)), t.top) AS rn
        |  FROM p JOIN t0 t ON t.dim = p.dim
        |  GROUP BY p.vec_id, t.top) x WHERE rn = 1),
-       |vm AS (SELECT vec_id, mid FROM (
-       |  SELECT p.vec_id, m.mid,
+       |va AS (SELECT vec_id, m1 FROM (
+       |  SELECT p.vec_id, a.m1,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
-       |      ORDER BY SUM((p.xq - m.mq) * (p.xq - m.mq)), m.mid) AS rn
+       |      ORDER BY SUM((p.xq - a.aq) * (p.xq - a.aq)), a.m1) AS rn
        |  FROM p
        |  JOIN vt ON vt.vec_id = p.vec_id
-       |  JOIN mt ON mt.top = vt.top
-       |  JOIN m0 m ON m.mid = mt.mid AND m.dim = p.dim
-       |  GROUP BY p.vec_id, m.mid) x WHERE rn = 1),
+       |  JOIN at ON at.top = vt.top
+       |  JOIN a0 a ON a.m1 = at.m1 AND a.dim = p.dim
+       |  GROUP BY p.vec_id, a.m1) x WHERE rn = 1),
+       |vb AS (SELECT vec_id, m2 FROM (
+       |  SELECT p.vec_id, b.m2,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY SUM((p.xq - b.bq) * (p.xq - b.bq)), b.m2) AS rn
+       |  FROM p
+       |  JOIN va ON va.vec_id = p.vec_id
+       |  JOIN ba ON ba.m1 = va.m1
+       |  JOIN b0 b ON b.m2 = ba.m2 AND b.dim = p.dim
+       |  GROUP BY p.vec_id, b.m2) x WHERE rn = 1),
        |a1 AS (SELECT vec_id, cluster FROM (
        |  SELECT p.vec_id, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)), c.cluster) AS rn
        |  FROM p
-       |  JOIN vm ON vm.vec_id = p.vec_id
-       |  JOIN fm ON fm.mid = vm.mid
-       |  JOIN c0 c ON c.cluster = fm.cluster AND c.dim = p.dim
+       |  JOIN vb ON vb.vec_id = p.vec_id
+       |  JOIN cb ON cb.m2 = vb.m2
+       |  JOIN c0 c ON c.cluster = cb.cluster AND c.dim = p.dim
        |  GROUP BY p.vec_id, c.cluster) x WHERE rn = 1),
        |v AS (SELECT e.vec_id, a1.cluster,
        |  list_transform(e.embedding,

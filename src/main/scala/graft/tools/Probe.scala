@@ -69,6 +69,55 @@ object Probe {
               .select("o_orderkey", "o_orderstatus")))
         timed(spark, "full q06 (with distinct)",
           graft.queries.CoreQueries.q06Union(spark, dir), explain = true)
+      case "q182long" =>
+        // A/B for the r6 rewrite-filter fix: one doc that is a single
+        // 8-token phrase repeated k times (the operator's worst case —
+        // |cuts| -> |toks|), old indexed-filter HOF vs the native merge
+        // walk. The old form is reconstructed verbatim (pre-r6 q182 tail)
+        // on the SAME cuts pipeline so the delta is the rewrite stage only.
+        import spark.implicits._
+        import graft.ops.{TextAnalysis => TA}
+        val nReps = args.lift(2).flatMap(_.toIntOption).getOrElse(15000)
+        val tmp = java.nio.file.Files.createTempDirectory("probe182").toString
+        val p8 = (1 to 8).map("p" + _).mkString(" ")
+        Seq((0L, Seq.fill(nReps)(p8).mkString(" ")),
+            (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+          .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        println(s"[probe] q182long: ${nReps * 8} tokens in the dup doc")
+        timed(spark, "q182 merge walk (r6)",
+          graft.queries.TextQueries.q182DedupRewrite(spark, tmp))
+        val W = 8
+        val toks = Tables.documents(spark, tmp)
+          .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        val wins = toks
+          .where(size(col("toks")) >= W)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+              i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))).as(Seq("pos", "h")))
+        val keepers = wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("nh"),
+            min(struct(col("doc_id"), col("pos"))).as("k"))
+          .where(col("nh") >= 2)
+          .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
+        val cuts = wins.join(keepers, Seq("h"))
+          .where(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(collect_list(col("tp")).as("cuts"))
+        timed(spark, "q182 HOF filter (pre-r6)",
+          toks.join(cuts, Seq("doc_id"), "left")
+            .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+              filter(col("toks"), (_, i) =>
+                !array_contains(coalesce(col("cuts"), array().cast("array<int>")), i))
+                .as("kept"))
+            .where(size(col("kept")) > 0)
+            .select(col("doc_id"), col("n_tokens"),
+              (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+              size(col("kept")).cast("long").as("n_kept"),
+              md5(concat_ws(" ", col("kept"))).as("kept_md5")))
       case other =>
         sys.error(s"unknown probe: $other")
     }

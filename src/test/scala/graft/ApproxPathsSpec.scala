@@ -91,6 +91,67 @@ class ApproxPathsSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain J >= 0.5 pairs")
   }
 
+  // ---- q178/q182 digest width -----------------------------------------
+
+  test("q178/q182: the 16-hex (64-bit) digest reproduces the exact output on the fixture") {
+    // The 100-TB path: both the spans and the rewrite depend on the digest
+    // only through equality, and truncation is applied identically to every
+    // window, so any digest width without a collision in the corpus yields
+    // byte-identical results. The fixture has no 64-bit collisions; at
+    // 10^10 windows the collision odds (~n^2/2^65) only ever OVER-count
+    // duplication — documented in winDigest's scaladoc.
+    val exactSpans = TextQueries.q178DupSpans(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    val exactRewrite = TextQueries.q182DedupRewrite(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    withConf("spark.graft.dedup.digestHex", "16") {
+      assert(TextQueries.q178DupSpans(spark, sfDir)
+        .orderBy("doc_id").collect().toSeq === exactSpans)
+      assert(TextQueries.q182DedupRewrite(spark, sfDir)
+        .orderBy("doc_id").collect().toSeq === exactRewrite)
+    }
+    assert(exactRewrite.nonEmpty, "fixture should contain duplicated spans")
+  }
+
+  test("q178: digestHex outside [8, 32] is rejected, not silently clamped") {
+    withConf("spark.graft.dedup.digestHex", "4") {
+      intercept[IllegalArgumentException] {
+        TextQueries.q178DupSpans(spark, sfDir)
+      }
+    }
+  }
+
+  // ---- q179/q181 bounded query set ------------------------------------
+
+  test("q179/q181: queryCap >= |queries| reproduces the exact output; a binding cap is a pure workload restriction") {
+    import graft.queries.SimilarityQueries
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val exact179 = rows(TextQueries.q179Bm25(spark, sfDir))
+    val exact181 = rows(SimilarityQueries.q181HybridRrf(spark, sfDir))
+    withConf("spark.graft.retrieval.queryCap", "1000000") {
+      assert(rows(TextQueries.q179Bm25(spark, sfDir)) === exact179)
+      assert(rows(SimilarityQueries.q181HybridRrf(spark, sfDir)) === exact181)
+    }
+    // a binding cap keeps the K SMALLEST qids and leaves their rows
+    // byte-identical — corpus statistics are computed before the cap joins
+    val k = 3
+    val keep = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).where(col("doc_id") % 100 === 0)
+      .orderBy(col("doc_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep.size === k, "fixture must have more than k query docs")
+    val exactKept179 = TextQueries.q179Bm25(spark, sfDir).collect()
+      .filter(r => keep(r.getLong(0))).map(_.toString).toSeq.sorted
+    val exactKept181 = SimilarityQueries.q181HybridRrf(spark, sfDir).collect()
+      .filter(r => keep(r.getLong(0))).map(_.toString).toSeq.sorted
+    assert(exactKept179.nonEmpty, "the kept queries should retrieve something")
+    withConf("spark.graft.retrieval.queryCap", k.toString) {
+      assert(rows(TextQueries.q179Bm25(spark, sfDir)) === exactKept179)
+      assert(rows(SimilarityQueries.q181HybridRrf(spark, sfDir)) === exactKept181)
+    }
+  }
+
   test("q126: a binding cap yields a subset with per-pair J <= exact") {
     val exact = pairsOf(TextQueries.q126PrefixJoin(spark, sfDir))
     spark.catalog.clearCache()

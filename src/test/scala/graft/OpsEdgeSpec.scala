@@ -533,6 +533,64 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got(4)._5 === md5hex(r8))
   }
 
+  test("q182 long-doc edge: a 120k-token 99.99%-duplicated doc rewrites in seconds, not hours") {
+    // The operator's reason to exist is long boilerplate-heavy documents —
+    // exactly where the pre-r6 indexed-filter form went quadratic per row
+    // (|cuts| -> |toks|: ~1.4e10 array_contains probes in ONE task for this
+    // doc). The native merge walk is O(|toks|+|cuts|); this case completes
+    // with the rest of the suite. Expected semantics: the doc is one 8-token
+    // phrase repeated 15k times, so the 8 cyclic window rotations keep their
+    // FIRST occurrences (pos 0..7) and every later window is cut — the cut
+    // ranges [8, n-1] leave exactly the first 8 tokens standing.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs182_long").toString
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p8 = (1 to 8).map("p" + _).mkString(" ")
+    val long = Seq.fill(15000)(p8).mkString(" ") // 120,000 tokens
+    Seq((0L, long), (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q182DedupRewrite(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 120000L, 119992L, 8L, md5hex(p8)),
+      (1L, 9L, 0L, 9L, md5hex("u1 u2 u3 u4 u5 u6 u7 u8 u9"))))
+  }
+
+  test("q181 fusion edges: one-arm docs keep the other rank NULL, and an exact rrf tie breaks to the lower doc_id") {
+    // doc 1 is lexical-only: it shares the gram "alpha beta gamma" with the
+    // query but its embedding is the NEGATION of the query's — SRP buckets
+    // of -v are the bitwise complement of v's in every table (no dot
+    // product is zero for this v), so it can never be a semantic
+    // candidate. doc 2 is semantic-only: identical embedding (bucket-mate
+    // in all tables, cosine 1.0) but no shared gram. Each therefore
+    // surfaces at rank 1 in exactly one arm -> identical fused scores
+    // 1000000 DIV 61, and the tie must break to the lower doc_id.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs181").toString
+    val v = Array.tabulate(64)(j => (((j * 37) % 101) - 50) / 100.0f + 0.013f)
+    val neg = v.map(x => -x)
+    Seq(
+      (100L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma zz1 zz2"),
+      (2L, "uu1 uu2 uu3 uu4"),
+      (3L, "vv1 vv2 vv3 vv4"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((100L, v, 0), (1L, neg, 0), (2L, v, 0), (3L, neg, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q181HybridRrf(spark, dir)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (100L, 1L, 1L, 16393L, Some(1L), None),
+      (100L, 2L, 2L, 16393L, None, Some(1L))))
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
