@@ -16,6 +16,22 @@ object Bench {
       // local SSDs for spark.local.dir; RAM-disk is this box's equivalent.
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-tmp"))
+      // Broadcast sizing is a DEPLOYMENT decision, not a query hint: the
+      // r6 sweep removed every broadcast() hint on scale-proportional
+      // tables (part/supplier/customer slices) so plans degrade to
+      // shuffle joins instead of OOM when those tables outgrow memory.
+      // This session's executors hold gigabytes per core, so a few
+      // hundred MB build side is cheap — but ONLY the AQE runtime
+      // threshold is raised: it judges ACTUAL shuffle sizes, while the
+      // static threshold judges Catalyst's estimates, which on derived
+      // frames (aggregates, LSH pair streams) can be off by 100×
+      // (measured: a frame estimated broadcastable built a 10.7 GiB
+      // hash relation at the 1000× rung and hit the 8 GiB hard limit).
+      // Static stays at the default 10 MB; AQE converts to broadcast
+      // when a build side MEASURES under 256 MB — a 170 MB part table
+      // at the 1000× rung converts, a 170 GB one at 100 TB never does.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MAX", (256L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ladder hook: SPARK_GRAFT_CONF="spark.graft.dedup.digestHex=16,

@@ -67,8 +67,20 @@ object Similarity {
     * are global rows [t*MaxPlanesPerTable, t*MaxPlanesPerTable + pn) for
     * the ADAPTIVE pn below. Keeping the stride fixed means the literal
     * sign matrix (and the oracle SQL that inlines it) never changes shape
-    * as pn moves with corpus size. */
-  val MaxPlanesPerTable = 12
+    * as pn moves with corpus size.
+    *
+    * 24, raised from 12 in r6: the clamp is where SRP banding saturates,
+    * exactly like the r4 simhash 15-bit wall — past 2^pn·target vectors
+    * the expected bucket occupancy grows linearly again and candidate
+    * volume reverts to n²/2^pn. At 12 planes that wall sits at ~131k
+    * vectors; the r6 full-suite 1000× rung (2M vectors) measured it as
+    * ~15× target occupancy — q174 (the one SRP query whose QUERY side is
+    * also corpus-proportional) shuffled >70 GB and OOM'd the run. At 24
+    * planes the occupancy target holds to ~540M vectors per table
+    * (16.8M buckets × 32), and the per-row banding cost is still just
+    * tables·pn ≤ 192 sign-dots. Beyond that, the same ladder extends —
+    * the constant is a clamp on cost, not a design point. */
+  val MaxPlanesPerTable = 24
 
   /** Adaptive SRP plane count: the number of hyperplane bits a table
     * needs so the EXPECTED bucket occupancy stays near `targetBucket`

@@ -358,7 +358,8 @@ object CoreQueries {
     * detail. The aggregate-then-filter side collapses lineitem to one row
     * per qualifying order BEFORE any wide join (exact-decimal sum, so the
     * threshold cut is engine-deterministic); the surviving set is small by
-    * construction, and the customer dim joins broadcast. The classic
+    * construction, and the customer join is un-hinted (customer scales
+    * with SF; the planner broadcasts the small survivor side). The classic
     * IN-(grouped-subquery) decorrelation, with the aggregate carried
     * through instead of recomputed. */
   def q81BigOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -495,7 +496,10 @@ object CoreQueries {
         max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supp"))
       .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
       .groupBy(col("ret_supp")).agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      // supplier scales with SF: no broadcast HINT — stats/AQE broadcast
+      // it while it fits and shuffle-join it when it doesn't (policy for
+      // every scale-proportional table; nation/region stay hinted)
+      .join(Tables.supplier(spark, dir),
         col("ret_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
@@ -538,15 +542,20 @@ object CoreQueries {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("1998-01-01")))
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
     val rev = dec("l_extendedprice") *
       (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))
     li.groupBy(month(col("l_shipdate")).as("ship_month"))
       .agg(
+        // decimal(38,0), not long: the half-up percentage multiplies the
+        // monthly revenue sum by 2·10⁴ — at the 1000× rung (600M lineitem
+        // rows) that product crosses int64 and ANSI mode aborts the query
+        // (caught by the r6 full-suite ladder). 38 digits carries the
+        // 100 TB case with ~11 digits to spare; DuckDB's // is HUGEINT.
         (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
-          * 10000).cast("long").as("promo_q"),
-        (sum(rev) * 10000).cast("long").as("tot_q"))
+          * 10000).cast("decimal(38,0)").as("promo_q"),
+        (sum(rev) * 10000).cast("decimal(38,0)").as("tot_q"))
       .select(col("ship_month"),
         (col("promo_q").cast("double") / 1e4).as("promo_revenue"),
         (col("tot_q").cast("double") / 1e4).as("total_revenue"),
@@ -556,10 +565,11 @@ object CoreQueries {
 
   /** q124: TPC-H Q7 shape — trade volume between two specific nations per
     * order year, both directions. The fact tables join each other on
-    * their keys; every dimension (supplier, customer, nation) broadcasts,
-    * and the two-nation filter is applied on the broadcast dims BEFORE
-    * the fact join, so only qualifying suppliers'/customers' rows flow.
-    * Exact DECIMAL revenue. */
+    * their keys; the two-nation filter is applied on the supplier and
+    * customer sides BEFORE the fact join, so only qualifying suppliers'/
+    * customers' rows flow (nation broadcasts explicitly — fixed 25 rows;
+    * the filtered supplier/customer slices are un-hinted since they
+    * scale with SF). Exact DECIMAL revenue. */
   def q124NationTrade(spark: SparkSession, dir: String): DataFrame = {
     val nations = Tables.nation(spark, dir)
       .filter(col("n_name").isin("NATION_1", "NATION_2"))
@@ -572,9 +582,12 @@ object CoreQueries {
     val rev = dec("l_extendedprice") *
       (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))
     Tables.lineitem(spark, dir)
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // supp/cust are two-nation SLICES of scale-proportional tables: the
+      // filter cuts them ~12x but they still grow with SF, so no broadcast
+      // hint — the planner broadcasts while they fit
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("o_orderdate")).as("order_year"))
@@ -656,16 +669,17 @@ object CoreQueries {
   }
 
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
-    * NOT-IN blacklist subquery. The NOT IN becomes a broadcast left_anti
-    * join (the blacklist is bounded); the (part, supplier) association is
-    * deduplicated BEFORE the part join so the distinct-count shuffle
-    * carries association keys, not lineitem rows. */
+    * NOT-IN blacklist subquery. The NOT IN becomes a left_anti join (the
+    * blacklist is a supplier SLICE, so it scales with SF — no broadcast
+    * hint; the planner broadcasts while it fits); the (part, supplier)
+    * association is deduplicated BEFORE the part join so the
+    * distinct-count shuffle carries association keys, not lineitem rows. */
   def q117PartSupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
     val blacklist = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -691,7 +705,9 @@ object CoreQueries {
     * customers, the share of yearly order revenue supplied from NATION_5.
     * The conditional-sum-over-total idiom: ONE pass computes numerator
     * (CASE WHEN) and denominator in the same grouped agg — no self-join,
-    * no second scan. Dims broadcast; only (year, two decimals) shuffle.
+    * no second scan. Nation/region broadcast (fixed-size); supplier and
+    * customer join un-hinted (they scale with SF); only (year, two
+    * decimals) shuffle out of the agg.
     * The share division happens once per year-row in double (identical
     * IEEE semantics in the oracle), on exact decimal inputs. */
   def q149MarketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -708,7 +724,7 @@ object CoreQueries {
       .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
@@ -755,7 +771,7 @@ object CoreQueries {
         (lit(1).cast("decimal(18,2)") - dec("l_discount", 4, 2))).as("rev_dec"))
     val maxRev = revs.agg(max(col("rev_dec")).as("max_rev"))
     revs.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev_dec").cast("double").as("total_revenue"))
@@ -766,14 +782,16 @@ object CoreQueries {
     * The correlated avg becomes a per-part agg joined back; the
     * fractional compare qty < sum/(5*n) is done as the exact integer-
     * cross-multiplication qty*5*n < sum (decimals, no division) so both
-    * engines keep identical edge rows. Parts prune first and broadcast,
-    * so lineitem is scanned once and only matching parts' rows flow. */
+    * engines keep identical edge rows. Parts prune first (a brand x type
+    * slice — proportional to SF, so un-hinted; the planner broadcasts
+    * while it fits), so lineitem is scanned once and only matching
+    * parts' rows flow. */
   def q152SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23" && col("p_type") === "ECONOMY")
       .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+      .join(pts, col("l_partkey") === col("p_partkey"))
     val stats = li.groupBy(col("l_partkey"))
       .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n_li"))
     li.join(stats.withColumnRenamed("l_partkey", "sk"), col("l_partkey") === col("sk"))
@@ -786,12 +804,14 @@ object CoreQueries {
 
   /** q153: TPC-H Q19 shape (discounted revenue, disjunctive predicates) —
     * three OR'd brand/size/quantity conjunctions evaluated inside the
-    * broadcast-hash-join condition. Catalyst extracts the common
+    * hash-join condition. Catalyst extracts the common
     * l_partkey=p_partkey equi-key for the hash lookup and applies the
-    * disjunction as the join residual — no fallback to nested-loop. */
+    * disjunction as the join residual — no fallback to nested-loop. The
+    * part side is un-hinted (it scales with SF; the planner broadcasts
+    * while it fits). */
   def q153DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(Tables.part(spark, dir),
         col("l_partkey") === col("p_partkey") && (
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
             col("l_quantity").between(1, 11)) ||
@@ -808,16 +828,17 @@ object CoreQueries {
     * nation per order year for 'red' parts, with supply cost stood in by
     * p_retailprice/2 (the fixture has no partsupp table; documented
     * divergence). All arithmetic stays in widening decimals (exact) until
-    * the final double cast; parts filter + broadcast first so lineitem
-    * rows for the other ~90% of parts never enter the join graph. */
+    * the final double cast; the 'red' parts slice filters first so
+    * lineitem rows for the other ~90% of parts never enter the join
+    * graph (slice un-hinted — it scales with SF). */
   def q154ProductProfit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Tables.part(spark, dir)
         .filter(col("p_name").contains("red"))
-        .select(col("p_partkey"), col("p_retailprice"))),
+        .select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -843,9 +864,9 @@ object CoreQueries {
       .filter(col("r_name") === "EUROPE")
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     val lip = Tables.lineitem(spark, dir)
-      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") < 10)
-        .select(col("p_partkey"), col("p_name"))),
+      .join(eligSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, dir).filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("n_name"), col("l_extendedprice"))
@@ -911,13 +932,13 @@ object CoreQueries {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("1997-01-01")))
-      .join(broadcast(Tables.part(spark, dir)
-        .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+      .join(Tables.part(spark, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(dec("l_quantity")).as("qty_dec"))
       .filter(col("qty_dec") > lit(450).cast("decimal(18,2)"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))

@@ -940,10 +940,16 @@ object DateTimeQueries {
     * points via the half-up integer division SHIFTED positive (K=1e7
     * covers swings to 1000x) so Spark's truncating DIV and DuckDB's
     * flooring // agree on revenue declines. First month per nation
-    * emits NULL growth (no prior), exactly like the SQL twin. */
+    * emits NULL growth (no prior), exactly like the SQL twin.
+    * The shifted numerator multiplies monthly cents by 2·10⁷, which
+    * crosses int64 at the 1000× rung (caught by the r6 full-suite
+    * ladder) — it is evaluated in decimal(38,0) (DuckDB HUGEINT) and
+    * only the final bp value, which always fits, casts back to long;
+    * the cent sums themselves stay long (int64 carries 100 TB there). */
   def q164MomGrowth(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      // customer scales with SF — no broadcast hint (stats/AQE decide)
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -954,7 +960,8 @@ object DateTimeQueries {
       .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
       .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
       .withColumn("growth_bp", expr(
-        """(2 * (delta_cents * 10000 + 10000000 * prev_cents) + prev_cents)
+        """(2 * (CAST(delta_cents AS DECIMAL(38,0)) * 10000
+          |      + 10000000 * CAST(prev_cents AS DECIMAL(38,0))) + prev_cents)
           | DIV (2 * prev_cents) - 10000000""".stripMargin.replace("\n", "")))
       .select(col("n_name"), col("month"), col("rev_cents"),
         col("prev_cents"), col("delta_cents"), col("growth_bp"))
@@ -1335,8 +1342,9 @@ object DateTimeQueries {
         |  FROM m)
         |SELECT n_name, month, rev_cents, prev_cents,
         |  rev_cents - prev_cents AS delta_cents,
-        |  (2 * ((rev_cents - prev_cents) * 10000 + 10000000 * prev_cents)
-        |    + prev_cents) // (2 * prev_cents) - 10000000 AS growth_bp
+        |  CAST((2 * (CAST(rev_cents - prev_cents AS HUGEINT) * 10000
+        |      + 10000000 * CAST(prev_cents AS HUGEINT)) + prev_cents)
+        |    // (2 * prev_cents) - 10000000 AS BIGINT) AS growth_bp
         |FROM l""".stripMargin,
 
     "q165_gini_concentration" ->

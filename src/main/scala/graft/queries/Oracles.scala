@@ -324,8 +324,8 @@ object Oracles {
         |    AND l_shipdate < TIMESTAMP '1998-01-01'),
         |a AS (SELECT ship_month,
         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-        |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS promo_q,
-        |  CAST(SUM(rev) * 10000 AS BIGINT) AS tot_q
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS HUGEINT) AS promo_q,
+        |  CAST(SUM(rev) * 10000 AS HUGEINT) AS tot_q
         |  FROM l GROUP BY 1)
         |SELECT ship_month,
         |  CAST(promo_q AS DOUBLE) / 1e4 AS promo_revenue,

@@ -37,16 +37,17 @@ object SimilarityQueries {
 
   /** The oracle-side twin of [[Similarity.adaptivePlanes]]: a CTE named
     * `pn` computing the identical integer (bit-length CASE ladder over
-    * m = (COUNT(*)-1)//32, clamped to [3, 12]) — no floating log2, so
+    * m = (COUNT(*)-1)//32, clamped to [3, 24]) — no floating log2, so
     * both engines agree exactly. */
-  private def pnCte(table: String): String =
-    s"""pn AS (SELECT LEAST(12, GREATEST(3,
-       |  CASE WHEN m >= 2048 THEN 12 WHEN m >= 1024 THEN 11
-       |       WHEN m >= 512 THEN 10 WHEN m >= 256 THEN 9
-       |       WHEN m >= 128 THEN 8 WHEN m >= 64 THEN 7
-       |       WHEN m >= 32 THEN 6 WHEN m >= 16 THEN 5
-       |       WHEN m >= 8 THEN 4 ELSE 3 END)) AS pn
+  private def pnCte(table: String): String = {
+    val ladder = (24 to 4 by -1)
+      .map(k => s"WHEN m >= ${1L << (k - 1)} THEN $k")
+      .grouped(2).map(_.mkString(" ")).mkString("\n       ")
+    s"""pn AS (SELECT LEAST(24, GREATEST(3,
+       |  CASE $ladder
+       |       ELSE 3 END)) AS pn
        |  FROM (SELECT (COUNT(*) - 1) // 32 AS m FROM $table))""".stripMargin
+  }
 
   /** Brute-force top-5 cosine neighbors for the first 8 query vectors.
     * The query side is broadcast: the corpus never shuffles, the cross

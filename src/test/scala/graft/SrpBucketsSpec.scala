@@ -30,7 +30,13 @@ class SrpBucketsSpec extends SparkSpec {
     assert(adaptivePlanes(500) === 4)
     assert(adaptivePlanes(2000) === 6)
     assert(adaptivePlanes(20000) === 10)
-    assert(adaptivePlanes(1000000) === 12) // clamped at MaxPlanesPerTable
+    // the r5-era clamp at 12 was the SRP family's saturation wall (the
+    // r6 1000x rung measured 2M vectors at ~15x target occupancy, and
+    // q174's corpus-proportional query side OOM'd on the candidate
+    // volume) — the ladder now runs to 24
+    assert(adaptivePlanes(1000000) === 15)
+    assert(adaptivePlanes(2000000) === 16) // the 1000x rung: occupancy ~30
+    assert(adaptivePlanes(1L << 40) === 24) // clamped at MaxPlanesPerTable
   }
 
   test("short vector: length-mismatched sign rows contribute no bits") {
