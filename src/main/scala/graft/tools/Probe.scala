@@ -118,6 +118,39 @@ object Probe {
               (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
               size(col("kept")).cast("long").as("n_kept"),
               md5(concat_ws(" ", col("kept"))).as("kept_md5")))
+      case "q48" =>
+        // why does the no-shuffle unpivot run near-serial at the 1000x rung?
+        // decompose: bare filtered scan, +casts, +unpivot; print task counts
+        @volatile var tasks = 0
+        @volatile var maxTaskMs = 0L
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              tasks += 1
+              if (t.taskInfo != null)
+                maxTaskMs = math.max(maxTaskMs, t.taskInfo.duration)
+            }
+          })
+        def reset(): Unit = { tasks = 0; maxTaskMs = 0L }
+        val li = Tables.lineitem(spark, dir)
+        reset()
+        timed(spark, "scan+filter",
+          li.filter(col("l_quantity") >= 49.0).select(col("l_orderkey")))
+        println(s"[probe]   tasks=$tasks maxTaskMs=$maxTaskMs")
+        reset()
+        timed(spark, "scan+filter+casts",
+          li.filter(col("l_quantity") >= 49.0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").cast("double").as("l_quantity"),
+              col("l_extendedprice").cast("double").as("l_extendedprice"),
+              col("l_discount").cast("double").as("l_discount"),
+              col("l_tax").cast("double").as("l_tax")))
+        println(s"[probe]   tasks=$tasks maxTaskMs=$maxTaskMs")
+        reset()
+        timed(spark, "full q48",
+          graft.queries.CoreQueries.q48Unpivot(spark, dir), explain = true)
+        println(s"[probe]   tasks=$tasks maxTaskMs=$maxTaskMs")
       case other =>
         sys.error(s"unknown probe: $other")
     }
