@@ -57,7 +57,11 @@ import graft.sources.Tables
   * gcd(a_rel − 1, d) fixed points; the cross-copy cosine stays at the
   * 1/√d floor (measured: max |cos| 0.42 over 2000 twin pairs at k = 10).
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [k] [tablesCsv]
+  * The optional 4th arg restricts the write to a comma-separated table
+  * subset (e.g. `documents` for a dedup-family-only rung) — at k=2000 the
+  * full set is ~30 GB and dominated by lineitem, which the dedup ladder
+  * never reads.
   */
 object ScaleUp {
   private val Off = 1000000000L
@@ -81,6 +85,12 @@ object ScaleUp {
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val k = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
     require(k >= 1 && k <= 2048, s"k must be in [1, 2048], got $k")
+    val tableFilter: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    tableFilter.foreach { ts =>
+      val unknown = ts -- graft.sources.Tables.names.toSet
+      require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -100,7 +110,8 @@ object ScaleUp {
     val writeParts = spark.sparkContext.defaultParallelism * 8
 
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (tableFilter.forall(_.contains(name)))
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     def scaled(base: DataFrame, keyCols: Seq[String])
               (extra: DataFrame => DataFrame): DataFrame = {
@@ -133,7 +144,7 @@ object ScaleUp {
     }, "documents")
     // Embedding-dim sanity for the affine permutation: a_i odd is a
     // bijection mod d only when d is a power of two (gcd(a_i, d) = 1).
-    locally {
+    if (tableFilter.forall(_.contains("embeddings"))) {
       val dim = Tables.embeddings(spark, src)
         .selectExpr("size(embedding)").head().getInt(0)
       require((dim & (dim - 1)) == 0,
@@ -153,7 +164,7 @@ object ScaleUp {
             |  AS FLOAT))""".stripMargin)))
     }, "embeddings")
 
-    Tables.names.foreach { n =>
+    Tables.names.filter(n => tableFilter.forall(_.contains(n))).foreach { n =>
       val c = spark.read.parquet(s"$out/$n.parquet").count()
       println(s"[scaleup] $n: $c rows")
     }
