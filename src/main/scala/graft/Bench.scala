@@ -319,7 +319,14 @@ object Bench {
     // "parsed": null every round, so the headline numbers must also live
     // in a committed file — summary line first (the parse target), full
     // per-query detail line second (JSONL).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    // only a FULL-suite run at the default sf refreshes the committed
+    // summary — a subset or ladder run writes nowhere unless pointed
+    // somewhere explicitly, so it can't clobber the repo's perf record
+    // (a 5-query 2000x subset once replaced the 182-query summary).
+    val defaultOut =
+      if (only.isEmpty && sfDir == "/root/testdata/sf0.1") "bench_summary.json"
+      else ""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     if (outFile.nonEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (summaryLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
