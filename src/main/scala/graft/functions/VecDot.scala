@@ -131,6 +131,12 @@ object GraftFunctions {
   def pruneSortedPositions(toks: Column, cuts: Column): Column =
     shim.column(PruneSortedPositions(shim.expression(toks), shim.expression(cuts)))
 
+  /** `arg_min_sqdist(x, cents)` as a Column — the centroid id minimizing
+    * the exact integer squared distance, ties to the lowest id (see
+    * [[ArgMinSqDist]] for the contract). */
+  def argMinSqDist(x: Column, cents: Column): Column =
+    shim.column(ArgMinSqDist(shim.expression(x), shim.expression(cents)))
+
   /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
     * Column API alike; float/double arrays are left alone. */
   private[functions] def toVecType(e: Expression): Expression = e.dataType match {
@@ -174,6 +180,9 @@ object GraftFunctions {
     (FunctionIdentifier("prune_sorted_positions"),
       new ExpressionInfo(classOf[PruneSortedPositions].getName, "prune_sorted_positions"),
       (args: Seq[Expression]) => PruneSortedPositions(args(0), args(1))),
+    (FunctionIdentifier("arg_min_sqdist"),
+      new ExpressionInfo(classOf[ArgMinSqDist].getName, "arg_min_sqdist"),
+      (args: Seq[Expression]) => ArgMinSqDist(args(0), args(1))),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (args: Seq[Expression]) => NormalizeText(args.head)),

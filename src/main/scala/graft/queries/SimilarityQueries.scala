@@ -511,30 +511,37 @@ object SimilarityQueries {
     * and new centroids are integer floor means — every round is a pure
     * integer function of the last, so round k agrees bit-for-bit on any
     * engine. Seeds = the first k vectors by id (deterministic).
-    * Scale shape: per round, one broadcast join of the k·d centroid table
-    * against the exploded corpus, one (vec, cluster) distance aggregate,
-    * one argmin, one centroid aggregate — the corpus never shuffles by
-    * itself, only (vec, cluster) distance rows do; the per-round centroid
-    * frame is persisted so round k+1 reads state, not k scans of lineage. */
+    * Scale shape: vectors stay ARRAYS — assignment is a per-row argmin
+    * over the broadcast k-centroid list ([[graft.functions.ArgMinSqDist]],
+    * a native codegen'd k·d loop with the identical (d2, cluster)
+    * struct-min tie order), so a round's ONLY exchange is the centroid
+    * aggregate: n·d skinny (cluster, dim, xq) rows map-side combined to
+    * k·d per partition. The first form of this loop exploded to
+    * (vec, dim) and joined the centroid table on `dim` — n·d·k
+    * intermediate rows and TWO corpus-wide shuffles per round (the
+    * (vec, cluster) distance agg plus the assignment join back). The
+    * equivalent HOF argmin (array_min over transform/zip_with/aggregate)
+    * is NOT a substitute: one interpreted lambda call per element —
+    * 2M×8×64×3 rounds blew a 10-minute budget the native loop runs in
+    * seconds (measured at the 1000× rung; numbers in BASELINE.md). */
   def q142KmeansIters(spark: SparkSession, dir: String): DataFrame = {
     val offset = 1000000L // +1.0 on the 1e-6 grid: all quantized values > 0
     val pts = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        (floor(col("x").cast("double") * 1e6).cast("long") + offset).as("xq"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) + ${offset}L)")
+        .as("xq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (cluster, cq: array<long>) — k rows, collapses to a 1-row broadcast
     var cent = pts.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cluster"), col("dim"),
-        col("xq").as("cq"))
+      .select(col("vec_id").cast("int").as("cluster"), col("xq").as("cq"))
     var prev: Option[DataFrame] = None
+    val argmin = graft.functions.GraftFunctions.argMinSqDist(
+      col("xq"), col("cents"))
     for (_ <- 1 to kmeansRounds) {
-      val assign = pts.join(broadcast(cent), Seq("dim"))
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"))
-      val next = pts.join(assign, Seq("vec_id"))
+      val centsRow = cent.agg(collect_list(struct(col("cluster"), col("cq")))
+        .as("cents"))
+      val next = pts.crossJoin(broadcast(centsRow))
+        .select(argmin.as("cluster"), posexplode(col("xq")).as(Seq("dim", "xq")))
         .groupBy(col("cluster"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
         .select(col("cluster"), col("dim"), col("n"),
@@ -542,10 +549,11 @@ object SimilarityQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prev.foreach(_.unpersist())
       prev = Some(next)
-      cent = next.select(col("cluster"), col("dim"), col("cq"))
+      cent = next.groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), p -> p.cq)")
+          .as("cq"))
     }
-    cent.join(prev.get.select(col("cluster"), col("dim"), col("n")),
-        Seq("cluster", "dim"))
+    prev.get
       .select(col("cluster"), col("dim"), col("n"),
         (col("cq") - offset).as("c_units"),
         round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))

@@ -1937,6 +1937,61 @@ object TextQueries {
       .agg(sum(col("c")).as("score_micro"))
   }
 
+  /** q183: DSIR importance weights — data selection by hashed-n-gram
+    * importance resampling (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw-corpus document
+    * by how target-like its token distribution is, log p_target(doc) −
+    * log p_raw(doc) under two bag-of-hashed-features models. The weight
+    * is what importance resampling samples by; this emits it per document
+    * — the selection step every "train on quality-like data" pipeline
+    * runs between crawl and tokenizer. Target = source `src0` (the
+    * curated-domain stand-in), raw = every other source; features are
+    * tokens hashed into 256 buckets (md5's first two hex digits — the
+    * fixture's q40 md5 convention), models are Laplace-smoothed bucket
+    * distributions.
+    *
+    * Exactness: the per-bucket log-ratio λ(b) = ln(p_t(b)/p_r(b)) is ONE
+    * fixed double shape over exact integer counts — ln(((ct+1)·(nr+256))
+    * / ((cr+1)·(nt+256))) — floor-quantized to integer micro-units per
+    * BUCKET (256 values), so each document's weight is the exact integer
+    * Σ c(doc,b)·λ_micro(b): order-independent, bit-equal cross-engine
+    * (q179's quantize-before-sum convention).
+    *
+    * Scale shape: ONE tokenize pass; the (doc, bucket) count frame is the
+    * only corpus-wide exchange (map-side combined, ≤256 rows per doc; the
+    * frame is persisted because it feeds both the model agg and the
+    * scoring agg — q126's cache contract, released by Bench/Verify
+    * clearCache). The model is 256 rows + a 1-row total — both broadcast;
+    * scoring rides the count frame's existing partitioning. At 100 TB
+    * nothing but fixed-width (doc_id, b, c) rows ever crosses the wire —
+    * the text itself never shuffles. */
+  def q183DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 256
+    val db = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(TA.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTarget = col("source") === "src0"
+    val m = db.groupBy(col("b"))
+      .agg(sum(when(isTarget, col("c")).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(col("c"))).as("cr"))
+    val tot = m.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = m.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1000000.0) * log(
+          ((col("ct") + 1).cast("double") * (col("nr") + nBuckets).cast("double"))
+            / ((col("cr") + 1).cast("double") * (col("nt") + nBuckets).cast("double"))))
+          .cast("long").as("lam_micro"))
+    db.where(!isTarget)
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lam_micro")).as("dsir_micro"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2193,6 +2248,32 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 256-bucket md5 feature hash, Laplace(+1, +256) models, and the
+    // one fixed double shape per bucket log-ratio (quantized per BUCKET,
+    // then the per-doc weight is an exact integer dot product)
+    "q183_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, source,
+         |  CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT) AS b
+         |  FROM (SELECT doc_id, source, unnest(toks) AS tok FROM t)),
+         |db AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2, 3),
+         |m AS (SELECT b,
+         |  CAST(SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT) AS ct,
+         |  CAST(SUM(CASE WHEN source <> 'src0' THEN c ELSE 0 END) AS BIGINT) AS cr
+         |  FROM db GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         |  CAST(SUM(cr) AS BIGINT) AS nr FROM m),
+         |lam AS (SELECT b, CAST(FLOOR(1000000.0 * ln(
+         |    (CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE))
+         |    / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE)))) AS BIGINT)
+         |  AS lam_micro FROM m CROSS JOIN tot)
+         |SELECT db.doc_id, db.source,
+         |  CAST(SUM(db.c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(db.c * lam.lam_micro) AS BIGINT) AS dsir_micro
+         |FROM db JOIN lam USING (b) WHERE db.source <> 'src0'
+         |GROUP BY 1, 2""".stripMargin,
+
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)

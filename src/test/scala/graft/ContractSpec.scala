@@ -28,7 +28,8 @@ class ContractSpec extends SparkSpec {
     "q141_pagerank",        // sym/deg state read every iteration
     "q142_kmeans_iters",    // final round's assignment state stays pinned
     "q157_semdedup",        // clustered frame feeds both pair sides + output
-    "q180_pca_power")       // per-round sr/w/v double-referenced by their normalizers
+    "q180_pca_power",       // per-round sr/w/v double-referenced by their normalizers
+    "q183_dsir_weights")    // (doc, bucket) count frame feeds model + scoring aggs
 
   test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
     spark.catalog.clearCache()

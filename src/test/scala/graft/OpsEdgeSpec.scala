@@ -591,6 +591,41 @@ class OpsEdgeSpec extends SparkSpec {
       (100L, 2L, 2L, 16393L, None, Some(1L))))
   }
 
+  test("q183 edges: target-like docs outrank raw-only docs, weights match an independent reimplementation, target rows absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs183").toString
+    Seq(
+      (0L, "aa bb aa", "src0"),    // target: defines the desirable distribution
+      (1L, "aa bb", "src1"),       // raw, target-like tokens -> positive-ish weight
+      (2L, "cc dd cc dd", "src2")) // raw, zero target overlap -> strictly lower
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reimplementation of the contract (same md5 bucket, same
+    // Laplace(+1, +256) models, same floor-to-micro-per-bucket order)
+    def bucket(tok: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2), 16)
+    val target = Seq("aa", "bb", "aa").map(bucket)
+    val raw = (Seq("aa", "bb") ++ Seq("cc", "dd", "cc", "dd")).map(bucket)
+    val (nt, nr) = (target.size.toLong, raw.size.toLong)
+    def lam(b: Int): Long = {
+      val ct = target.count(_ == b).toLong
+      val cr = raw.count(_ == b).toLong
+      math.floor(1000000.0 * math.log(
+        ((ct + 1).toDouble * (nr + 256).toDouble)
+          / ((cr + 1).toDouble * (nt + 256).toDouble))).toLong
+    }
+    def weight(toks: Seq[String]): Long = toks.map(t => lam(bucket(t))).sum
+    val got = graft.queries.TextQueries.q183DsirWeights(spark, dir)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "src1", 2L, weight(Seq("aa", "bb"))),
+      (2L, "src2", 4L, weight(Seq("cc", "dd", "cc", "dd")))))
+    assert(got(0)._4 > got(1)._4,
+      "a target-vocabulary doc must outweigh a target-disjoint doc")
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
