@@ -137,6 +137,12 @@ object GraftFunctions {
   def argMinSqDist(x: Column, cents: Column): Column =
     shim.column(ArgMinSqDist(shim.expression(x), shim.expression(cents)))
 
+  /** `long_vec_sum(x)` as an aggregate Column — elementwise exact integer
+    * sum of `array<long>` rows per group (see [[LongVecSum]] for the
+    * null/raggedness contract). */
+  def longVecSum(x: Column): Column =
+    shim.column(LongVecSum(shim.expression(x)).toAggregateExpression())
+
   /** Casts args so `vec_dot(array<int>, ...)` works from SQL and the
     * Column API alike; float/double arrays are left alone. */
   private[functions] def toVecType(e: Expression): Expression = e.dataType match {
@@ -183,6 +189,9 @@ object GraftFunctions {
     (FunctionIdentifier("arg_min_sqdist"),
       new ExpressionInfo(classOf[ArgMinSqDist].getName, "arg_min_sqdist"),
       (args: Seq[Expression]) => ArgMinSqDist(args(0), args(1))),
+    (FunctionIdentifier("long_vec_sum"),
+      new ExpressionInfo(classOf[LongVecSum].getName, "long_vec_sum"),
+      (args: Seq[Expression]) => LongVecSum(args.head).toAggregateExpression()),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (args: Seq[Expression]) => NormalizeText(args.head)),

@@ -511,19 +511,23 @@ object SimilarityQueries {
     * and new centroids are integer floor means — every round is a pure
     * integer function of the last, so round k agrees bit-for-bit on any
     * engine. Seeds = the first k vectors by id (deterministic).
-    * Scale shape: vectors stay ARRAYS — assignment is a per-row argmin
-    * over the broadcast k-centroid list ([[graft.functions.ArgMinSqDist]],
-    * a native codegen'd k·d loop with the identical (d2, cluster)
-    * struct-min tie order), so a round's ONLY exchange is the centroid
-    * aggregate: n·d skinny (cluster, dim, xq) rows map-side combined to
-    * k·d per partition. The first form of this loop exploded to
-    * (vec, dim) and joined the centroid table on `dim` — n·d·k
-    * intermediate rows and TWO corpus-wide shuffles per round (the
-    * (vec, cluster) distance agg plus the assignment join back). The
-    * equivalent HOF argmin (array_min over transform/zip_with/aggregate)
-    * is NOT a substitute: one interpreted lambda call per element —
-    * 2M×8×64×3 rounds blew a 10-minute budget the native loop runs in
-    * seconds (measured at the 1000× rung; numbers in BASELINE.md). */
+    * Scale shape: vectors stay ARRAYS end to end — assignment is a
+    * per-row argmin over the broadcast k-centroid list
+    * ([[graft.functions.ArgMinSqDist]], a native codegen'd k·d loop with
+    * the identical (d2, cluster) struct-min tie order), and the centroid
+    * step is ONE vector-valued aggregate
+    * ([[graft.functions.LongVecSum]]): each map task combines its rows
+    * into k d-long buffers, so a round's only exchange carries
+    * k·d longs per partition — nothing scales with n on the wire. The
+    * first form of this loop exploded to (vec, dim) and joined the
+    * centroid table on `dim` — n·d·k intermediate rows and TWO corpus-
+    * wide shuffles per round; the intermediate form kept native
+    * assignment but posexploded n·d rows into a scalar centroid sum.
+    * The equivalent HOF argmin (array_min over transform/zip_with/
+    * aggregate) is NOT a substitute for the native expression: one
+    * interpreted lambda call per element — 2M×8×64×3 rounds blew a
+    * 10-minute budget the native loop runs in seconds (measured at the
+    * 1000× rung; all three shapes' numbers in BASELINE.md). */
   def q142KmeansIters(spark: SparkSession, dir: String): DataFrame = {
     val offset = 1000000L // +1.0 on the 1e-6 grid: all quantized values > 0
     val pts = Tables.embeddings(spark, dir)
@@ -540,20 +544,21 @@ object SimilarityQueries {
     for (_ <- 1 to kmeansRounds) {
       val centsRow = cent.agg(collect_list(struct(col("cluster"), col("cq")))
         .as("cents"))
+      // (cluster, n, s: array<long>) — k rows of state per round
       val next = pts.crossJoin(broadcast(centsRow))
-        .select(argmin.as("cluster"), posexplode(col("xq")).as(Seq("dim", "xq")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
-        .select(col("cluster"), col("dim"), col("n"),
-          expr("s DIV n").as("cq")) // positive sums: DIV == floor division
+        .groupBy(argmin.as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.GraftFunctions.longVecSum(col("xq")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prev.foreach(_.unpersist())
       prev = Some(next)
-      cent = next.groupBy(col("cluster"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), p -> p.cq)")
-          .as("cq"))
+      // positive sums: DIV == floor division
+      cent = next.select(col("cluster"),
+        expr("transform(s, v -> v DIV n)").as("cq"))
     }
     prev.get
+      .select(col("cluster"), col("n"),
+        posexplode(expr("transform(s, v -> v DIV n)")).as(Seq("dim", "cq")))
       .select(col("cluster"), col("dim"), col("n"),
         (col("cq") - offset).as("c_units"),
         round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))
