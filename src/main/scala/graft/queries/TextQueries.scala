@@ -1992,6 +1992,43 @@ object TextQueries {
         sum(col("c") * col("lam_micro")).as("dsir_micro"))
   }
 
+  /** q184: sequence-packing layout audit — the GPT-style concat-and-chunk
+    * training layout: the corpus is one global token stream (doc_id
+    * order) chopped into fixed 512-token sequences, and each sequence is
+    * graded by composition — how many documents it touches (`n_docs`),
+    * how many START inside it (`n_starts`, the cross-attention boundary
+    * count a boundary-aware mask needs), and its token fill (`n_tokens`,
+    * 512 everywhere but the ragged tail). Completes the packing trio:
+    * q91 lays out CHAR shards at doc granularity (no splits), q143 prices
+    * the pad-to-bucket alternative's waste, this one audits the
+    * zero-waste split-at-budget layout every large pretraining run uses.
+    *
+    * Scale shape: the global prefix sum is [[graft.ops.GlobalIndex]]'s
+    * two-level scan (range partition + per-partition window + broadcast
+    * offsets — never a single-partition ORDER BY window); each doc then
+    * explodes to its overlapped sequences — Σ(n_i/512) + n_docs ≈
+    * corpus_tokens/512 skinny rows — and the per-sequence agg is one
+    * map-side-combined groupBy. Nothing carries text; nothing is
+    * quadratic in document length (a 1M-token doc emits ~2k span rows). */
+  def q184SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TA.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val g = graft.ops.GlobalIndex.withGlobalCumSum(
+      t, Seq(col("doc_id")), col("n"), "start")
+    val spans = g
+      .select(col("start"), (col("start") + col("n")).as("e"),
+        explode(sequence(expr(s"start DIV $B"),
+          expr(s"(start + n - 1) DIV $B"))).as("seq_id"))
+    spans.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start") >= col("seq_id") * B, 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(least(col("e"), (col("seq_id") + 1) * B)
+          - greatest(col("start"), col("seq_id") * B)).as("n_tokens"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2273,6 +2310,27 @@ object TextQueries {
          |  CAST(SUM(db.c * lam.lam_micro) AS BIGINT) AS dsir_micro
          |FROM db JOIN lam USING (b) WHERE db.source <> 'src0'
          |GROUP BY 1, 2""".stripMargin,
+
+    // same exclusive prefix sum over doc_id order, same floor-division
+    // sequence spans; the single-partition window here is the ORACLE's
+    // luxury — the Spark side runs the two-level distributed scan
+    "q184_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |f AS (SELECT doc_id, n FROM t WHERE n > 0),
+         |c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM f),
+         |sp AS (SELECT s, s + n AS e,
+         |  unnest(generate_series(s // 512, (s + n - 1) // 512)) AS seq_id
+         |  FROM c)
+         |SELECT seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN s >= seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_starts,
+         |  CAST(SUM(LEAST(e, (seq_id + 1) * 512)
+         |    - GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY 1""".stripMargin,
 
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -626,6 +626,27 @@ class OpsEdgeSpec extends SparkSpec {
       "a target-vocabulary doc must outweigh a target-disjoint doc")
   }
 
+  test("q184 edges: a doc spanning three sequences, boundary-exact starts, ragged tail fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs184").toString
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    Seq(
+      (0L, words(500)),   // stream [0, 500): starts seq 0
+      (1L, words(600)),   // [500, 1100): spans seqs 0,1,2 — starts only in 0
+      (2L, words(12)),    // [1100, 1112): inside seq 2
+      (3L, ""),           // zero tokens: contributes nothing
+      (4L, words(424)))   // [1112, 1536): fills seq 2 exactly, ends at 3*512
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q184SeqPacking(spark, dir)
+      .orderBy("seq_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 2L, 512L),  // docs 0+1; both start here; full
+      (1L, 1L, 0L, 512L),  // doc 1 mid-span only
+      (2L, 3L, 2L, 512L))) // doc 1 tail + docs 2,4 start; exact fill, no seq 3
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
