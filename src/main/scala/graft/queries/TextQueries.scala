@@ -1961,10 +1961,11 @@ object TextQueries {
     * only corpus-wide exchange (map-side combined, ≤256 rows per doc; the
     * frame is persisted because it feeds both the model agg and the
     * scoring agg — q126's cache contract, released by Bench/Verify
-    * clearCache). The model is 256 rows + a 1-row total — both broadcast;
-    * scoring rides the count frame's existing partitioning. At 100 TB
-    * nothing but fixed-width (doc_id, b, c) rows ever crosses the wire —
-    * the text itself never shuffles. */
+    * clearCache). The model is 256 rows + a 1-row total — both broadcast
+    * (PlanSpec asserts no sort-merge join in the plan); the per-doc score
+    * agg map-side combines to one row per doc before its exchange. At
+    * 100 TB nothing but fixed-width (doc_id, b, c) and per-doc score rows
+    * ever cross the wire — the text itself never shuffles. */
   def q183DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
     val db = Tables.documents(spark, dir)

@@ -227,6 +227,15 @@ class PlanSpec extends SparkSpec {
       "global-rank window lost its partition spec (single-partition funnel)"))
   }
 
+  test("q183: the 256-row model and 1-row totals broadcast — no sort-merge join anywhere") {
+    val df = graft.queries.TextQueries.q183DsirWeights(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast joins for the bucket model:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "bucket-model join degraded to sort-merge:\n" + p.take(800))
+  }
+
   test("q78: per-document chunking is fully narrow — zero shuffles") {
     val df = graft.queries.TextQueries.q78Chunking(spark, sfDir)
     val p = planString(df)

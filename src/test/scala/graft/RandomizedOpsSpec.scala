@@ -107,4 +107,41 @@ class RandomizedOpsSpec extends SparkSpec {
       seenKeys = rows
     }
   }
+
+  test("arg_min_sqdist matches a driver-side argmin on random vectors and centroid sets") {
+    import spark.implicits._
+    val d = 1 + rnd.nextInt(8)
+    val k = 1 + rnd.nextInt(6)
+    def vec() = Seq.fill(d)(rnd.nextInt(2000).toLong - 1000L)
+    val cents = (0 until k).map(c => (c, vec()))
+    val rows = Seq.fill(400)(vec()) ++
+      cents.map(_._2) // exact centroid hits: d2 = 0 ties when duplicated
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "xq")
+      .crossJoin(broadcast(cents.toDF("cluster", "cq")
+        .agg(collect_list(struct(col("cluster"), col("cq"))).as("cents"))))
+    val got = df.select(col("id"),
+      graft.functions.GraftFunctions.argMinSqDist(col("xq"), col("cents")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    rows.zipWithIndex.foreach { case (v, i) =>
+      val expect = cents.map { case (c, cq) =>
+        (v.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+      assert(got(i.toLong) === expect, s"row $i")
+    }
+  }
+
+  test("long_vec_sum matches a driver-side elementwise sum across random group shapes") {
+    import spark.implicits._
+    val d = 1 + rnd.nextInt(6)
+    val rows = Seq.fill(500)(
+      (rnd.nextInt(9).toLong, Seq.fill(d)(rnd.nextLong() % 1000000L)))
+    val got = rows.toDF("g", "xq").repartition(7)
+      .groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.longVecSum(col("xq")).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val expect = vs.map(_._2).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+      assert(got(g) === expect, s"group $g")
+    }
+  }
 }
