@@ -1968,6 +1968,10 @@ object TextQueries {
     * ever cross the wire — the text itself never shuffles. */
   def q183DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
+    // which source plays "curated target" is a WORKLOAD parameter, not an
+    // algorithm change — conf-gated like retrieval.queryCap; the oracle
+    // checks the src0 default
+    val target = spark.conf.getOption("spark.graft.dsir.target").getOrElse("src0")
     val db = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(TA.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"),
@@ -1975,7 +1979,7 @@ object TextQueries {
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val isTarget = col("source") === "src0"
+    val isTarget = col("source") === target
     val m = db.groupBy(col("b"))
       .agg(sum(when(isTarget, col("c")).otherwise(0L)).as("ct"),
         sum(when(isTarget, 0L).otherwise(col("c"))).as("cr"))

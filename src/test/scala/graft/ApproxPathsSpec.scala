@@ -164,4 +164,24 @@ class ApproxPathsSpec extends SparkSpec {
       assert(j <= exact(pair) + 1e-9, s"pair $pair gained similarity under the cap")
     }
   }
+
+  // ---- q183 target-source knob --------------------------------------
+
+  test("q183: the default target is src0; retargeting swaps roles symmetrically") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().toSet
+    val deflt = rows(graft.queries.TextQueries.q183DsirWeights(spark, sfDir))
+    val explicit = withConf("spark.graft.dsir.target", "src0") {
+      rows(graft.queries.TextQueries.q183DsirWeights(spark, sfDir))
+    }
+    assert(explicit === deflt, "explicit src0 must equal the default")
+    val retargeted = withConf("spark.graft.dsir.target", "src1") {
+      rows(graft.queries.TextQueries.q183DsirWeights(spark, sfDir))
+    }
+    // role swap: src0 docs are now scored (they're raw), src1 docs are not
+    assert(retargeted.exists(_._2 == "src0"))
+    assert(!retargeted.exists(_._2 == "src1"))
+    assert(!deflt.exists(_._2 == "src0"))
+  }
 }
