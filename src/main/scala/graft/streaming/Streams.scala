@@ -293,4 +293,74 @@ object Streams {
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One LSH band-bucket claim of an arriving document (key `bkey` =
+    * "band:band_key", the same 6-band MinHash banding as batch q19). */
+  case class BandClaim(bkey: String, doc_id: Long)
+
+  /** A streaming near-dup flag: `doc_id` shares band bucket `bkey` with
+    * the already-admitted `canonical_id`. */
+  case class DupHit(doc_id: Long, bkey: String, canonical_id: Long)
+
+  /** Per-bucket owner state: the FIRST document to claim a band bucket
+    * owns it forever (within-batch ties go to the lower doc_id, so a
+    * batch's outcome is arrival-order independent and deterministic);
+    * every later claimant emits a [[DupHit]]. State is one long per
+    * bucket — the minimum any online near-dup filter must remember. */
+  class BandOwnerProcessor extends StatefulProcessor[String, BandClaim, DupHit] {
+    @transient private var owner: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long](
+        "owner", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandClaim],
+                                 timerValues: TimerValues): Iterator[DupHit] = {
+      var own = if (owner.exists()) owner.get() else -1L
+      val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+        if (own < 0) { own = r.doc_id; None }
+        else if (r.doc_id == own) None
+        else Some(DupHit(r.doc_id, key, own))
+      }
+      if (own >= 0) owner.update(own)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-duplicate detection at INGEST — the online twin of the
+    * batch MinHash-LSH dedup (q19) and the per-run incremental dedup of
+    * CorpusPipeline: each arriving document claims its 6 LSH band buckets;
+    * a doc whose bucket is already owned by an earlier-admitted document
+    * is flagged against that owner. Emits one [[DupHit]] per colliding
+    * band (consumers `dropDuplicates("doc_id")` for the doc-level flag
+    * set). Shingle-less docs produce NULL band keys and are never flagged
+    * — the batch pipeline's convention.
+    *
+    * Equivalence contract (StreamingSpec): for documents arriving in
+    * doc_id order, the flagged doc set equals EXACTLY the `doc2` side of
+    * batch q19's candidate pairs — the stream reproduces the batch
+    * dedup's decisions one document at a time.
+    *
+    * At scale: band claims shuffle on the bucket key (the same equi-join
+    * key the batch LSH uses), state is one long per distinct bucket in
+    * the RocksDB store, and the doc text never enters state — the
+    * signature pipeline is the identical native-expression chain
+    * (WordShingles → MinHashSignature → lshBands) as batch, computed
+    * map-side. A TTL would bound state for dedup-within-horizon
+    * semantics; dedup-against-all-history keeps TTLConfig.NONE. */
+  def streamingNearDupHits(docs: DataFrame): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.{Dedup, TextAnalysis => TA}
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(Dedup.lshBands(
+        Dedup.minhashSignature(col("sh")))).as("bb"))
+      .filter(col("bb.band_key").isNotNull)
+      .select(concat(col("bb.band").cast("string"), lit(":"),
+        col("bb.band_key")).as("bkey"), col("doc_id"))
+      .as[BandClaim]
+      .groupByKey(_.bkey)(Encoders.STRING)
+      .transformWithState(new BandOwnerProcessor,
+        TimeMode.None(), OutputMode.Append())(Encoders.product[DupHit])
+  }
 }

@@ -246,4 +246,54 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming near-dup flags == batch q19 candidate doc2 set (docs arriving in id order)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real fixture text (so shingle/minhash behavior is the production
+      // path), split into two arrival batches on the id order
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(60)
+        .as[(Long, String)].collect().toSeq
+      val (b1, b2) = docs.splitAt(30)
+      val ms = MemoryStream[(Long, String)]
+      val q = Streams.streamingNearDupHits(
+          ms.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("neardup_stream")
+        .outputMode(OutputMode.Append).start()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("neardup_stream")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      // batch reference over the same 60 docs: a doc is flagged iff it
+      // pairs with ANY lower id — q19's candidate pairs, doc2 side
+      import org.apache.spark.sql.functions.{explode => fexplode}
+      val banded = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.ops.Dedup.shingles3(
+          graft.ops.TextAnalysis.tokens(col("text"))).as("sh"))
+        .select(col("doc_id"), fexplode(graft.ops.Dedup.lshBands(
+          graft.ops.Dedup.minhashSignature(col("sh")))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_key").as("band_key"))
+      val expected = graft.ops.Dedup.candidatePairs(banded)
+        .select("doc2").distinct().as[Long].collect().toSet
+      assert(streamed === expected,
+        s"stream flagged ${streamed.size} docs, batch reference ${expected.size}")
+      assert(expected.nonEmpty, "fixture slice produced no near-dups — test is vacuous")
+      // canonical owners must always be earlier (lower-id) docs
+      val badOwner = spark.table("neardup_stream")
+        .filter(col("canonical_id") >= col("doc_id")).count()
+      assert(badOwner === 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
