@@ -1251,7 +1251,12 @@ object TextQueries {
     // co-partitions both count joins, so neither the 80 MB forced-uni
     // broadcast nor the three independent tokenize+shuffle passes of the
     // previous shape survive at scale (measured at the 100× rung: 594
-    // cpu-s / 475 MB shuffled → 156 cpu-s / 139 MB). Skew note: the
+    // cpu-s / 475 MB shuffled → 156 cpu-s / 139 MB). Also measured and
+    // REJECTED (r6): pre-aggregating the spine to (doc, w1, w2, cnt)
+    // grain — exact (each occurrence contributes the same floored
+    // micro-nat) but 31.8 s → 147.9 s at the same rung: the three-string-
+    // key hash agg over the full pair stream costs far more than the
+    // repetition factor saves downstream. Skew note: the
     // heaviest w1 partition carries the most frequent first-word; for
     // natural corpora where one token opens ~5% of bigrams, salt w1 for
     // the COUNT stages and keep this layout for the joins.
