@@ -151,6 +151,38 @@ object Probe {
         timed(spark, "full q48",
           graft.queries.CoreQueries.q48Unpivot(spark, dir), explain = true)
         println(s"[probe]   tasks=$tasks maxTaskMs=$maxTaskMs")
+      case "streamdedup" =>
+        // ingest-throughput probe for the streaming near-dup filter:
+        // documents from `dir` flow through an AvailableNow file stream
+        // (the production micro-batch path, RocksDB state store); reports
+        // wall, docs/s, and the flagged-doc count. Arg 3 caps the doc
+        // count (0 = all).
+        val cap = args.lift(2).flatMap(_.toLongOption).getOrElse(0L)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val tmp = java.nio.file.Files.createTempDirectory("probe_sdd").toString
+        val src = Tables.documents(spark, dir).select("doc_id", "text")
+        (if (cap > 0) src.filter(col("doc_id") < cap) else src)
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val n = spark.read.parquet(s"$tmp/in").count()
+        // arg 4: maxFilesPerTrigger (0 = single batch) — AvailableNow then
+        // drains the backlog as real micro-batches, the production shape
+        val mfpt = args.lift(3).flatMap(_.toIntOption).getOrElse(0)
+        val reader = spark.readStream
+          .schema("doc_id BIGINT, text STRING")
+        val stream = (if (mfpt > 0)
+          reader.option("maxFilesPerTrigger", mfpt) else reader)
+          .parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streams.streamingNearDupHits(stream)
+          .writeStream.format("memory").queryName("sdd")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt").start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val flagged = spark.table("sdd").select("doc_id").distinct().count()
+        println(f"[probe] streamdedup: $n%d docs in $sec%.1f s = ${n / sec}%.0f docs/s, $flagged%d flagged")
       case other =>
         sys.error(s"unknown probe: $other")
     }
