@@ -48,4 +48,24 @@ class DeterminismSpec extends SparkSpec {
       graft.queries.DateTimeQueries.q65Streaks(spark, sfDir)
     }
   }
+
+  test("q142 k-means: vector-aggregate rounds are shuffle-width invariant") {
+    // long_vec_sum's merge order varies with partitioning; integer
+    // addition is associative-commutative so the centroids must not
+    assertWidthInvariant("q142") {
+      graft.queries.SimilarityQueries.q142KmeansIters(spark, sfDir)
+    }
+  }
+
+  test("q183 DSIR: quantize-per-bucket-then-weighted-sum is shuffle-width invariant") {
+    assertWidthInvariant("q183") {
+      graft.queries.TextQueries.q183DsirWeights(spark, sfDir)
+    }
+  }
+
+  test("q184 packing: the distributed prefix sum is shuffle-width invariant") {
+    assertWidthInvariant("q184") {
+      graft.queries.TextQueries.q184SeqPacking(spark, sfDir)
+    }
+  }
 }
