@@ -155,11 +155,12 @@ object SimilarityQueries {
         r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
 
-    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
     // per-row scored cells: array of struct(cs, cid), ranked by (cs desc,
     // cid asc) via lexicographic sort on struct(-cs, cid)
-    def rankedCells(vec: Column) = array_sort(array(centroids.map { case (cid, ce) =>
-      struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
+    def rankedCells(vec: Column) = array_sort(array(centroids.toIndexedSeq.map {
+      case (cid, ce) =>
+        struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
     }: _*))
 
     val assigned = emb.select(col("vec_id"), col("embedding"),
