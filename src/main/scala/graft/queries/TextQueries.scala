@@ -1437,7 +1437,19 @@ object TextQueries {
     * recall trades against the Σ df² bound, never precision.
     * ApproxPathsSpec pins the contract (cap ≥ max df reproduces the exact
     * output; any cap yields a subset with per-pair J ≤ exact). Exact
-    * stays the oracle-checked default. */
+    * stays the oracle-checked default.
+    *
+    * Evaluated and REJECTED (r6): reinstating PPJoin prefix filtering on
+    * TOP of the counting join (index only each doc's df-ascending prefix,
+    * count prefix co-occurrences, exact-verify survivors via the
+    * pair-driven q113 machinery). Measured on the fixture distribution
+    * (ratios carry across rungs — ScaleUp copies preserve within-copy
+    * structure): Σ df_prefix² is only 2.9× below Σ df² (430k vs 1.27M
+    * pair-rows at sf0.1), and the prefix path adds a df join on every
+    * posting row, a per-doc ranking pass, and a second full-posting
+    * verify join — more than the 2.9× buys. The df-cap conf above
+    * remains the documented escape hatch for genuinely df-exploded
+    * corpora. */
   /** PRECONDITION: `docs` must be persisted by the caller — this method
     * calls `docs.count()` eagerly at plan-construction time to size the
     * shuffle width, and an unpersisted frame would silently run the full
