@@ -98,6 +98,52 @@ object SimilarityQueries {
       .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
   }
 
+  /** q185: MULTI-PROBE SRP ANN — q23's recall knob turned the cheap way
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007): each query probes its own
+    * bucket PLUS every 1-bit-flip of it (`pn` flips per table — the
+    * nearest-miss buckets, since one flipped hyperplane sign is the most
+    * likely way a true neighbor lands elsewhere). Recall rises like adding
+    * ~pn extra hash tables, but the CORPUS side is untouched: the banded
+    * index is built once, stored once, and the only growth is the
+    * query-side probe list ((1+pn)·tables rows per query — broadcast, so
+    * the candidate equi-join's build side stays trivially small). At
+    * 100 TB that is the difference between re-indexing the corpus to add
+    * tables and re-running only the probe generation: the index is the
+    * expensive artifact, probes are free. `n_cand` (exact per-query
+    * candidate count) is emitted next to the top-3 so the recall/cost
+    * trade is measured IN the query — compare against q23's candidate
+    * volume on the same corpus before turning the knob in production. */
+  def q185MultiprobeAnn(spark: SparkSession, dir: String): DataFrame = {
+    val pn = pnOf(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val banded = bandedOf(emb, pn)
+    // probe list per (query, table): own bucket, then each 1-bit flip.
+    // pn is a driver-side int, so the flip set unrolls to literals — a
+    // narrow map on the tiny query slice, never a join.
+    val probes = array((col("bucket") +: (0 until pn).map(j =>
+      col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val qp = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), explode(probes).as("bucket"))
+    val cand = banded.join(broadcast(qp), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = Similarity.cosine(col("qe"), col("embedding"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("qid"))))
+      .join(broadcast(q), Seq("qid"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .select(col("qid"), col("n_cand"), col("neighbor_id"), cos.as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("n_cand"), col("neighbor_id"),
+        round(col("cs"), 6).as("cos"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector twin of MinHash
     * dedup (q19/q20): SRP-LSH candidate pairs (vectors sharing a bucket in
     * ANY table, vec_id1 < vec_id2), then exact cosine >= threshold on
@@ -1403,6 +1449,39 @@ object SimilarityQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
          |  FROM c)
          |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // q23's CTE chain plus the probe expansion: own bucket UNION ALL every
+    // 1-bit flip, gated j < pn.pn (same adaptive-granularity trick as
+    // bucketSql — static SQL, runtime plane count)
+    "q185_multiprobe_ann" ->
+      s"""WITH ${pnCte("embeddings")},
+         |bl AS (SELECT vec_id,
+         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+         |  FROM embeddings CROSS JOIN pn),
+         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
+         |qp AS (SELECT qid, tbl, bucket FROM qb
+         |  UNION ALL
+         |  SELECT qid, tbl, xor(bucket, (1::BIGINT << u.j)) AS bucket
+         |  FROM qb
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.MaxPlanesPerTable - 1})) AS j) u
+         |  CROSS JOIN pn WHERE u.j < pn.pn),
+         |cand AS (SELECT DISTINCT qp.qid, e.vec_id AS neighbor_id
+         |  FROM tb e JOIN qp ON e.tbl = qp.tbl AND e.bucket = qp.bucket
+         |  WHERE e.vec_id <> qp.qid),
+         |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+         |c AS (SELECT cand.qid, cand.neighbor_id,
+         |  ${cosSql("q.qe", "e.embedding")} AS cs
+         |  FROM cand
+         |  JOIN q ON q.qid = cand.qid
+         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+         |r AS (SELECT qid, neighbor_id, cs,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+         |  FROM c)
+         |SELECT r.qid, nc.n_cand, r.neighbor_id, ROUND(r.cs, 6) AS cos, r.rn
+         |FROM r JOIN nc ON nc.qid = r.qid WHERE r.rn <= 3""".stripMargin,
 
     // lexical arm = the shared bm25 CTE chain (TextQueries); semantic arm
     // mirrors q23's SRP banding with se-prefixed CTE names; fusion is

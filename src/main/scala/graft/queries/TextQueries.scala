@@ -2051,6 +2051,50 @@ object TextQueries {
           - greatest(col("start"), col("seq_id") * B)).as("n_tokens"))
   }
 
+  /** q186: temperature-flattened source-mixing plan — the published
+    * multilingual/multi-source recipe (sample source i with p_i ∝ c_i^α,
+    * α < 1, so small sources are upweighted without letting any one
+    * dominate): per source, its exact token count, its α=1/2 temperature
+    * weight, its normalized sampling probability, and the expected EPOCH
+    * COUNT (how many times the source is re-read when the sampled budget
+    * equals the corpus total — the number that tells you which sources
+    * will memorize).
+    *
+    * Numeric contract (the q181 integer-fusion posture): α is fixed at 1/2
+    * BECAUSE sqrt is IEEE-correctly-rounded — `pow(x, 0.3)` is not
+    * bit-portable across engines, `sqrt` is. weight_micro =
+    * floor(1e6·sqrt(c_i/c_max)) is a chain of SINGLE correctly-rounded
+    * double ops (exact long→double below 2^53, one divide, one sqrt, one
+    * multiply, floor), so both engines agree bit-for-bit; everything after
+    * is pure integer math — p_micro = (w_i·1e6) DIV Σw over EXACT integer
+    * weights (the FP-sum ordering hazard never arises), epochs_micro =
+    * (p_micro·T) DIV c_i in decimal(38,0) (DuckDB HUGEINT) so the product
+    * can't overflow at any corpus size.
+    *
+    * Scale shape: the corpus-wide work is ONE map-side-combined token-sum
+    * agg to #sources rows; c_max, T and Σw ride 1-row broadcasts. The
+    * normalization is O(#sources) — deliberately NOT pushed to a fancier
+    * plan, because source counts are bounded (tens) while the token count
+    * is the 100-TB scan; flattening the tiny step into the query keeps the
+    * whole plan three broadcast joins over a 20-row frame. */
+  def q186TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), size(TA.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val tot = counts.agg(max(col("n_tokens")).as("c_max"),
+      sum(col("n_tokens")).as("t_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("weight_micro",
+        floor(lit(1000000.0d) *
+          sqrt(col("n_tokens").cast("double") / col("c_max").cast("double"))))
+    val denom = w.agg(sum(col("weight_micro")).as("w_sum"))
+    w.crossJoin(broadcast(denom))
+      .withColumn("p_micro", expr("(weight_micro * 1000000) DIV w_sum"))
+      .select(col("source"), col("n_tokens"), col("weight_micro"), col("p_micro"),
+        expr("CAST((CAST(p_micro AS DECIMAL(38,0)) * t_total) DIV n_tokens AS BIGINT)")
+          .as("epochs_micro"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2353,6 +2397,27 @@ object TextQueries {
          |  CAST(SUM(LEAST(e, (seq_id + 1) * 512)
          |    - GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens
          |FROM sp GROUP BY 1""".stripMargin,
+
+    // the same single-correctly-rounded-op chain as the Spark plan:
+    // long->double casts, one divide, one sqrt, one multiply, floor; then
+    // pure integer normalization (// is floor division; all values are
+    // non-negative, so it matches Spark's truncating DIV)
+    "q186_temperature_mix" ->
+      s"""WITH c AS (SELECT source,
+         |  CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT MAX(n_tokens) AS c_max,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM c),
+         |w AS (SELECT source, n_tokens,
+         |  CAST(FLOOR(1000000.0 * SQRT(n_tokens::DOUBLE / c_max::DOUBLE))
+         |    AS BIGINT) AS weight_micro
+         |  FROM c CROSS JOIN tot),
+         |d AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_sum FROM w)
+         |SELECT source, n_tokens, weight_micro,
+         |  (weight_micro * 1000000) // w_sum AS p_micro,
+         |  CAST((((weight_micro * 1000000) // w_sum)::HUGEINT * t_total)
+         |    // n_tokens AS BIGINT) AS epochs_micro
+         |FROM w CROSS JOIN d CROSS JOIN tot""".stripMargin,
 
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -647,6 +647,72 @@ class OpsEdgeSpec extends SparkSpec {
       (2L, 3L, 2L, 512L))) // doc 1 tail + docs 2,4 start; exact fill, no seq 3
   }
 
+  test("q185 multi-probe: candidate set is EXACTLY the <=1-bit-flip collision set, a strict superset of single-probe") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb185").toString
+    // 60 deterministic irregular vectors; n=60 -> adaptive pn = 3
+    val vecs = (0 until 60).map(i => Array.tabulate(64)(j =>
+      ((((i * 31 + j * 17 + 3) % 23) - 11) / 10.0f) + 0.0137f * ((i + j) % 7 - 3)))
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pn = Similarity.adaptivePlanes(60L)
+    assert(pn === 3)
+    // independent bucket computation through the public expression
+    val signs = Similarity.hyperplaneSigns(8 * Similarity.MaxPlanesPerTable, 64)
+    val buckets: Map[Long, Seq[Long]] = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.srpBucketsAdaptive(col("embedding"), signs, 8, pn).as("bs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def cands(qid: Long, maxFlips: Int): Set[Long] =
+      buckets.keySet.filter(v => v != qid && (0 until 8).exists(t =>
+        java.lang.Long.bitCount(buckets(qid)(t) ^ buckets(v)(t)) <= maxFlips))
+    val got = graft.queries.SimilarityQueries.q185MultiprobeAnn(spark, dir)
+      .select("qid", "n_cand", "neighbor_id", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    (0L until 8L).foreach { qid =>
+      val exp1 = cands(qid, 1) // own bucket or one flipped plane, any table
+      val rows = got.filter(_._1 == qid)
+      assert(rows.forall(_._2 == exp1.size),
+        s"qid=$qid n_cand ${rows.map(_._2).distinct} != |expected| ${exp1.size}")
+      assert(rows.map(_._3).toSet.subsetOf(exp1))
+      // multi-probe must widen at least SOME query's candidate pool
+      assert(cands(qid, 0).subsetOf(exp1))
+    }
+    assert((0L until 8L).exists(qid => cands(qid, 0).size < cands(qid, 1).size),
+      "fixture degenerate: 1-bit probes added no candidates for any query")
+  }
+
+  test("q186 temperature mix: exact integer weights/probabilities/epochs on hand-computable counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs186").toString
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    Seq(
+      (0L, words("a", 9), "src_a"),  // 9 tokens
+      (1L, words("b", 4), "src_b"),  // 4
+      (2L, "c1", "src_c"),           // 1
+      (3L, words("d", 10), "src_d"), // 16 across two docs = c_max
+      (4L, words("e", 6), "src_d"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q186TemperatureMix(spark, dir)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // weights: floor(1e6*sqrt(c/16)) = 750000, 500000, 250000, 1000000
+    // (sum 2500000); p = w*1e6 // 2500000; epochs = p*30 // c
+    assert(got === Seq(
+      ("src_a", 9L, 750000L, 300000L, 1000000L),
+      ("src_b", 4L, 500000L, 200000L, 1500000L),
+      ("src_c", 1L, 250000L, 100000L, 3000000L),
+      ("src_d", 16L, 1000000L, 400000L, 750000L)))
+    // the temperature property: sampling probability still orders by size,
+    // expected epochs order INVERTS it (small sources repeat more)
+    assert(got.sortBy(_._2).map(_._4) === got.sortBy(_._2).map(_._4).sorted)
+    assert(got.sortBy(_._2).map(_._5) ===
+      got.sortBy(_._2).map(_._5).sorted.reverse)
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString

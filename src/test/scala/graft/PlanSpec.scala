@@ -297,6 +297,29 @@ class PlanSpec extends SparkSpec {
       "skyline degenerated to the quadratic formulation")
   }
 
+  test("q185: probe side broadcasts onto the banded corpus; no cartesian anywhere") {
+    val df = SimilarityQueries.q185MultiprobeAnn(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      "multi-probe degenerated to a corpus cross join:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "probe list should be the broadcast build side:\n" + p.take(800))
+    assert(p.contains("tbl") && p.contains("bucket"),
+      "expected the SRP band-bucket candidate equi-join:\n" + p.take(800))
+  }
+
+  test("q186: one partial-agg corpus pass; the 1-row normalizers ride broadcasts") {
+    val df = graft.queries.TextQueries.q186TemperatureMix(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_"), // token sum is map-side combined
+      "per-source token agg lost its partial (map-side) phase:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "c_max/w_sum normalizers were not broadcast:\n" + p.take(800))
+  }
+
   test("q96: data-dependent threshold stays a broadcast, rank windows stay partitioned") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.queries.TextQueries.q96ClassBalance(spark, sfDir)
