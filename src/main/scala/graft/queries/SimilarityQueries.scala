@@ -89,8 +89,10 @@ object SimilarityQueries {
     val cos = Similarity.cosine(col("qe"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("neighbor_id").asc)
-    cand
-      .join(broadcast(q), Seq("qid"))
+    // static build-side hint: same rationale (and same measured 407 MB
+    // corpus shuffle before AQE's late conversion) as q185 below — the
+    // candidate set is bounded by nQueries × tables × adaptive occupancy.
+    broadcast(cand.join(broadcast(q), Seq("qid")))
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
       .select(col("qid"), col("neighbor_id"), cos.as("cs"))
       .withColumn("rn", row_number().over(w))
@@ -133,9 +135,16 @@ object SimilarityQueries {
     val cos = Similarity.cosine(col("qe"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("neighbor_id").asc)
-    cand
+    // the fetch-back join must BUILD on the candidate side STATICALLY:
+    // letting AQE discover it means the planner first lays out a shuffle
+    // join and materializes the corpus-side map stage before converting —
+    // measured 407 MB of embeddings shuffled at the 1000x rung for a 61k-
+    // row candidate set. Candidates are bounded by design (nQueries ×
+    // tables × (1+pn) probes × ~32 adaptive bucket occupancy — log-growth
+    // in corpus size), so the static hint has no OOM cliff.
+    broadcast(cand
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("qid"))))
-      .join(broadcast(q), Seq("qid"))
+      .join(broadcast(q), Seq("qid")))
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
       .select(col("qid"), col("n_cand"), col("neighbor_id"), cos.as("cs"))
       .withColumn("rn", row_number().over(w))
