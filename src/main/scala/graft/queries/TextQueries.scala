@@ -2095,6 +2095,43 @@ object TextQueries {
           .as("epochs_micro"))
   }
 
+  /** q187: per-source 4-gram COLLISION index — the inter-document
+    * homogeneity audit that completes the duplication family's
+    * measurement axis: q55 scores repetition WITHIN a doc, q176 measures
+    * how source DISTRIBUTIONS differ, this measures how much a source
+    * repeats ITSELF across documents — the probability that two distinct
+    * 4-gram slots drawn from the source carry the same gram,
+    * Σ_g c_g·(c_g−1) / (G·(G−1)) in exact ppm (the Rényi-2 collision
+    * form of self-BLEU: boilerplate-heavy sources score high before any
+    * pairwise comparison is run — the cheap triage in front of q19/q44).
+    *
+    * All integer: counts are exact, the collision sum accumulates in
+    * decimal(38,0) (DuckDB HUGEINT — c² overflows a long at corpus
+    * scale), and the final ppm is integer division with a nullif guard
+    * (a one-gram source has no pair to collide — NULL, not a crash).
+    * Sources with no 4-grams emit no row (nothing to measure).
+    *
+    * Scale shape: the (source, gram) count is the only corpus-wide
+    * exchange — map-side combined, so pre-shuffle volume is bounded by
+    * per-partition distinct grams; the per-source rollup partially
+    * aggregates to #sources rows per partition before its tiny exchange.
+    * Gram strings shuffle raw (the q57/q179 posture); at 100 TB widths
+    * the md5-digest option q178 documents applies identically here. */
+  def q187GramCollision(spark: SparkSession, dir: String): DataFrame = {
+    val cg = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.WordShingles(TA.tokens(col("text")), 4)).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    cg.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("coll"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * coll)
+                DIV nullif(CAST(n_grams AS DECIMAL(38,0)) * (n_grams - 1), 0)
+                AS BIGINT)""").as("collision_ppm"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2418,6 +2455,24 @@ object TextQueries {
          |  CAST((((weight_micro * 1000000) // w_sum)::HUGEINT * t_total)
          |    // n_tokens AS BIGINT) AS epochs_micro
          |FROM w CROSS JOIN d CROSS JOIN tot""".stripMargin,
+
+    // exact-integer twin: HUGEINT collision sum (c^2 overflows BIGINT at
+    // corpus scale), floor integer division, NULLIF pair-count guard
+    "q187_gram_collision" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT source, unnest(CASE WHEN len(toks) >= 4
+         |    THEN list_transform(generate_series(1, len(toks) - 3),
+         |           i -> array_to_string(toks[i:i+3], ' '))
+         |    ELSE [] END) AS g FROM t),
+         |cg AS (SELECT source, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  SUM(c::HUGEINT * (c - 1)) AS coll FROM cg GROUP BY 1)
+         |SELECT source, n_grams, n_distinct,
+         |  CAST((1000000::HUGEINT * coll)
+         |    // NULLIF(n_grams::HUGEINT * (n_grams - 1), 0) AS BIGINT)
+         |    AS collision_ppm
+         |FROM a""".stripMargin,
 
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

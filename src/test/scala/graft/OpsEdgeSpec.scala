@@ -713,6 +713,29 @@ class OpsEdgeSpec extends SparkSpec {
       got.sortBy(_._2).map(_._5).sorted.reverse)
   }
 
+  test("q187 gram collision: exact ppm on hand-computable counts; one-gram source NULLs; gram-less source emits no row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs187").toString
+    Seq(
+      (0L, "x x x x x", "src_dup"),       // grams: "x x x x" twice -> G=2, coll=2, ppm=1000000
+      (1L, "a b c d e", "src_mix"),       // 2 distinct grams, no repeat
+      (2L, "a b c d", "src_mix"),         // 1 more "a b c d" -> c("a b c d")=2
+      (3L, "p q r s", "src_one"),         // exactly one gram -> G=1 -> NULL ppm
+      (4L, "u v w", "src_none"))          // 3 tokens -> no 4-gram -> no row
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q187GramCollision(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // src_mix: grams = {"a b c d": 2, "b c d e": 1}, G=3, coll=2*1=2,
+    // ppm = 1e6*2 // (3*2) = 333333
+    assert(got === Seq(
+      ("src_dup", 2L, 1L, Some(1000000L)),
+      ("src_mix", 3L, 2L, Some(333333L)),
+      ("src_one", 1L, 1L, None)))
+  }
+
   test("q180 degenerate edge: identical vectors (zero variance) yield NULL loadings, not a divide-by-zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb180").toString
