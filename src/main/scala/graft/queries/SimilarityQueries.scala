@@ -35,6 +35,38 @@ object SimilarityQueries {
       posexplode(Similarity.srpBucketsAdaptive(col("embedding"), signs, tables, pn)))
     .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
 
+  /** OOM guard for the statically-hinted candidate fetch-back broadcast
+    * (q23/q185). The "~32 adaptive bucket occupancy" bound that justifies
+    * the static `broadcast()` is an AVERAGE-case property, not structural:
+    * a duplicate-heavy or skewed corpus concentrates buckets and the
+    * candidate frame (each row carrying a 64-float query vector)
+    * degenerates toward nQueries × N rows — the static hint would then be
+    * a driver/executor OOM instead of AQE's late-conversion shuffle tax.
+    * So before taking the hint, compute the EXACT pre-distinct candidate
+    * count: Σ over probe rows of corpus bucket occupancy — one
+    * map-side-combined count agg over the banded frame (shuffles only
+    * #distinct-bucket rows ≈ N/32, never a vector) joined to the
+    * broadcast probe list. Above the threshold the caller falls back to
+    * the unhinted join and AQE sizes it from runtime stats: the slow path
+    * is a slowdown, the fast path misapplied is a cliff. */
+  private def candFitsBroadcast(spark: SparkSession, banded: DataFrame,
+      probes: DataFrame): Boolean = {
+    val limit = spark.conf.getOption("spark.graft.ann.broadcastCandLimit")
+      .map(_.toLong).getOrElse(1000000L)
+    val r = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .join(broadcast(probes.select(col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"))
+      .agg(sum(col("occ"))).head()
+    val bound = if (r.isNullAt(0)) 0L else r.getLong(0)
+    bound <= limit
+  }
+
+  /** Apply the static fetch-back build-side hint only when
+    * [[candFitsBroadcast]] proved the frame bounded. */
+  private def hintIfBounded(df: DataFrame, bounded: Boolean): DataFrame =
+    if (bounded) broadcast(df) else df
+
   /** The oracle-side twin of [[Similarity.adaptivePlanes]]: a CTE named
     * `pn` computing the identical integer (bit-length CASE ladder over
     * m = (COUNT(*)-1)//32, clamped to [3, 24]) — no floating log2, so
@@ -91,8 +123,11 @@ object SimilarityQueries {
       .orderBy(col("cs").desc, col("neighbor_id").asc)
     // static build-side hint: same rationale (and same measured 407 MB
     // corpus shuffle before AQE's late conversion) as q185 below — the
-    // candidate set is bounded by nQueries × tables × adaptive occupancy.
-    broadcast(cand.join(broadcast(q), Seq("qid")))
+    // candidate set is bounded by nQueries × tables × adaptive occupancy
+    // ON AVERAGE, so the hint is gated on a measured occupancy check
+    // (candFitsBroadcast) and degrades to the AQE path on skewed corpora.
+    hintIfBounded(cand.join(broadcast(q), Seq("qid")),
+      candFitsBroadcast(spark, banded, qb))
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
       .select(col("qid"), col("neighbor_id"), cos.as("cs"))
       .withColumn("rn", row_number().over(w))
@@ -141,10 +176,13 @@ object SimilarityQueries {
     // measured 407 MB of embeddings shuffled at the 1000x rung for a 61k-
     // row candidate set. Candidates are bounded by design (nQueries ×
     // tables × (1+pn) probes × ~32 adaptive bucket occupancy — log-growth
-    // in corpus size), so the static hint has no OOM cliff.
-    broadcast(cand
+    // in corpus size) ON AVERAGE; the hint is gated on candFitsBroadcast's
+    // exact occupancy measurement so a skewed corpus degrades to the AQE
+    // path instead of OOMing the build side.
+    hintIfBounded(cand
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("qid"))))
-      .join(broadcast(q), Seq("qid")))
+      .join(broadcast(q), Seq("qid")),
+      candFitsBroadcast(spark, banded, qp))
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
       .select(col("qid"), col("n_cand"), col("neighbor_id"), cos.as("cs"))
       .withColumn("rn", row_number().over(w))

@@ -454,13 +454,33 @@ object TextQueries {
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles3(col("toks")))).as("gram"))
-    val banded = pairs.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 20))
-    pairs.join(banded, Seq("gram"))
-      .groupBy(col("gram"), col("df"))
-      .agg(array_join(
-        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
-        ",").as("postings"))
+    gramKeyOpt(spark) match {
+      case None =>
+        val banded = pairs.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 20))
+        pairs.join(banded, Seq("gram"))
+          .groupBy(col("gram"), col("df"))
+          .agg(array_join(
+            transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+            ",").as("postings"))
+      case Some(key) =>
+        // digest-keyed twin: the df agg shuffles (gk, count) only — the
+        // gram string is dropped from the banded side entirely — and the
+        // join + final agg key on the fixed-width gk; the gram rides the
+        // pair stream once as a payload (min over the key group, where
+        // every member is identical absent a collision) because it is in
+        // the output contract.
+        val keyed = pairs.withColumn("gk", key(col("gram")))
+        val banded = keyed.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 20))
+        keyed.join(banded, Seq("gk"))
+          .groupBy(col("gk"), col("df"))
+          .agg(min(col("gram")).as("gram"),
+            array_join(
+              transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+              ",").as("postings"))
+          .select(col("gram"), col("df"), col("postings"))
+    }
   }
 
   /** Pointwise mutual information over within-document token co-occurrence
@@ -1266,7 +1286,12 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // gramKeyOpt (the digestHex conf): w1/w2 never reach the output —
+      // only counts over them do — so the whole spine can key on digests
+      // with zero other change (collision risk posture in its scaladoc)
+      .select(col("doc_id"),
+        gramKeyOpt(spark).fold(col("p.w1"))(k => k(col("p.w1"))).as("w1"),
+        gramKeyOpt(spark).fold(col("p.w2"))(k => k(col("p.w2"))).as("w2"))
       // width is data-proportional, not the fixed session parallelism:
       // the shuffle-hash build sides below are per-partition BIGRAM
       // VOCABULARY counts, which grow with the corpus — a fixed width
@@ -1757,6 +1782,29 @@ object TextQueries {
     * engine truncating the same md5 to the same width matches exactly
     * (ApproxPathsSpec pins 16-hex spans/rewrites == 32-hex on the fixture,
     * where no 64-bit collisions exist). */
+  /** The gram-key twin of [[winDigest]] for the families whose corpus-wide
+    * shuffles are keyed on SHORT grams (q57 3-grams, q115 bigram tokens,
+    * q187 4-grams): `spark.graft.dedup.digestHex = N` (8..32) re-keys
+    * those aggregations/joins on the first N hex of md5(gram). Unlike
+    * q178's 8-token windows the raw grams here are already narrow, so the
+    * DEFAULT stays the raw string (oracle-exact, zero hash cost, conf
+    * unset → None); the digest pays off at 100-TB vocabulary widths where
+    * fixed-width keys keep shuffle rows constant-size and hash/compare
+    * cost flat regardless of gram length or encoding. Output is
+    * digest-invariant: q115/q187 emit only counts over the keys and q57
+    * carries the gram through as a payload — a collision merges gram
+    * groups (over-counts duplication / under-counts distincts), the same
+    * accepted risk posture winDigest documents, and never the oracle gate
+    * (conf unset there). ApproxPathsSpec pins 16-hex == raw on the
+    * fixture for all three queries. */
+  private def gramKeyOpt(spark: SparkSession): Option[Column => Column] =
+    spark.conf.getOption("spark.graft.dedup.digestHex").map { n =>
+      val hexn = n.toInt
+      require(hexn >= 8 && hexn <= 32,
+        s"spark.graft.dedup.digestHex must be in [8, 32], got $n")
+      (g: Column) => substring(md5(g), 1, hexn)
+    }
+
   private def winDigest(spark: SparkSession, toks: Column, i: Column, w: Int): Column = {
     val hexn = spark.conf.getOption("spark.graft.dedup.digestHex")
       .map(_.toInt).getOrElse(32)
@@ -2086,7 +2134,13 @@ object TextQueries {
     val w = counts.crossJoin(broadcast(tot))
       .withColumn("weight_micro",
         floor(lit(1000000.0d) *
-          sqrt(col("n_tokens").cast("double") / col("c_max").cast("double"))))
+          // nullif guard (the q187 posture): in the fully degenerate
+          // corpus (every source tokenizes empty, c_max = 0) Spark's
+          // 0.0/0.0 is NaN and floor(NaN) is 0, while DuckDB's 0/0 is
+          // NULL — dividing by nullif(c_max,0) makes BOTH engines emit
+          // a NULL weight so the bit-parity contract holds on that path
+          sqrt(col("n_tokens").cast("double") /
+            nullif(col("c_max"), lit(0L)).cast("double"))))
     val denom = w.agg(sum(col("weight_micro")).as("w_sum"))
     w.crossJoin(broadcast(denom))
       .withColumn("p_micro", expr("(weight_micro * 1000000) DIV w_sum"))
@@ -2115,12 +2169,19 @@ object TextQueries {
     * exchange — map-side combined, so pre-shuffle volume is bounded by
     * per-partition distinct grams; the per-source rollup partially
     * aggregates to #sources rows per partition before its tiny exchange.
-    * Gram strings shuffle raw (the q57/q179 posture); at 100 TB widths
-    * the md5-digest option q178 documents applies identically here. */
+    * Gram strings shuffle raw by default (the q179 posture); at 100 TB
+    * widths set `spark.graft.dedup.digestHex` ([[gramKeyOpt]]) to key the
+    * exchange on fixed-width digests instead. */
   def q187GramCollision(spark: SparkSession, dir: String): DataFrame = {
     val cg = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(graft.functions.WordShingles(TA.tokens(col("text")), 4)).as("g"))
+        explode(graft.functions.WordShingles(TA.tokens(col("text")), 4)).as("g0"))
+      // gramKeyOpt (the digestHex conf): only counts over the gram reach
+      // the output, so the corpus-wide (source, gram) exchange can key on
+      // the fixed-width digest — a collision merges two gram groups
+      // (n_distinct down by 1, coll up), the documented posture
+      .select(col("source"),
+        gramKeyOpt(spark).fold(col("g0"))(k => k(col("g0"))).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
     cg.groupBy(col("source"))
       .agg(sum(col("c")).as("n_grams"),
@@ -2446,8 +2507,8 @@ object TextQueries {
          |tot AS (SELECT MAX(n_tokens) AS c_max,
          |  CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM c),
          |w AS (SELECT source, n_tokens,
-         |  CAST(FLOOR(1000000.0 * SQRT(n_tokens::DOUBLE / c_max::DOUBLE))
-         |    AS BIGINT) AS weight_micro
+         |  CAST(FLOOR(1000000.0 * SQRT(n_tokens::DOUBLE
+         |    / NULLIF(c_max, 0)::DOUBLE)) AS BIGINT) AS weight_micro
          |  FROM c CROSS JOIN tot),
          |d AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_sum FROM w)
          |SELECT source, n_tokens, weight_micro,

@@ -113,6 +113,28 @@ class ApproxPathsSpec extends SparkSpec {
     assert(exactRewrite.nonEmpty, "fixture should contain duplicated spans")
   }
 
+  test("q57/q115/q187: the 16-hex gram-key digest reproduces the exact output on the fixture") {
+    // gramKeyOpt: the short-gram families key their corpus-wide shuffles
+    // on md5-truncated digests under the same conf. Output depends on the
+    // key only through equality (q115/q187 emit counts; q57 carries the
+    // gram as a payload), so any collision-free width is byte-identical.
+    val exact57 = TextQueries.q57GramPostings(spark, sfDir)
+      .orderBy("gram").collect().toSeq
+    val exact115 = TextQueries.q115BigramLogprob(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    val exact187 = TextQueries.q187GramCollision(spark, sfDir)
+      .orderBy("source").collect().toSeq
+    withConf("spark.graft.dedup.digestHex", "16") {
+      assert(TextQueries.q57GramPostings(spark, sfDir)
+        .orderBy("gram").collect().toSeq === exact57)
+      assert(TextQueries.q115BigramLogprob(spark, sfDir)
+        .orderBy("doc_id").collect().toSeq === exact115)
+      assert(TextQueries.q187GramCollision(spark, sfDir)
+        .orderBy("source").collect().toSeq === exact187)
+    }
+    assert(exact57.nonEmpty && exact115.nonEmpty && exact187.nonEmpty)
+  }
+
   test("q178: digestHex outside [8, 32] is rejected, not silently clamped") {
     withConf("spark.graft.dedup.digestHex", "4") {
       intercept[IllegalArgumentException] {

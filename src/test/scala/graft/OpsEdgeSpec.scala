@@ -713,6 +713,25 @@ class OpsEdgeSpec extends SparkSpec {
       got.sortBy(_._2).map(_._5).sorted.reverse)
   }
 
+  test("q186 fully degenerate corpus (every source tokenizes empty): NULL weights, never NaN-floored zeros") {
+    import spark.implicits._
+    // c_max = 0 makes the weight 0/0: Spark's NaN chain used to floor to
+    // 0 while DuckDB's 0/0 is NULL — the nullif(c_max, 0) guard makes
+    // both engines agree on NULL for every derived column.
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs186z").toString
+    Seq((0L, "   ", "en", "src_a", 3L), (1L, "", "en", "src_b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q186TemperatureMix(spark, dir)
+      .orderBy("source").collect()
+    assert(got.length === 2)
+    for (r <- got) {
+      assert(r.getAs[Long]("n_tokens") === 0L)
+      for (c <- Seq("weight_micro", "p_micro", "epochs_micro"))
+        assert(r.isNullAt(r.fieldIndex(c)), s"$c should be NULL, got $r")
+    }
+  }
+
   test("q187 gram collision: exact ppm on hand-computable counts; one-gram source NULLs; gram-less source emits no row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_docs187").toString
