@@ -258,11 +258,16 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver's harness captures only the LAST ~2000 characters of the
     // build output and parses a JSON line found there. A single line holding
-    // four 147-entry maps (~12 KB) gets its head truncated, so the parse
-    // target must be (a) compact and (b) the final line printed. Full
-    // per-query maps go on a "detail" line first (for humans and the judge);
-    // the summary line that follows inlines only the slowest queries so it
-    // stays well under the capture window.
+    // four 187-entry name->value maps (~12 KB) gets its head truncated, so
+    // the parse target must be (a) compact and (b) the final line printed.
+    // Yet the round record must carry ALL per-query walls (round-5/6
+    // verdict item), so the summary encodes the full set as a dense array
+    // indexed by query number (the qNNN name prefix, dense 1..N by
+    // convention): queries[i] = wall seconds of query number i+1, trimmed
+    // to 2 decimals, -1 for a failed query, null for an absent number —
+    // ~1 KB for 187 queries, inside the window with margin. The full
+    // name->seconds map (plus cpu/shuffle/gc) goes on a "detail" line
+    // first and into bench_summary.json.
     // regression gate: BASELINE.md's anchors as an ENFORCED contract, not
     // documentation. bench_anchors.json (committed) records the expected
     // q01-q44 subtotal and grand total for this host profile; a full run
@@ -310,11 +315,41 @@ object Bench {
     val detailLine =
       s"""{"detail":"per_query","queries":$qs,"cpu_sec":$cpu,"shuffle_write_bytes":$sh,"gc_ms":$gc}"""
     println(detailLine)
-    val topQs = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
+    // 2-decimal, trailing zeros trimmed: array density is what buys the
+    // full 187-wall record its place inside the capture window
+    def f2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    val byNum = results.map { case (k, (v, _, _, _)) =>
+      k.drop(1).takeWhile(_.isDigit).toInt -> v }
+    val qArr =
+      if (byNum.isEmpty) "[]"
+      else (1 to byNum.keys.max).map(i =>
+        byNum.get(i).map(f2).getOrElse("null")).mkString("[", ",", "]")
+    // host calibration, surfaced mechanically (not as a prose footnote):
+    // the q01-q44 anchor ratio of THIS run — cross-round comparisons in
+    // BASELINE.md divide walls by it so host spread (measured up to 1.35x
+    // between same-day runs of identical code) never reads as regression
+    val hostFactor = "\"ratio_q01_q44\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(gateJson).map(m => s""","host_factor":${m.group(1)}""")
+      .getOrElse("")
+    val topQs = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
       .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    def summaryWith(queries: String, key: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"total_q01_q44":${f3(r1Total)}$hostFactor,"queries":$queries,"queries_key":"$key","slowest":$topQs,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    val fullLine = summaryWith(qArr,
+      "queries[i]=wall sec of query number i+1 (qNNN name prefix); -1=failed; full name->sec map on the detail line and bench_summary.json")
+    // degrade rather than overflow: a summary whose head the driver's
+    // ~2000-char window would truncate parses as nothing at all, which is
+    // strictly worse than a slowest-only map (never expected at <=400
+    // queries; the array is ~5.5 bytes/query)
     val summaryLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"total_q01_q44":${f3(r1Total)},"queries":$topQs,"queries_note":"15 slowest; full map on preceding detail line","failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+      if (fullLine.length <= 1900) fullLine
+      else summaryWith(topQs, "full array dropped: it would overflow the driver capture window; see detail line")
     // first-class repo artifact: the driver's tail parser has recorded
     // "parsed": null every round, so the headline numbers must also live
     // in a committed file — summary line first (the parse target), full
