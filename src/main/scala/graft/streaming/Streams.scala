@@ -325,6 +325,49 @@ object Streams {
     }
   }
 
+  /** [[BandOwnerProcessor]]'s semantics with a HORIZON: ownership lapses
+    * — and the state entry is physically `remove()`d — after `ttlMs` of
+    * bucket silence, so live RocksDB keys are bounded by the horizon's
+    * bucket working set (ingest rate × 6 bands × horizon), constant in
+    * corpus size. Each sighting re-arms the timeout (update-on-touch), so
+    * a hot bucket keeps its canonical owner indefinitely while cold
+    * buckets age out; a post-horizon re-arrival is readmitted as a new
+    * canonical — the recall-for-memory trade, stated.
+    *
+    * Deliberately the V1 API (`flatMapGroupsWithState` +
+    * `ProcessingTimeTimeout`), not state-v2 TTL: in this Spark build,
+    * `transformWithState` under `TimeMode.ProcessingTime` dies planning
+    * its timer-driven batches (NPE constructing TransformWithStateExec —
+    * PythonSQLMetrics reads an unset session) and `TTLConfig` only
+    * FILTERS expired values on read; the v1 timeout callback is where the
+    * store actually shrinks. Operational note shared by ANY
+    * processing-time-timer operator (both APIs): the operator requests a
+    * batch on every trigger, so `processAllAvailable` never sees its
+    * no-work signal and `Trigger.AvailableNow` never self-terminates —
+    * drive such queries with a real processing-time trigger and stop them
+    * by observed progress (see StreamingSpec / the streamdedup probe). */
+  private def bandOwnerWithHorizon(claims: org.apache.spark.sql.Dataset[BandClaim],
+      ttlMs: Long): Dataset[DupHit] = {
+    implicit val outEnc = Encoders.product[DupHit]
+    implicit val stEnc = Encoders.scalaLong
+    claims.groupByKey(_.bkey)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, DupHit](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (bkey: String, rows: Iterator[BandClaim], st: GroupState[Long]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var own = st.getOption.getOrElse(-1L)
+            val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+              if (own < 0) { own = r.doc_id; None }
+              else if (r.doc_id == own) None
+              else Some(DupHit(r.doc_id, bkey, own))
+            }
+            if (own >= 0) { st.update(own); st.setTimeoutDuration(ttlMs) }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming near-duplicate detection at INGEST — the online twin of the
     * batch MinHash-LSH dedup (q19) and the per-run incremental dedup of
     * CorpusPipeline: each arriving document claims its 6 LSH band buckets;
@@ -344,13 +387,28 @@ object Streams {
     * the RocksDB store, and the doc text never enters state — the
     * signature pipeline is the identical native-expression chain
     * (WordShingles → MinHashSignature → lshBands) as batch, computed
-    * map-side. A TTL would bound state for dedup-within-horizon
-    * semantics; dedup-against-all-history keeps TTLConfig.NONE. */
-  def streamingNearDupHits(docs: DataFrame): Dataset[DupHit] = {
+    * map-side.
+    *
+    * `horizon` is the state bound: `None` (default) keeps
+    * dedup-against-all-history — bucket-owner state grows with every
+    * distinct bucket ever seen, which the r6 probe measured as ~4×
+    * per-doc cost at 10× corpus (~30M RocksDB keys). `Some(d)` switches
+    * to dedup-within-horizon ([[bandOwnerWithHorizon]]): a bucket silent
+    * for `d` of processing time expires AND its state entry is removed,
+    * so live state is bounded by the horizon's bucket working set
+    * (ingest rate × 6 bands × d) — constant in corpus size, the only
+    * shape that survives an unbounded firehose. Recall trade, stated: a
+    * duplicate arriving more than `d` after its cluster's last sighting
+    * is admitted as a new canonical, not flagged. StreamingSpec pins
+    * batch parity for in-horizon arrivals and the expire-readmit
+    * behavior past the horizon; see [[bandOwnerWithHorizon]] for why the
+    * horizon path is the v1 state API and how to drive such a query. */
+  def streamingNearDupHits(docs: DataFrame,
+      horizon: Option[java.time.Duration] = None): Dataset[DupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.{Dedup, TextAnalysis => TA}
-    docs
+    val claims = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
       .select(col("doc_id"), explode(Dedup.lshBands(
@@ -359,8 +417,12 @@ object Streams {
       .select(concat(col("bb.band").cast("string"), lit(":"),
         col("bb.band_key")).as("bkey"), col("doc_id"))
       .as[BandClaim]
-      .groupByKey(_.bkey)(Encoders.STRING)
-      .transformWithState(new BandOwnerProcessor,
-        TimeMode.None(), OutputMode.Append())(Encoders.product[DupHit])
+    horizon match {
+      case Some(d) => bandOwnerWithHorizon(claims, d.toMillis)
+      case None => claims
+        .groupByKey(_.bkey)(Encoders.STRING)
+        .transformWithState(new BandOwnerProcessor,
+          TimeMode.None(), OutputMode.Append())(Encoders.product[DupHit])
+    }
   }
 }

@@ -1,5 +1,7 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,7 +158,10 @@ object Probe {
         // documents from `dir` flow through an AvailableNow file stream
         // (the production micro-batch path, RocksDB state store); reports
         // wall, docs/s, and the flagged-doc count. Arg 3 caps the doc
-        // count (0 = all).
+        // count (0 = all); arg 4 sets maxFilesPerTrigger (0 = single
+        // batch); arg 5 sets the dedup horizon TTL in seconds (0 = none,
+        // dedup-against-all-history) — the state bound whose effect on
+        // per-doc cost this probe exists to measure.
         val cap = args.lift(2).flatMap(_.toLongOption).getOrElse(0L)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -165,24 +170,67 @@ object Probe {
         (if (cap > 0) src.filter(col("doc_id") < cap) else src)
           .write.mode("overwrite").parquet(s"$tmp/in")
         val n = spark.read.parquet(s"$tmp/in").count()
-        // arg 4: maxFilesPerTrigger (0 = single batch) — AvailableNow then
-        // drains the backlog as real micro-batches, the production shape
+        // AvailableNow drains the backlog as real micro-batches, the
+        // production shape — and the cadence a processing-time TTL needs
+        // to actually expire state mid-run
         val mfpt = args.lift(3).flatMap(_.toIntOption).getOrElse(0)
+        val ttlSec = args.lift(4).flatMap(_.toLongOption).getOrElse(0L)
+        val horizon = if (ttlSec > 0)
+          Some(java.time.Duration.ofSeconds(ttlSec)) else None
         val reader = spark.readStream
           .schema("doc_id BIGINT, text STRING")
         val stream = (if (mfpt > 0)
           reader.option("maxFilesPerTrigger", mfpt) else reader)
           .parquet(s"$tmp/in")
         val t0 = System.nanoTime()
-        val q = graft.streaming.Streams.streamingNearDupHits(stream)
-          .writeStream.format("memory").queryName("sdd")
+        // sink: per-batch distinct doc_ids appended to parquet. The old
+        // memory sink accumulated every hit row in the driver, so at 5M
+        // docs the SINK's growth polluted the state-store measurement;
+        // this keeps driver memory per-batch-bounded and the flagged
+        // count exact (distinct again on read).
+        val writer = graft.streaming.Streams.streamingNearDupHits(stream, horizon)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Streams.DupHit], _: Long) =>
+            batch.select("doc_id").distinct()
+              .write.mode("append").parquet(s"$tmp/hits")
+          }
           .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/ckpt").start()
-        q.awaitTermination()
+          .option("checkpointLocation", s"$tmp/ckpt")
+        if (horizon.isEmpty) {
+          // no timers -> AvailableNow terminates itself when the backlog
+          // is drained
+          val q = writer
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } else {
+          // a processing-time-timeout operator requests a batch on EVERY
+          // trigger, so AvailableNow never self-terminates (see
+          // Streams.bandOwnerWithHorizon). Drain as fast as possible and
+          // stop once the listener has seen every input row ingested.
+          val ingested = new AtomicLong(0)
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit =
+              ingested.addAndGet(e.progress.numInputRows)
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(listener)
+          try {
+            val q = writer
+              .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+              .start()
+            while (ingested.get() < n && q.isActive) Thread.sleep(200)
+            q.exception.foreach(throw _)
+            q.stop()
+          } finally spark.streams.removeListener(listener)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
-        val flagged = spark.table("sdd").select("doc_id").distinct().count()
-        println(f"[probe] streamdedup: $n%d docs in $sec%.1f s = ${n / sec}%.0f docs/s, $flagged%d flagged")
+        val flagged =
+          try spark.read.parquet(s"$tmp/hits").select("doc_id").distinct().count()
+          catch { case _: Throwable => 0L } // no hits -> no sink dir
+        println(f"[probe] streamdedup: $n%d docs in $sec%.1f s = ${n / sec}%.0f docs/s, $flagged%d flagged, ttl=${ttlSec}s mfpt=$mfpt")
       case other =>
         sys.error(s"unknown probe: $other")
     }

@@ -296,4 +296,65 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("near-dup horizon TTL: in-horizon dups still flagged; silent buckets expire and readmit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // identical text -> identical signature -> every band bucket collides
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      val ms = MemoryStream[(Long, String)]
+      // NOTE processAllAvailable is UNUSABLE here: processing-time mode
+      // makes the stateful operator request a batch on every trigger (to
+      // service TTL), so the "no new data" signal it waits on never
+      // fires. Use a real trigger interval + poll the sink.
+      val q = Streams.streamingNearDupHits(
+          ms.toDF().toDF("doc_id", "text"),
+          horizon = Some(java.time.Duration.ofSeconds(20)))
+        .writeStream.format("memory").queryName("neardup_ttl")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+        .start()
+      def flagsFor(id: Long) = spark.table("neardup_ttl")
+        .filter(col("doc_id") === id).select("canonical_id")
+        .distinct().as[Long].collect().toSet
+      def awaitFlags(id: Long, want: Set[Long]): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (flagsFor(id) != want) {
+          assert(q.exception.isEmpty, s"query died: ${q.exception}")
+          assert(System.currentTimeMillis() < deadline,
+            s"timed out: doc $id flags ${flagsFor(id)}, want $want")
+          Thread.sleep(1000)
+        }
+      }
+      // batch 1: doc 0 claims every bucket (within-batch tie -> lower id),
+      // doc 1 flags against it
+      ms.addData(Seq((0L, text), (1L, text)))
+      awaitFlags(1L, Set(0L))
+      // a later IN-horizon batch still sees owner 0 (cross-batch retention)
+      ms.addData(Seq((10L, text)))
+      awaitFlags(10L, Set(0L))
+      // every bucket then goes silent past the 20 s TTL: ownership
+      // expires (and is physically removed), doc 2 is readmitted as the
+      // NEW canonical and doc 3 flags against it. The horizon is 20 s —
+      // not seconds — because the timeout clock runs from a batch's
+      // processing TIMESTAMP while a cold first batch can take several
+      // seconds to execute: a too-short horizon expires during batch
+      // one's own latency and the test observes a spurious readmit.
+      Thread.sleep(25000)
+      ms.addData(Seq((2L, text), (3L, text)))
+      awaitFlags(3L, Set(2L))
+      // ...and with 3's flag committed, 2's absence is final, not a race
+      assert(flagsFor(2L) === Set.empty[Long],
+        "a doc arriving past the horizon must be readmitted, not flagged")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
