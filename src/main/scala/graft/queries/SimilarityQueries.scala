@@ -230,22 +230,30 @@ object SimilarityQueries {
   private val nProbe = 2
 
   /** ANN via IVF (inverted-file) cells — the second scale path next to
-    * SRP-LSH. The coarse quantizer (first `kCentroids` corpus vectors; a
-    * production build would Lloyd-iterate, the plumbing is identical) is
-    * collected driver-side — an IVF index's centroid table is tiny by
-    * design — and inlined as literals, so CELL ASSIGNMENT IS A PURE NARROW
-    * MAP: no shuffle, and at 100 TB `cell` becomes the partition key the
-    * candidate join prunes on. Queries probe their `nProbe` nearest cells;
-    * exact cosine top-3 runs over candidates only. */
+    * SRP-LSH. The coarse quantizer is TRAINED: q142's `kmeansRounds`
+    * Lloyd rounds over the corpus (seeded by the first `kCentroids`
+    * vectors, bit-exact integer recurrence), whose round-3 centroid means
+    * are collected driver-side — an IVF index's centroid table is tiny by
+    * design (k·d values) — and inlined as literals, so CELL ASSIGNMENT IS
+    * A PURE NARROW MAP: no shuffle, and at 100 TB `cell` becomes the
+    * partition key the candidate join prunes on. Queries probe their
+    * `nProbe` nearest cells; exact cosine top-3 runs over candidates
+    * only. (The training pass is the index-build cost — paid once per
+    * corpus, amortized over every query against the index; the oracle
+    * replays the identical integer recurrence so the composition stays
+    * hash-exact.) */
   def q29AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // deterministic coarse quantizer: centroid c = corpus vector c
-    val centroids: Array[(Int, Array[Double])] = emb
-      .filter(col("vec_id") < kCentroids)
-      .select(col("vec_id"), col("embedding"))
+    // trained coarse quantizer: q142 round-3 centroids, exact integer
+    // c_units -> the SAME double (c_units / 1e6) the oracle computes
+    val centroids: Array[(Int, Array[Double])] = q142KmeansIters(spark, dir)
+      .select(col("cluster"), col("dim"), col("c_units"))
       .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6).toArray)
+      }
+      .toArray
       .sortBy(_._1)
 
     def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
@@ -272,6 +280,63 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("neighbor_id"), round(col("cs"), 6).as("cos"), col("rn"))
+  }
+
+  /** The (qid, neighbor_id) candidate set of the SRP arm, single- or
+    * multi-probe — q23/q185's candidate construction exposed so the
+    * recall audit's structural claim (single-probe candidates ⊆
+    * multi-probe candidates: the probe list only ever GROWS by the 1-bit
+    * flips) is pinned as a set inclusion in OpsEdgeSpec, not inferred
+    * from aggregate counts. */
+  private[graft] def srpCandidateSet(spark: SparkSession, dir: String,
+      multiProbe: Boolean): DataFrame = {
+    val pn = pnOf(spark, dir)
+    val banded = bandedOf(Tables.embeddings(spark, dir), pn)
+    val probes =
+      if (!multiProbe) array(col("bucket"))
+      else array((col("bucket") +: (0 until pn).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val qp = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), explode(probes).as("bucket"))
+    banded.join(broadcast(qp), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+      .distinct()
+  }
+
+  /** q188: ANN recall audit — the q139 pattern (grade the approximation
+    * against in-suite exact ground truth) applied to the vector arms:
+    * each approximate method's top-3 (q23 single-probe SRP, q185
+    * multi-probe SRP, q29 trained-IVF) graded against q22's exact top-3,
+    * per query. Because every method re-ranks its candidates with the
+    * EXACT cosine under the same (cs desc, id asc) order, a true top-3
+    * member inside a candidate set always surfaces in that method's
+    * top-3 (at most two vectors order before it globally) — so the
+    * output overlap measured here IS candidate recall@3: auditing
+    * outputs audits the candidate sets. This is the number the probe
+    * (q185) and nProbe (q29) knobs buy; compare rows before turning
+    * either in production. Cost shape: the exact arm is the audit's
+    * price — linear (8 fixed queries × corpus) and embarrassingly
+    * map-parallel; the audit joins are 8-row frames. All outputs are
+    * exact integers (hit counts, ppm via non-negative DIV). */
+  def q188AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q22CosineTopK(spark, dir).filter(col("rn") <= 3)
+      .select(col("qid"), col("neighbor_id"))
+    def hits(df: DataFrame, as: String): DataFrame =
+      df.filter(col("rn") <= 3).select(col("qid"), col("neighbor_id"))
+        .join(exact, Seq("qid", "neighbor_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    exact.select(col("qid")).distinct()
+      .join(hits(q23AnnSrp(spark, dir), "srp_hits"), Seq("qid"), "left")
+      .join(hits(q185MultiprobeAnn(spark, dir), "mp_hits"), Seq("qid"), "left")
+      .join(hits(q29AnnIvf(spark, dir), "ivf_hits"), Seq("qid"), "left")
+      .select(col("qid"), lit(3L).as("k"),
+        coalesce(col("srp_hits"), lit(0L)).as("srp_hits"),
+        coalesce(col("mp_hits"), lit(0L)).as("mp_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("srp_recall_ppm", expr("srp_hits * 1000000 DIV 3"))
+      .withColumn("mp_recall_ppm", expr("mp_hits * 1000000 DIV 3"))
+      .withColumn("ivf_recall_ppm", expr("ivf_hits * 1000000 DIV 3"))
   }
 
   /** Per-label centroid table — the k-means/Lloyd building block the IVF
@@ -843,9 +908,12 @@ object SimilarityQueries {
        |  ROUND(CAST(v AS DOUBLE) / 1e3, 3) AS loading FROM v$pcaRounds""".stripMargin
   }
 
-  /** q142's oracle, generated for [[kmeansRounds]]: the identical integer
-    * recurrence unrolled as one CTE pair (assign, centroid) per round. */
-  private lazy val kmeansSql: String = {
+  /** q142's oracle CTE chain, generated for [[kmeansRounds]]: the
+    * identical integer recurrence unrolled as one CTE pair (assign,
+    * centroid) per round; `c$kmeansRounds` is the trained centroid table.
+    * Shared by the q142 oracle and q29's (whose IVF quantizer is the same
+    * trained centroids). */
+  private lazy val kmeansCtes: String = {
     val steps = (1 to kmeansRounds).map { k =>
       s"""a$k AS (SELECT vec_id, cluster FROM (
          |  SELECT p.vec_id, c.cluster,
@@ -857,18 +925,21 @@ object SimilarityQueries {
          |  CAST(SUM(p.xq) // COUNT(*) AS BIGINT) AS cq
          |  FROM p JOIN a$k ON a$k.vec_id = p.vec_id GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+    s"""p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
        |    + 1000000 AS xq
        |  FROM embeddings
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, xq AS cq
        |  FROM p WHERE vec_id < 8),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private lazy val kmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT cluster, dim, n, cq - 1000000 AS c_units,
        |  ROUND(CAST(cq - 1000000 AS DOUBLE) / 1e6, 6) AS mean
        |FROM c$kmeansRounds""".stripMargin
-  }
 
   /** q157: SemDeDup-style semantic dedup — assign every vector to a seed
     * centroid via a two-level (coarse/fine, IVF-style) quantizer using
@@ -1210,6 +1281,98 @@ object SimilarityQueries {
        |  (d.vec_id IS NOT NULL) AS is_dropped
        |FROM n LEFT JOIN d ON d.vec_id = n.vec_id""".stripMargin
 
+  private lazy val q22Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT q.qid, e.vec_id AS neighbor_id,
+       |  ${cosSql("q.qe", "e.embedding")} AS cs
+       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, neighbor_id, cs,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+       |  FROM c)
+       |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin
+
+  private lazy val q23Sql: String =
+    s"""WITH ${pnCte("embeddings")},
+       |bl AS (SELECT vec_id,
+       |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+       |  FROM embeddings CROSS JOIN pn),
+       |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+       |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+       |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
+       |cand AS (SELECT DISTINCT qb.qid, e.vec_id AS neighbor_id
+       |  FROM tb e JOIN qb ON e.tbl = qb.tbl AND e.bucket = qb.bucket
+       |  WHERE e.vec_id <> qb.qid),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT cand.qid, cand.neighbor_id,
+       |  ${cosSql("q.qe", "e.embedding")} AS cs
+       |  FROM cand
+       |  JOIN q ON q.qid = cand.qid
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+       |r AS (SELECT qid, neighbor_id, cs,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+       |  FROM c)
+       |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
+
+  // q23's CTE chain plus the probe expansion: own bucket UNION ALL every
+  // 1-bit flip, gated j < pn.pn (same adaptive-granularity trick as
+  // bucketSql — static SQL, runtime plane count)
+  private lazy val q185Sql: String =
+    s"""WITH ${pnCte("embeddings")},
+       |bl AS (SELECT vec_id,
+       |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
+       |  FROM embeddings CROSS JOIN pn),
+       |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
+       |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
+       |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
+       |qp AS (SELECT qid, tbl, bucket FROM qb
+       |  UNION ALL
+       |  SELECT qid, tbl, xor(bucket, (1::BIGINT << u.j)) AS bucket
+       |  FROM qb
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.MaxPlanesPerTable - 1})) AS j) u
+       |  CROSS JOIN pn WHERE u.j < pn.pn),
+       |cand AS (SELECT DISTINCT qp.qid, e.vec_id AS neighbor_id
+       |  FROM tb e JOIN qp ON e.tbl = qp.tbl AND e.bucket = qp.bucket
+       |  WHERE e.vec_id <> qp.qid),
+       |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT cand.qid, cand.neighbor_id,
+       |  ${cosSql("q.qe", "e.embedding")} AS cs
+       |  FROM cand
+       |  JOIN q ON q.qid = cand.qid
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+       |r AS (SELECT qid, neighbor_id, cs,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+       |  FROM c)
+       |SELECT r.qid, nc.n_cand, r.neighbor_id, ROUND(r.cs, 6) AS cos, r.rn
+       |FROM r JOIN nc ON nc.qid = r.qid WHERE r.rn <= 3""".stripMargin
+
+  private lazy val q29IvfSql: String =
+    s"""WITH $kmeansCtes,
+       |cent AS (SELECT cluster AS cid,
+       |  list(CAST(cq - 1000000 AS DOUBLE) / 1e6 ORDER BY dim) AS ce
+       |  FROM c$kmeansRounds GROUP BY cluster),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |  ${cosSql("e.embedding", "c.ce")} AS cs
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked AS (SELECT vec_id, cid, cs,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM scored),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+       |  WHERE vec_id < $nQueries AND rn <= $nProbe),
+       |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
+       |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+       |  WHERE a.vec_id <> q.qid),
+       |c AS (SELECT cand.qid, cand.neighbor_id,
+       |  ${cosSql("eq.embedding", "en.embedding")} AS cs
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.qid
+       |  JOIN embeddings en ON en.vec_id = cand.neighbor_id),
+       |r AS (SELECT qid, neighbor_id, cs,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
+       |  FROM c)
+       |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q174_bitext_mining" ->
       s"""WITH ${pnCte("embeddings")},
@@ -1415,15 +1578,7 @@ object SimilarityQueries {
         |    (a, b) -> a + b), 8) AS sse
         |FROM q""".stripMargin,
 
-    "q22_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
-         |c AS (SELECT q.qid, e.vec_id AS neighbor_id,
-         |  ${cosSql("q.qe", "e.embedding")} AS cs
-         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-         |r AS (SELECT qid, neighbor_id, cs,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
-         |  FROM c)
-         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q22_cosine_topk" -> q22Sql,
 
     "q28_cosine_neardup" ->
       s"""WITH ${pnCte("embeddings")},
@@ -1442,29 +1597,7 @@ object SimilarityQueries {
          |  JOIN embeddings e2 ON e2.vec_id = p.id2)
          |SELECT id1, id2, ROUND(cs, 6) AS cos FROM c WHERE cs >= 0.3""".stripMargin,
 
-    "q29_ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kCentroids),
-         |scored AS (SELECT e.vec_id, c.cid,
-         |  ${cosSql("e.embedding", "c.ce")} AS cs
-         |  FROM embeddings e CROSS JOIN cent c),
-         |ranked AS (SELECT vec_id, cid, cs,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-         |  FROM scored),
-         |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
-         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM ranked
-         |  WHERE vec_id < $nQueries AND rn <= $nProbe),
-         |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
-         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
-         |  WHERE a.vec_id <> q.qid),
-         |c AS (SELECT cand.qid, cand.neighbor_id,
-         |  ${cosSql("eq.embedding", "en.embedding")} AS cs
-         |  FROM cand
-         |  JOIN embeddings eq ON eq.vec_id = cand.qid
-         |  JOIN embeddings en ON en.vec_id = cand.neighbor_id),
-         |r AS (SELECT qid, neighbor_id, cs,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
-         |  FROM c)
-         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q29_ann_ivf" -> q29IvfSql,
 
     "q39_centroids" ->
       s"""SELECT label, CAST(i - 1 AS INT) AS dim,
@@ -1475,60 +1608,36 @@ object SimilarityQueries {
          |CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) u
          |GROUP BY label, i""".stripMargin,
 
-    "q23_ann_srp" ->
-      s"""WITH ${pnCte("embeddings")},
-         |bl AS (SELECT vec_id,
-         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
-         |  FROM embeddings CROSS JOIN pn),
-         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
-         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
-         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
-         |cand AS (SELECT DISTINCT qb.qid, e.vec_id AS neighbor_id
-         |  FROM tb e JOIN qb ON e.tbl = qb.tbl AND e.bucket = qb.bucket
-         |  WHERE e.vec_id <> qb.qid),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
-         |c AS (SELECT cand.qid, cand.neighbor_id,
-         |  ${cosSql("q.qe", "e.embedding")} AS cs
-         |  FROM cand
-         |  JOIN q ON q.qid = cand.qid
-         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
-         |r AS (SELECT qid, neighbor_id, cs,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
-         |  FROM c)
-         |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q23_ann_srp" -> q23Sql,
 
-    // q23's CTE chain plus the probe expansion: own bucket UNION ALL every
-    // 1-bit flip, gated j < pn.pn (same adaptive-granularity trick as
-    // bucketSql — static SQL, runtime plane count)
-    "q185_multiprobe_ann" ->
-      s"""WITH ${pnCte("embeddings")},
-         |bl AS (SELECT vec_id,
-         |  ${(0 until tables).map(t => bucketSql("embedding", t)).mkString("[", ",\n  ", "]")} AS bs
-         |  FROM embeddings CROSS JOIN pn),
-         |tb AS (SELECT vec_id, u.t AS tbl, bs[u.t + 1] AS bucket
-         |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, ${tables - 1})) AS t) u),
-         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM tb WHERE vec_id < $nQueries),
-         |qp AS (SELECT qid, tbl, bucket FROM qb
-         |  UNION ALL
-         |  SELECT qid, tbl, xor(bucket, (1::BIGINT << u.j)) AS bucket
-         |  FROM qb
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.MaxPlanesPerTable - 1})) AS j) u
-         |  CROSS JOIN pn WHERE u.j < pn.pn),
-         |cand AS (SELECT DISTINCT qp.qid, e.vec_id AS neighbor_id
-         |  FROM tb e JOIN qp ON e.tbl = qp.tbl AND e.bucket = qp.bucket
-         |  WHERE e.vec_id <> qp.qid),
-         |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
-         |c AS (SELECT cand.qid, cand.neighbor_id,
-         |  ${cosSql("q.qe", "e.embedding")} AS cs
-         |  FROM cand
-         |  JOIN q ON q.qid = cand.qid
-         |  JOIN embeddings e ON e.vec_id = cand.neighbor_id),
-         |r AS (SELECT qid, neighbor_id, cs,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rn
-         |  FROM c)
-         |SELECT r.qid, nc.n_cand, r.neighbor_id, ROUND(r.cs, 6) AS cos, r.rn
-         |FROM r JOIN nc ON nc.qid = r.qid WHERE r.rn <= 3""".stripMargin,
+    "q185_multiprobe_ann" -> q185Sql,
+
+    // the three approximate arms' full oracle SQL replayed as subquery
+    // CTE sources against the exact arm's top-3 — pure integer hit
+    // counts and ppm recalls (// on non-negatives == Spark DIV)
+    "q188_ann_recall" ->
+      s"""WITH ex AS (SELECT qid, neighbor_id FROM ($q22Sql) WHERE rn <= 3),
+         |srp AS (SELECT qid, neighbor_id FROM ($q23Sql)),
+         |mp AS (SELECT qid, neighbor_id FROM ($q185Sql)),
+         |ivf AS (SELECT qid, neighbor_id FROM ($q29IvfSql)),
+         |hs AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS srp_hits
+         |  FROM ex JOIN srp USING (qid, neighbor_id) GROUP BY 1),
+         |hm AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS mp_hits
+         |  FROM ex JOIN mp USING (qid, neighbor_id) GROUP BY 1),
+         |hi AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS ivf_hits
+         |  FROM ex JOIN ivf USING (qid, neighbor_id) GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM ex)
+         |SELECT qs.qid, CAST(3 AS BIGINT) AS k,
+         |  COALESCE(hs.srp_hits, 0) AS srp_hits,
+         |  COALESCE(hm.mp_hits, 0) AS mp_hits,
+         |  COALESCE(hi.ivf_hits, 0) AS ivf_hits,
+         |  COALESCE(hs.srp_hits, 0) * 1000000 // 3 AS srp_recall_ppm,
+         |  COALESCE(hm.mp_hits, 0) * 1000000 // 3 AS mp_recall_ppm,
+         |  COALESCE(hi.ivf_hits, 0) * 1000000 // 3 AS ivf_recall_ppm
+         |FROM qs
+         |LEFT JOIN hs ON hs.qid = qs.qid
+         |LEFT JOIN hm ON hm.qid = qs.qid
+         |LEFT JOIN hi ON hi.qid = qs.qid""".stripMargin,
 
     // lexical arm = the shared bm25 CTE chain (TextQueries); semantic arm
     // mirrors q23's SRP banding with se-prefixed CTE names; fusion is

@@ -679,9 +679,24 @@ object TextQueries {
         sum(col("bytes_saved")).as("bytes_saved"))
   }
 
-  /** Number of BPE merge steps q71 trains (oracle SQL is generated for the
-    * same constant, so the two sides can't drift). */
+  /** Number of BPE merge steps q71 trains by default (oracle SQL is
+    * generated for the same constant, so the two sides can't drift). */
   private val bpeSteps = 8
+
+  /** `spark.graft.bpe.steps` overrides the trained merge count — the
+    * ladder knob for measuring that per-step cost is flat in the step
+    * count (each step touches only the persisted word-count vocab) and
+    * linear in vocab size. The ORACLE stays generated for the default:
+    * the conf is for scale runs, and because merges are trained
+    * sequentially, a k-step run's output is exactly the first k rows of
+    * any longer run's (OpsEdgeSpec pins the prefix property). */
+  private def bpeStepsOf(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.bpe.steps").map { s =>
+      val n = s.toInt
+      require(n >= 1 && n <= 256,
+        s"spark.graft.bpe.steps must be in [1, 256], got $s")
+      n
+    }.getOrElse(bpeSteps)
 
   /** q71: BPE tokenizer-training merges — the vocabulary-building loop of a
     * byte-pair-encoding tokenizer, run as `bpeSteps` iterations of "count
@@ -722,7 +737,8 @@ object TextQueries {
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       var step = 1
       var exhausted = false
-      while (step <= bpeSteps && !exhausted) {
+      val steps = bpeStepsOf(spark)
+      while (step <= steps && !exhausted) {
         val pairs = graft.functions.WordShingles(split(trim(col("seq")), " "), 2)
         val top = cur
           .select(col("w"), explode(pairs).as("pair"))

@@ -135,6 +135,22 @@ class ApproxPathsSpec extends SparkSpec {
     assert(exact57.nonEmpty && exact115.nonEmpty && exact187.nonEmpty)
   }
 
+  test("q71: a conf'd step count trains a strict prefix of the default merge table") {
+    // merges are trained sequentially, so step count only truncates: the
+    // conf (the ladder's cost knob) can never change trained content
+    val full = TextQueries.q71BpeMerges(spark, sfDir).orderBy("step").collect().toSeq
+    assert(full.size === 8)
+    withConf("spark.graft.bpe.steps", "3") {
+      val short = TextQueries.q71BpeMerges(spark, sfDir).orderBy("step").collect().toSeq
+      assert(short === full.take(3))
+    }
+    withConf("spark.graft.bpe.steps", "0") {
+      intercept[IllegalArgumentException] {
+        TextQueries.q71BpeMerges(spark, sfDir).collect()
+      }
+    }
+  }
+
   test("q178: digestHex outside [8, 32] is rejected, not silently clamped") {
     withConf("spark.graft.dedup.digestHex", "4") {
       intercept[IllegalArgumentException] {

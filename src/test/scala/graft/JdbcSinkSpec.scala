@@ -33,6 +33,42 @@ class JdbcSinkSpec extends SparkSpec {
     assert(one.select("confirmed").collect().map(_.getLong(0)).toSeq === Seq(200L, 200L))
   }
 
+  test("literal option(\"query\") read executes database-side and matches the Spark-computed twin (S3's exact form)") {
+    // the reference's one-line source shape (spark_transform_data.py:17-25):
+    // the relation IS a pushed SQL query, so the database executes the
+    // filter + aggregate and Spark scans only the result
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_derby_q")
+      .resolve("db")
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, i % 7, i * 3)).toDF("id", "grp", "v")
+    Sinks.appendJdbc(rows, url, "src_rows", props)
+    // Spark's JDBC writer passes the TABLE name through literally (Derby
+    // upcases the unquoted `src_rows`) but dialect-quotes every COLUMN
+    // (they stay lowercase) — the pushed query must match that mix
+    val pushed = spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("query",
+        """SELECT "grp", SUM("v") AS sv FROM src_rows WHERE "id" <= 100 GROUP BY "grp"""")
+      .load()
+    // the scan leaf is the generated subquery over the pushed text — the
+    // aggregate never exists in the Spark plan, proof it ran DB-side
+    val leaves = pushed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("SPARK_GEN_SUBQ"),
+      s"expected the pushed-query relation in the scan leaf, got: $leaves")
+    assert(!pushed.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val got = pushed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.filter($"id" <= 100).groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.sum($"v").as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(want.size === 7)
+  }
+
   test("readJdbcPartitioned splits the scan into range cursors without losing rows") {
     val dbPath = java.nio.file.Files.createTempDirectory("graft_derby_part")
       .resolve("db")

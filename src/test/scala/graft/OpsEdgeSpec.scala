@@ -766,4 +766,27 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got.length === 64)
     assert(got.forall(_.isNullAt(1)), "centered data is all-zero: max|w| = 0 must null out, not throw")
   }
+
+  test("q188 recall audit: single-probe candidates are a subset of multi-probe; per-query hits dominate") {
+    val single = graft.queries.SimilarityQueries
+      .srpCandidateSet(spark, sfDir, multiProbe = false)
+    val multi = graft.queries.SimilarityQueries
+      .srpCandidateSet(spark, sfDir, multiProbe = true)
+    // the structural claim behind mp_hits >= srp_hits: probing only ever
+    // ADDS buckets, so the candidate set can only grow
+    assert(single.exceptAll(multi).count() === 0L,
+      "a single-probe candidate is missing from the multi-probe set")
+    assert(multi.count() > single.count(),
+      "multi-probe should widen the candidate set on the fixture")
+    val rows = graft.queries.SimilarityQueries.q188AnnRecall(spark, sfDir).collect()
+    assert(rows.length === 8)
+    for (r <- rows) {
+      val srp = r.getAs[Long]("srp_hits")
+      val mp = r.getAs[Long]("mp_hits")
+      val ivf = r.getAs[Long]("ivf_hits")
+      assert(mp >= srp, s"multi-probe recall must dominate single-probe: $r")
+      for (h <- Seq(srp, mp, ivf)) assert(h >= 0L && h <= 3L)
+      assert(r.getAs[Long]("mp_recall_ppm") === mp * 1000000L / 3L)
+    }
+  }
 }
