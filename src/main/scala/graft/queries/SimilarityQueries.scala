@@ -246,9 +246,11 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     // trained coarse quantizer: q142 round-3 centroids, exact integer
     // c_units -> the SAME double (c_units / 1e6) the oracle computes
-    val centroids: Array[(Int, Array[Double])] = q142KmeansIters(spark, dir)
-      .select(col("cluster"), col("dim"), col("c_units"))
-      .collect()
+    val (kmeansFrame, releaseKmeans) = kmeansItersWithRelease(spark, dir)
+    val rows =
+      try kmeansFrame.select(col("cluster"), col("dim"), col("c_units")).collect()
+      finally releaseKmeans() // collected eagerly; the pinned state is spent
+    val centroids: Array[(Int, Array[Double])] = rows
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>
         (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6).toArray)
@@ -687,7 +689,18 @@ object SimilarityQueries {
     * interpreted lambda call per element — 2M×8×64×3 rounds blew a
     * 10-minute budget the native loop runs in seconds (measured at the
     * 1000× rung; all three shapes' numbers in BASELINE.md). */
-  def q142KmeansIters(spark: SparkSession, dir: String): DataFrame = {
+  def q142KmeansIters(spark: SparkSession, dir: String): DataFrame =
+    kmeansItersWithRelease(spark, dir)._1
+
+  /** q142's frame plus a release hook for its persisted state (the quantized
+    * point cache and the final round's assignment aggregate). q142 itself
+    * returns the frame lazily — the caches stay pinned and the caller's
+    * clearCache() is the release point (ContractSpec's documented contract).
+    * An EAGER consumer (q29 collects the k·d centroid table driver-side and
+    * then never touches the frame again) must instead call the hook right
+    * after materializing, or the pinned state outlives any use. */
+  private[graft] def kmeansItersWithRelease(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val offset = 1000000L // +1.0 on the 1e-6 grid: all quantized values > 0
     val pts = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(
@@ -715,12 +728,14 @@ object SimilarityQueries {
       cent = next.select(col("cluster"),
         expr("transform(s, v -> v DIV n)").as("cq"))
     }
-    prev.get
+    val out = prev.get
       .select(col("cluster"), col("n"),
         posexplode(expr("transform(s, v -> v DIV n)")).as(Seq("dim", "cq")))
       .select(col("cluster"), col("dim"), col("n"),
         (col("cq") - offset).as("c_units"),
         round((col("cq") - offset).cast("double") / 1e6, 6).as("mean"))
+    val last = prev
+    (out, () => { last.foreach(_.unpersist()); pts.unpersist(); () })
   }
 
   /** q181: hybrid retrieval via Reciprocal-Rank Fusion — the fusion layer
