@@ -2209,6 +2209,170 @@ object TextQueries {
                 AS BIGINT)""").as("collision_ppm"))
   }
 
+  /** Eval-slice membership for the cross-corpus decontamination family:
+    * every 50th doc stands in for the benchmark set (q54 uses % 100 for
+    * the EXACT-gram screen; the fuzzy screen takes a denser slice so the
+    * fixture's planted near-dup pairs actually straddle the boundary). */
+  private def isEvalDoc(id: Column): Column = id % 50 === 0
+
+  /** q189: FUZZY benchmark decontamination — the near-duplicate complement
+    * to q54's exact 3-gram screen (public pipelines run both: an exact
+    * n-gram overlap pass and a MinHash near-dup pass, because light
+    * paraphrase defeats exact grams). Candidates come from the SAME
+    * MinHash-LSH banding as q19, but the bucket join is CROSS-SLICE only
+    * (train side × eval side — train×train pairs never materialize, which
+    * at a fixed eval-set size makes the join linear in corpus, not
+    * quadratic); candidates are then verified with exact 3-shingle
+    * Jaccard via the posting co-count (no shingle array ever crosses an
+    * exchange) and rolled up per train doc: how many eval docs it
+    * collides with, the worst Jaccard, and the eval doc to cite
+    * (tie-break: smallest eval id at the max). At 100 TB the eval side is
+    * a bounded benchmark corpus, so its banded frame broadcasts and the
+    * whole screen is a narrow pipeline over the train scan — here the
+    * slice is proportional (a fixture artifact, same posture as q83's
+    * embedding decontam) so the equi-join is left to size itself. */
+  /** CACHE CONTRACT: the skinny cross-slice candidate-pair spine and the
+    * verified-pair frame persist until clearCache (Bench/Verify clear per
+    * query) — pairs drives the verify's two posting semi-joins + join
+    * spine, and the verified frame feeds both the per-doc rollup and the
+    * argmax-eval join. Three/two longs per row respectively. */
+  def q189FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = shingled(spark, dir)
+    val banded = bandedFrom(docs)
+    val pairs = banded.filter(!isEvalDoc(col("doc_id")))
+      .select(col("doc_id").as("doc1"), col("band"), col("band_key"))
+      .join(banded.filter(isEvalDoc(col("doc_id")))
+        .select(col("doc_id").as("doc2"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("doc1", "doc2").distinct()
+      .persist(mad)
+    val v = shingleCoCounts(docs, pairs)
+      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
+      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jacc"))
+      .filter(col("jacc") >= 0.3)
+      .persist(mad)
+    val g = v.groupBy(col("doc1"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("jacc")).as("max_jacc"))
+    // argmax eval doc: equality on the ROUNDED jacc both sides computed
+    // identically, so the comparison is exact; min doc2 breaks ties
+    val top = v.join(g, Seq("doc1"))
+      .filter(col("jacc") === col("max_jacc"))
+      .groupBy(col("doc1")).agg(min(col("doc2")).as("top_eval_id"))
+    g.join(top, Seq("doc1"))
+      .select(col("doc1").as("train_id"), col("n_eval_hits"),
+        col("max_jacc"), col("top_eval_id"))
+  }
+
+  /** q190: per-source shared-prefix boilerplate detection — the header/
+    * template screen web-curation pipelines run before dedup (a shared
+    * leading span across many docs of one source is boilerplate to strip,
+    * not content to keep). Key = the first 8 tokens joined; any prefix
+    * carried by ≥ 2 docs of a source is reported with its doc count,
+    * earliest doc, and the share of the source it covers (basis points,
+    * the repo's integer half-up idiom). Scale shape: one map-side-combined
+    * (source, prefix) agg over the scan — the prefix is a bounded-width
+    * key (8 tokens), per-source totals ride a broadcast — so the screen
+    * is agg-bound and linear at any corpus size. */
+  def q190BoilerplatePrefix(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val docs = Tables.documents(spark, dir)
+    val pre = docs
+      .select(col("source"), col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, W)).as("prefix"))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source_docs"))
+    pre.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("prefix"), col("n_docs"), col("first_doc_id"),
+        expr("(2 * n_docs * 10000 + n_source_docs) DIV (2 * n_source_docs)")
+          .as("share_bp"))
+  }
+
+  /** Tail depth for the Hill estimator: the top-(kTail+1) token counts per
+    * source feed the fit; sources with fewer distinct tokens have no tail
+    * to estimate and emit no row. 20 fits the fixture's ~31-token
+    * per-source vocabulary; production corpora would run 100–1000 (the
+    * oracle is generated from this constant, so the two sides track). */
+  private val zipfTailK = 20
+
+  /** q191: Zipf tail index per source — the Hill estimator
+    * α̂ = k / Σ_{i≤k} ln(c_(i)/c_(k+1)) over each source's top-k token
+    * frequencies, the standard power-law tail fit (Hill 1975; Clauset-
+    * Shalizi-Newman's recommended MLE restricted to the rank tail).
+    * Natural-language sources sit near α ≈ 1 (Zipf); a source whose tail
+    * collapses (α ≫ 1: counts fall off a cliff past a few tokens) is
+    * template/boilerplate output, and α ≪ 1 flags heavy-tailed junk —
+    * the distributional screen next to q187's collision index.
+    *
+    * Scale shape: the (source, token) count is the only corpus-wide
+    * exchange (map-side combined); the per-source top-(k+1) runs through
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator — O(k) state
+    * per source, never a per-source full sort — and the rank/fit math
+    * happens on ≤ (k+1)·|sources| rows. Engine parity: each ln term is
+    * floor-quantized to integer micro-units before summing (the q89
+    * idiom), so the sum is order-independent and the final α is a pure
+    * function of integers; an all-equal tail (Σ = 0) yields NULL via
+    * nullif, not a division blowup. */
+  def q191ZipfTail(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    // bounded-heap top-(k+1) per source, THEN a row_number window on the
+    // already-bounded frame (≤ k+1 rows per source) to split tail vs ref
+    val ranked = graft.plans.TopK.perKey(counts, Seq(col("source")),
+        Seq(col("cnt").desc, col("token").asc), zipfTailK + 1)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("token").asc)))
+    val ref = ranked.filter(col("rk") === zipfTailK + 1)
+      .select(col("source"), col("cnt").as("c_ref"))
+    ranked.filter(col("rk") <= zipfTailK)
+      .join(broadcast(ref), Seq("source")) // inner: undersized sources drop
+      .select(col("source"),
+        floor(log(col("cnt").cast("double") / col("c_ref").cast("double"))
+          * lit(1e6)).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k_used"), sum(col("t")).as("sum_ln_micro"))
+      .select(col("source"), col("k_used"), col("sum_ln_micro"),
+        round(col("k_used").cast("double") * lit(1e6)
+          / expr("CAST(nullif(sum_ln_micro, 0) AS DOUBLE)"), 6).as("alpha_hill"))
+  }
+
+  /** q192: per-source n-gram diversity (distinct-n) — the corpus-level
+    * type/token ratios for n = 1..3 (Li et al.'s distinct-n, the standard
+    * diversity audit for generated or scraped text; q55 scores repetition
+    * WITHIN a doc, q187 scores collision probability — this reports the
+    * raw diversity ratios mixing decisions are usually stated in).
+    * Ratios are exact basis points (integer half-up). Scale shape: one
+    * map-side-combined (source, gram) agg per n — three passes over the
+    * scan, each linear, nothing but (source, n, d) rows past the gram
+    * agg. Sources whose docs are all shorter than n tokens emit NULLs
+    * for that n (left joins off the 1-gram spine — every source with any
+    * token has a 1-gram row). */
+  def q192NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    def gramStats(n: Int, pfx: String): DataFrame = {
+      val gramsOf = (t: Column) =>
+        if (n == 1) TA.tokens(t) else graft.functions.WordShingles(TA.tokens(t), n)
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(gramsOf(col("text"))).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as(s"n_$pfx"), count(lit(1)).as(s"d_$pfx"))
+        .select(col("source"), col(s"n_$pfx"), col(s"d_$pfx"),
+          expr(s"(2 * d_$pfx * 10000 + n_$pfx) DIV (2 * n_$pfx)")
+            .as(s"distinct_${pfx}_bp"))
+    }
+    gramStats(1, "1gram")
+      .join(gramStats(2, "2gram"), Seq("source"), "left")
+      .join(gramStats(3, "3gram"), Seq("source"), "left")
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2550,6 +2714,107 @@ object TextQueries {
          |    // NULLIF(n_grams::HUGEINT * (n_grams - 1), 0) AS BIGINT)
          |    AS collision_ppm
          |FROM a""".stripMargin,
+
+    // q19's banding CTEs with the cross-slice (train x eval) filter, exact
+    // shingle-Jaccard verify, per-train-doc rollup; the argmax eval doc is
+    // a correlated MIN at the (identically rounded) max jacc
+    "q189_fuzzy_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+         |  WHERE a.doc_id % 50 <> 0 AND c.doc_id % 50 = 0),
+         |d AS (SELECT doc_id, list_distinct(s) AS ds FROM sh WHERE len(s) > 0),
+         |e AS (SELECT doc_id, unnest(ds) AS g FROM d),
+         |iv AS (SELECT p.doc1, p.doc2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand p JOIN e e1 ON e1.doc_id = p.doc1
+         |  JOIN e e2 ON e2.doc_id = p.doc2 AND e2.g = e1.g
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(len(ds) AS BIGINT) AS n FROM d),
+         |v AS (SELECT doc1, doc2,
+         |  ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 4) AS jacc
+         |  FROM iv JOIN n n1 ON n1.doc_id = doc1 JOIN n n2 ON n2.doc_id = doc2
+         |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 4) >= 0.3),
+         |gmax AS (SELECT doc1, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+         |  MAX(jacc) AS max_jacc FROM v GROUP BY 1)
+         |SELECT g.doc1 AS train_id, g.n_eval_hits, g.max_jacc,
+         |  (SELECT MIN(v2.doc2) FROM v v2
+         |   WHERE v2.doc1 = g.doc1 AND v2.jacc = g.max_jacc) AS top_eval_id
+         |FROM gmax g""".stripMargin,
+
+    "q190_boilerplate_prefix" ->
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT source, doc_id, array_to_string(toks[1:8], ' ') AS prefix
+         |  FROM t WHERE len(toks) >= 8),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_docs
+         |  FROM documents GROUP BY 1),
+         |a AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS first_doc_id FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT a.source, a.prefix, a.n_docs, a.first_doc_id,
+         |  (2 * a.n_docs * 10000 + t2.n_source_docs)
+         |    // (2 * t2.n_source_docs) AS share_bp
+         |FROM a JOIN tot t2 USING (source)""".stripMargin,
+
+    // floor-quantized ln terms (the q89 idiom) so the Hill sum is exact
+    // integer; NULLIF guards the all-equal tail
+    "q191_zipf_tail" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tk GROUP BY 1, 2),
+         |r AS (SELECT source, cnt,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rk
+         |  FROM c),
+         |ref AS (SELECT source, cnt AS c_ref FROM r WHERE rk = ${zipfTailK + 1}),
+         |tl AS (SELECT r.source,
+         |  CAST(FLOOR(ln(CAST(r.cnt AS DOUBLE) / CAST(ref.c_ref AS DOUBLE)) * 1e6) AS BIGINT) AS t
+         |  FROM r JOIN ref USING (source) WHERE r.rk <= $zipfTailK)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |  CAST(SUM(t) AS BIGINT) AS sum_ln_micro,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) * 1e6
+         |    / CAST(NULLIF(SUM(t), 0) AS DOUBLE), 6) AS alpha_hill
+         |FROM tl GROUP BY source""".stripMargin,
+
+    "q192_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |c1 AS (SELECT source, g, COUNT(*) AS c FROM
+         |  (SELECT source, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+         |a1 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_1gram,
+         |  CAST(COUNT(*) AS BIGINT) AS d_1gram FROM c1 GROUP BY 1),
+         |c2 AS (SELECT source, g, COUNT(*) AS c FROM
+         |  (SELECT source, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END) AS g FROM t) GROUP BY 1, 2),
+         |a2 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_2gram,
+         |  CAST(COUNT(*) AS BIGINT) AS d_2gram FROM c2 GROUP BY 1),
+         |c3 AS (SELECT source, g, COUNT(*) AS c FROM
+         |  (SELECT source, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS g FROM t) GROUP BY 1, 2),
+         |a3 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_3gram,
+         |  CAST(COUNT(*) AS BIGINT) AS d_3gram FROM c3 GROUP BY 1)
+         |SELECT a1.source, a1.n_1gram, a1.d_1gram,
+         |  (2 * a1.d_1gram * 10000 + a1.n_1gram) // (2 * a1.n_1gram) AS distinct_1gram_bp,
+         |  a2.n_2gram, a2.d_2gram,
+         |  (2 * a2.d_2gram * 10000 + a2.n_2gram) // (2 * a2.n_2gram) AS distinct_2gram_bp,
+         |  a3.n_3gram, a3.d_3gram,
+         |  (2 * a3.d_3gram * 10000 + a3.n_3gram) // (2 * a3.n_3gram) AS distinct_3gram_bp
+         |FROM a1 LEFT JOIN a2 USING (source) LEFT JOIN a3 USING (source)""".stripMargin,
 
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -789,4 +789,96 @@ class OpsEdgeSpec extends SparkSpec {
       assert(r.getAs[Long]("mp_recall_ppm") === mp * 1000000L / 3L)
     }
   }
+
+  test("q189 fuzzy decontam: exact dup across the slice boundary surfaces at jacc 1.0; output is train-side only, citing eval docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs189").toString
+    val dup = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (0L, dup, "src_a"),                       // eval (0 % 50 == 0)
+      (1L, dup, "src_a"),                       // train twin of doc 0
+      (2L, "one two three four five six", "src_b"), // train, unrelated
+      (50L, "seven eight nine ten eleven", "src_c")) // eval, unrelated
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q189FuzzyDecontam(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq((1L, 1L, 1.0, 0L)))
+  }
+
+  test("q189 on the fixture: every flagged doc is train-side, every cited doc is eval-side, jacc at or above the bar") {
+    val rows = graft.queries.TextQueries.q189FuzzyDecontam(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    for (r <- rows) {
+      assert(r.getAs[Long]("train_id") % 50 != 0L, s"eval doc in output: $r")
+      assert(r.getAs[Long]("top_eval_id") % 50 == 0L, s"non-eval citation: $r")
+      assert(r.getAs[Long]("n_eval_hits") >= 1L)
+      assert(r.getAs[Double]("max_jacc") >= 0.3)
+    }
+  }
+
+  test("q190 boilerplate prefix: shared 8-token prefix reported with exact share; short docs and unshared prefixes drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs190").toString
+    val pre = (1 to 8).map("w" + _).mkString(" ")
+    Seq(
+      (0L, s"$pre tail one", "src_a"),
+      (1L, s"$pre tail two", "src_a"),
+      (2L, "too short", "src_a"),              // < 8 tokens: excluded from prefixes, counted in the denominator
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 x", "src_b"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 y", "src_b")) // src_b: no prefix shared
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q190BoilerplatePrefix(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // share: 2 of 3 src_a docs -> (2*2*10000 + 3) DIV 6 = 6667 bp
+    assert(got === Seq(("src_a", pre, 2L, 0L, 6667L)))
+  }
+
+  test("q191 Hill estimator: hand-computable tail (alpha = 1/ln 2), all-equal tail NULLs, undersized source emits no row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs191").toString
+    // src_geo: 20 tokens with count 2 + one ref token with count 1 ->
+    // every tail term is floor(ln(2) * 1e6) = 693147, alpha = 20e6 /
+    // (20 * 693147) = 1.442695 (1/ln 2 to the quantization grid)
+    val geo = ((1 to 20).flatMap(i => Seq.fill(2)(f"t$i%02d")) :+ "u99").mkString(" ")
+    // src_eq: 21 distinct tokens, every count 1 -> sum_ln_micro = 0 -> NULL
+    val eq = (1 to 21).map(i => f"e$i%02d").mkString(" ")
+    Seq(
+      (0L, geo, "src_geo"),
+      (1L, eq, "src_eq"),
+      (2L, "a b c d e", "src_small")) // 5 distinct tokens: no rank-21 ref
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q191ZipfTail(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("src_eq", 20L, 0L, None),
+      ("src_geo", 20L, 20L * 693147L, Some(1.442695))))
+  }
+
+  test("q192 distinct-n: exact counts and half-up basis points; a 2-token source NULLs its 3-gram block") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs192").toString
+    Seq(
+      (0L, "x x y", "src_a"), // 1g: n=3 d=2; 2g: n=2 d=2; 3g: n=1 d=1
+      (1L, "p q", "src_b"))   // no 3-gram
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q192NgramDiversity(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+           Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("src_a", 3L, 2L, 6667L, Some(2L), Some(2L), Some(10000L),
+        Some(1L), Some(1L), Some(10000L)),
+      ("src_b", 2L, 2L, 10000L, Some(1L), Some(1L), Some(10000L),
+        None, None, None)))
+  }
 }
