@@ -464,19 +464,31 @@ object TextQueries {
             transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
             ",").as("postings"))
       case Some(key) =>
-        // digest-keyed twin: the df agg shuffles (gk, count) only — the
-        // gram string is dropped from the banded side entirely — and the
-        // join + final agg key on the fixed-width gk; the gram rides the
-        // pair stream once as a payload (min over the key group, where
-        // every member is identical absent a collision) because it is in
-        // the output contract.
-        val keyed = pairs.withColumn("gk", key(col("gram")))
-        val banded = keyed.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+        // digest-keyed twin: the PAIR stream — the corpus-proportional
+        // fat side — crosses its join exchange as fixed-width
+        // (gk, doc_id); the gram string (the output contract's label,
+        // and the reason a naive digest swap can't shrink this query)
+        // rides the df AGG side as a min(gram) partial — the merged
+        // group's label under a collision, the documented posture. On a
+        // Zipfian production vocabulary the agg partials combine to
+        // distinct-per-partition and the join stream dominates, so the
+        // digest pays exactly like q178/q182; the 100× LADDER cannot
+        // show it — its disjoint-vocab copies make partials barely
+        // combine, and its grams (~30 chars) sit near digest width, so
+        // every digest shape MEASURES neutral-to-worse there (1.40 GB
+        // here, 1.45 GB with gram also on the pair stream, 2.41 GB with
+        // survivor-semi-join label recovery paying the AQE
+        // late-conversion tax, vs 1.06 GB raw — all three in
+        // BASELINE.md). Raw stays the default; the conf is the
+        // real-vocabulary-width knob, spec-pinned output-invariant.
+        val keyed = pairs.select(key(col("gram")).as("gk"),
+          col("gram"), col("doc_id"))
+        val banded = keyed.groupBy(col("gk"))
+          .agg(count(lit(1)).as("df"), min(col("gram")).as("gram"))
           .filter(col("df").between(2, 20))
-        keyed.join(banded, Seq("gk"))
-          .groupBy(col("gk"), col("df"))
-          .agg(min(col("gram")).as("gram"),
-            array_join(
+        keyed.select(col("gk"), col("doc_id")).join(banded, Seq("gk"))
+          .groupBy(col("gk"), col("df"), col("gram"))
+          .agg(array_join(
               transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
               ",").as("postings"))
           .select(col("gram"), col("df"), col("postings"))
@@ -721,7 +733,16 @@ object TextQueries {
     * re-pairing — a documented divergence from textbook BPE shared by both
     * engines, so the oracle still checks value-exactly.)
     * Ties on pair count break on (count DESC, pair ASC) — a total order,
-    * so the trained merge table is engine- and partition-order-independent. */
+    * so the trained merge table is engine- and partition-order-independent.
+    *
+    * Regime bound (r7 ladder, BASELINE.md): per-step cost is flat in the
+    * step count and the job-scheduling constant is ~0.1–0.2 s/step, so
+    * the distributed loop is the right tool while steps × constant ≪ the
+    * corpus pass — true for the conf's whole [1, 256] range. A
+    * production 32k-merge vocabulary is a different regime: there you
+    * collect the (word, count) table once (vocab-sized, Heaps-bounded)
+    * and run the remaining 30k+ argmax/merge steps driver-resident over
+    * it — same artifact, no per-step job. */
   def q71BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = Tables.documents(spark, dir)
