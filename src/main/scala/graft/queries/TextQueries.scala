@@ -2394,6 +2394,126 @@ object TextQueries {
       .join(gramStats(3, "3gram"), Seq("source"), "left")
   }
 
+  /** q195: tokenizer fertility audit — per language: whitespace words vs
+    * BPE-ish subword tokens ([[graft.functions.TokenClassCounts]], q27's
+    * pre-tokenizer) and the fertility ratio in exact basis points, plus
+    * chars-per-subword in exact micro-units. Fertility (subwords per
+    * word) is the standard tokenizer-fairness number: a language whose
+    * fertility runs 2× another's pays 2× the context length for the
+    * same content, so corpus mixing by raw token count silently
+    * under-weights it. Scale shape: both counters are one narrow native
+    * expression over the scan; the only exchange is a ≤|langs|-row
+    * map-side-combined agg. */
+  def q195Fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TA.tokenCount(TA.tokens(col("text"))).as("w"),
+        graft.functions.TokenClassCounts(col("text"))
+          .getField("n_bpe_tokens").as("s"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_subwords"), sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("(2 * n_subwords * 10000 + n_words) DIV (2 * n_words)")
+          .as("fertility_bp"),
+        expr("(2 * n_chars * 1000000 + n_subwords) DIV (2 * n_subwords)")
+          .as("chars_per_subword_micro"))
+
+  /** q196: PSI drift audit — Population Stability Index of the
+    * doc-length distribution between one source slice and the rest of
+    * the corpus, the standard ML-ops drift gate (PSI < 0.1 stable,
+    * > 0.25 investigate) and the distributional complement to q118's
+    * token-level KL: q118 catches vocabulary drift, this catches shape
+    * drift (a scraper that starts truncating pages moves length mass
+    * across bins long before the vocabulary shifts). Bins are q143's
+    * integer power-of-two token-count ladder (FP log2 diverges exactly
+    * at the bucket edges); counts are add-1 smoothed over the union bin
+    * set so no arm divides by zero. Engine parity: each bin's
+    * ln(p_a/p_b) is evaluated in ONE fixed double shape over exact
+    * integers — the cross products x·Nb′ and y·Na′ are built in
+    * decimal(38,0)/HUGEINT (overflow-proof at any corpus size) and cast
+    * to double for a single divide + ln — then floor-quantized to
+    * integer nano-nats (the q118 idiom); the (p_a − p_b) factor stays
+    * an exact integer numerator, so each contribution is (one exact
+    * integer) × (one quantized integer) over a fixed denominator and
+    * the final double is a shared expression shape. Scale shape: one
+    * map-side-combined (bucket) conditional agg over the scan (≤5 rows
+    * out), totals ride a 1-row broadcast — linear, join-free. */
+  def q196PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val n = TA.tokenCount(TA.tokens(col("text")))
+    val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).otherwise(256L)
+    val slice = col("source") === "src0"
+    val bins = Tables.documents(spark, dir)
+      .select(bucket.as("bucket"), slice.as("in_slice"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("in_slice"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_slice"), 0L).otherwise(1L)).as("c_b"))
+    val tot = bins.agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"),
+      count(lit(1)).as("nbins"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_a").as("n_slice"), col("c_b").as("n_rest"),
+        expr("CAST((c_a + 1) AS DECIMAL(38,0)) * (nb + nbins)").as("xnb"),
+        expr("CAST((c_b + 1) AS DECIMAL(38,0)) * (na + nbins)").as("yna"),
+        ((col("na") + col("nbins")).cast("double")
+          * (col("nb") + col("nbins")).cast("double")).as("den"))
+      .select(col("bucket"), col("n_slice"), col("n_rest"),
+        floor(log(col("xnb").cast("double") / col("yna").cast("double"))
+          * lit(1e9)).cast("long").as("ln_ratio_nano"),
+        (col("xnb") - col("yna")).cast("double").as("dnum"), col("den"))
+      .select(col("bucket"), col("n_slice"), col("n_rest"),
+        col("ln_ratio_nano"),
+        round(col("dnum") * col("ln_ratio_nano").cast("double")
+          / col("den") / lit(1e9), 9).as("psi_contrib"))
+  }
+
+  /** q197: near-dup threshold calibration — the verified-Jaccard
+    * histogram over ALL LSH candidate pairs (q20 applies the 0.3 gate;
+    * calibration needs the full curve): 5-percent bins assigned by the
+    * EXACT integer division (20·inter) DIV union — no FP touches the
+    * bin edge, so boundary pairs land identically in both engines. This
+    * is the table that sets the dedup threshold: the bin where the
+    * candidate mass turns from noise floor to dup shoulder is where the
+    * gate goes, and banding parameters are re-tuned when the noise-floor
+    * share grows. Scale shape: exactly q20's candidate + posting
+    * co-count machinery (linear, digests only) collapsed to ≤21 rows.
+    * CACHE CONTRACT (q20's): the skinny candidate-pair spine persists
+    * until clearCache — it drives the verify's two posting semi-joins
+    * and the join spine. Two longs per row. */
+  def q197JaccCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = shingled(spark, dir)
+    val pairs = Dedup.candidatePairs(bandedFrom(docs)).persist(mad)
+    shingleCoCounts(docs, pairs)
+      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
+      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+      .select(expr("(20 * inter) DIV (n1 + n2 - inter)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), (col("bin") * 5).as("lo_pct"), col("n_pairs"))
+  }
+
+  /** q198: LSH band-bucket occupancy audit — the join-cost predictor for
+    * every banded family (q19/q21/q44/q83/q189): bucket sizes s from the
+    * (band, band_key) agg, rolled to a histogram with each size's
+    * candidate-pair contribution s·(s−1)/2 · n_buckets. The banded join's
+    * cost is exactly Σ contributions, so ONE hot bucket (a boilerplate
+    * band key) showing up here predicts the skew before the join runs —
+    * this is the measurement behind the occupancy-adaptive band width.
+    * Contribution in decimal(38,0)/HUGEINT: s² overflows a long only on
+    * corpora where the audit matters most. Scale shape: the (band, key)
+    * agg is the banding pipeline's own shuffle; the histogram is a
+    * ≤|distinct sizes|-row rollup. */
+  def q198BandOccupancy(spark: SparkSession, dir: String): DataFrame =
+    bandedFrom(shingled(spark, dir))
+      .filter(col("band_key").isNotNull) // shingle-less docs can never pair
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("s").as("bucket_size"), col("n_buckets"),
+        expr("CAST(CAST(s * (s - 1) DIV 2 AS DECIMAL(38,0)) * n_buckets" +
+          " AS BIGINT)").as("cand_pairs"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -2836,6 +2956,104 @@ object TextQueries {
          |  a3.n_3gram, a3.d_3gram,
          |  (2 * a3.d_3gram * 10000 + a3.n_3gram) // (2 * a3.n_3gram) AS distinct_3gram_bp
          |FROM a1 LEFT JOIN a2 USING (source) LEFT JOIN a3 USING (source)""".stripMargin,
+
+    // q27's pre-tokenizer regex for subwords; half-up integer ratios
+    "q195_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |  CAST(len($toksSql) AS BIGINT) AS w,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS s,
+         |  CAST(len(text) AS BIGINT) AS ch
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(w) AS BIGINT) AS n_words,
+         |  CAST(SUM(s) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(ch) AS BIGINT) AS n_chars FROM d GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_subwords,
+         |  (2 * n_subwords * 10000 + n_words) // (2 * n_words) AS fertility_bp,
+         |  (2 * n_chars * 1000000 + n_subwords) // (2 * n_subwords)
+         |    AS chars_per_subword_micro
+         |FROM a""".stripMargin,
+
+    // q143's integer bucket ladder; HUGEINT cross products -> one divide +
+    // ln, floor-quantized to nano-nats; the (p_a - p_b) numerator stays an
+    // exact integer; fixed double shape for the final contribution
+    "q196_psi_drift" ->
+      s"""WITH d AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         |  WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 256 END AS bucket,
+         |  in_slice FROM (SELECT CAST(len($toksSql) AS BIGINT) AS n,
+         |    source = 'src0' AS in_slice FROM documents)),
+         |b AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(SUM(CASE WHEN in_slice THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |  CAST(SUM(CASE WHEN in_slice THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+         |  CAST(SUM(c_b) AS BIGINT) AS nb,
+         |  CAST(COUNT(*) AS BIGINT) AS nbins FROM b),
+         |e AS (SELECT bucket, c_a, c_b, na, nb, nbins,
+         |  (c_a + 1)::HUGEINT * (nb + nbins) AS xnb,
+         |  (c_b + 1)::HUGEINT * (na + nbins) AS yna
+         |  FROM b CROSS JOIN t),
+         |f AS (SELECT bucket, c_a, c_b,
+         |  CAST(FLOOR(ln(xnb::DOUBLE / yna::DOUBLE) * 1e9) AS BIGINT)
+         |    AS ln_ratio_nano,
+         |  (xnb - yna)::DOUBLE AS dnum,
+         |  (na + nbins)::DOUBLE * (nb + nbins)::DOUBLE AS den
+         |  FROM e)
+         |SELECT bucket, c_a AS n_slice, c_b AS n_rest, ln_ratio_nano,
+         |  ROUND(dnum * ln_ratio_nano::DOUBLE / den / 1e9, 9) AS psi_contrib
+         |FROM f""".stripMargin,
+
+    // q19's candidates + q20's posting co-count verify, binned by the
+    // EXACT integer division (20*inter) // union; candidate pairs with
+    // zero shingle co-occurrence (possible only under a band-hash
+    // collision) fall out of the inner joins identically on both sides
+    "q197_jacc_calibration" ->
+      s"""WITH cand AS ($minhashPairsSql),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |d AS (SELECT doc_id, list_distinct(s) AS ds FROM sh WHERE len(s) > 0),
+         |e AS (SELECT doc_id, unnest(ds) AS g FROM d),
+         |iv AS (SELECT p.doc1, p.doc2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand p JOIN e e1 ON e1.doc_id = p.doc1
+         |  JOIN e e2 ON e2.doc_id = p.doc2 AND e2.g = e1.g
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(len(ds) AS BIGINT) AS n FROM d),
+         |bins AS (SELECT (20 * inter) // (n1.n + n2.n - inter) AS bin
+         |  FROM iv JOIN n n1 ON n1.doc_id = iv.doc1
+         |  JOIN n n2 ON n2.doc_id = iv.doc2)
+         |SELECT bin, CAST(bin * 5 AS BIGINT) AS lo_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM bins GROUP BY 1""".stripMargin,
+
+    // q19's banding CTEs rolled to bucket sizes; the pair contribution is
+    // HUGEINT (Spark: decimal(38,0)) internally, BIGINT at the output
+    "q198_band_occupancy" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS s FROM t),
+         |hp AS (SELECT doc_id, list_transform(s, x ->
+         |  [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT),
+         |   CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)]) AS hs FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 11),
+         |    i -> list_min(list_transform(hs, q -> (q[1] + i * q[2]) % 1000000007))) AS g
+         |  FROM hp),
+         |bands AS (SELECT doc_id, u.b AS band,
+         |  md5(g[2 * u.b + 1]::VARCHAR || '|' || g[2 * u.b + 2]::VARCHAR) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) u),
+         |occ AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS s
+         |  FROM bands WHERE bkey IS NOT NULL GROUP BY 1, 2)
+         |SELECT s AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST((s * (s - 1) // 2)::HUGEINT * COUNT(*) AS BIGINT) AS cand_pairs
+         |FROM occ GROUP BY s""".stripMargin,
 
     "q177_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Urls
+import graft.sources.Tables
+
+/** Web-provenance curation operators: URL canonicalization dedup and the
+  * host-level policy rollup — the two passes a crawl-derived corpus runs
+  * BEFORE content dedup (collapsing re-crawls by canonical URL is a
+  * narrow map + one key agg, orders of magnitude cheaper than MinHash).
+  * The fixture has no URL column, so a deterministic messy URL is
+  * injected per doc ([[graft.ops.Urls.syntheticRawUrl]], the q177
+  * posture) and the REAL canonicalizer runs on it.
+  */
+object WebQueries {
+
+  /** q193: URL-canonicalization dedup — each canonical URL with its crawl
+    * multiplicity: how many docs land on it, how many DISTINCT raw forms
+    * they arrived under, and the keeper (min doc_id, the survivorship
+    * rule q93 uses). Scale shape: canonicalization is a narrow per-row
+    * string map fused into the scan; the only exchange is the
+    * (canonical_url) map-side-combined agg — linear at any corpus size,
+    * and the group key is a bounded-width URL string (a digest-key
+    * variant would apply here exactly as in q178 if measurement ever
+    * shows the key bytes dominating the exchange). */
+  def q193UrlCanonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Urls.syntheticRawUrl(col("doc_id"), col("source")).as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        Urls.canonicalUrl(col("raw_url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keeper_doc_id"))
+
+  /** q194: host-level curation rollup — per host: docs, distinct
+    * canonical URLs, and the re-crawl duplication share in exact basis
+    * points (the number a domain blocklist/throttle policy is stated
+    * in; RefinedWeb and CCNet both gate on per-domain stats before any
+    * content pass). Scale shape: the (host, canonical_url) agg map-side
+    * combines, then collapses to one row per host — two aggs sharing
+    * the host-prefixed key, no join, linear. */
+  def q194HostRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Urls.canonicalUrl(
+          Urls.syntheticRawUrl(col("doc_id"), col("source"))).as("u"))
+      .select(col("doc_id"), col("u"), Urls.hostOf(col("u")).as("host"))
+      .groupBy(col("host"), col("u"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("host"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_urls"))
+      .select(col("host"), col("n_docs"), col("n_urls"),
+        expr("(2 * (n_docs - n_urls) * 10000 + n_docs) DIV (2 * n_docs)")
+          .as("dup_bp"))
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  /** The injected raw URL — doc_id % 3 variants (Urls.syntheticRawUrl). */
+  // NOTE: no continuation line here may BEGIN with '||' — this fragment is
+  // spliced into outer s"""...""".stripMargin templates, which would eat
+  // one pipe of a line-leading '||' (first non-blank char looks like a
+  // margin). Operators therefore sit at line ends.
+  private val rawUrlSql =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN 'http://www.' || source || '.example.com/articles/' ||
+      |    (doc_id // 3) || '?id=' || (doc_id // 3) ||
+      |    '&utm_source=feed#sec' || (doc_id % 5)
+      |  WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/articles/' ||
+      |    (doc_id // 3) || '/?utm_campaign=x&id=' || (doc_id // 3)
+      |  ELSE 'http://' || source || '.example.com/articles/' ||
+      |    (doc_id // 3) || '?id=' || (doc_id // 3)
+      |END""".stripMargin
+
+  /** Urls.canonicalUrl, step for step, over a column named `raw_url`;
+    * spliced as continuation CTEs after a `raw` CTE. */
+  private val canonicalSql =
+    """s1 AS (SELECT doc_id, raw_url,
+      |  split_part(raw_url, '#', 1) AS nofrag FROM raw),
+      |s2 AS (SELECT doc_id, raw_url,
+      |  split_part(nofrag, '?', 1) AS base,
+      |  CASE WHEN contains(nofrag, '?')
+      |       THEN split_part(nofrag, '?', 2) ELSE '' END AS query
+      |  FROM s1),
+      |s3 AS (SELECT doc_id, raw_url, query,
+      |  substr(base, 8) AS rest,
+      |  split_part(substr(base, 8), '/', 1) AS host0
+      |  FROM s2),
+      |s4 AS (SELECT doc_id, raw_url, query,
+      |  regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+      |    ':80$', '') AS host,
+      |  substr(rest, len(host0) + 1) AS path0
+      |  FROM s3),
+      |s5 AS (SELECT doc_id, raw_url, query, host,
+      |  rtrim(CASE WHEN path0 = '' THEN '/' ELSE path0 END, '/') AS path1
+      |  FROM s4),
+      |s6 AS (SELECT doc_id, raw_url, host,
+      |  CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+      |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS params
+      |  FROM s5),
+      |canon AS (SELECT doc_id, raw_url,
+      |  'http://' || host || path ||
+      |    CASE WHEN params = '' THEN '' ELSE '?' || params END
+      |    AS canonical_url
+      |  FROM s6)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q193_url_canonical" ->
+      s"""WITH raw AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         |$canonicalSql
+         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+         |  MIN(doc_id) AS keeper_doc_id
+         |FROM canon GROUP BY canonical_url""".stripMargin,
+
+    "q194_host_rollup" ->
+      s"""WITH raw AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         |$canonicalSql,
+         |h AS (SELECT split_part(substr(canonical_url, 8), '/', 1) AS host,
+         |  canonical_url, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM canon GROUP BY 1, 2),
+         |a AS (SELECT host, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls FROM h GROUP BY 1)
+         |SELECT host, n_docs, n_urls,
+         |  (2 * (n_docs - n_urls) * 10000 + n_docs) // (2 * n_docs) AS dup_bp
+         |FROM a""".stripMargin
+  )
+}

@@ -30,7 +30,8 @@ class ContractSpec extends SparkSpec {
     "q157_semdedup",        // clustered frame feeds both pair sides + output
     "q180_pca_power",       // per-round sr/w/v double-referenced by their normalizers
     "q183_dsir_weights",    // (doc, bucket) count frame feeds model + scoring aggs
-    "q189_fuzzy_decontam")  // candidate + verified-pair spines drive multiple subplans
+    "q189_fuzzy_decontam",  // candidate + verified-pair spines drive multiple subplans
+    "q197_jacc_calibration") // candidate-pair spine drives 3 verify subplans (q20's contract)
 
   test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
     spark.catalog.clearCache()

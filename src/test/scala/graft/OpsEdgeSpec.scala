@@ -881,4 +881,85 @@ class OpsEdgeSpec extends SparkSpec {
       ("src_b", 2L, 2L, 10000L, Some(1L), Some(1L), Some(10000L),
         None, None, None)))
   }
+
+  test("q195 fertility: hand-computed subword/word/char ratios in exact half-up units") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs195").toString
+    // "ab cd-ef 12": 3 whitespace words; BPE pre-tokens ab|cd|-|ef|12 = 5;
+    // 11 chars -> fertility 5/3 = 16667 bp, chars/subword 11/5 = 2200000 µ
+    Seq((0L, "ab cd-ef 12", "en", "src_a", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q195Fertility(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("en", 1L, 3L, 5L, 16667L, 2200000L)))
+  }
+
+  test("q196 PSI: union bins, add-1 smoothing, and contributions match an independent in-test recomputation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs196").toString
+    val t10 = (1 to 10).map("w" + _).mkString(" ")
+    val t20 = (1 to 20).map("v" + _).mkString(" ")
+    Seq(
+      (0L, t10, "src0"), (1L, t10, "src0"), (2L, t10, "src0"), // slice, b16
+      (3L, t10, "src1"),                                       // rest, b16
+      (4L, t20, "src1"))                                       // rest, b32
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q196PsiDrift(spark, dir)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // independent recomputation of the documented shape: na=3 nb=2 B=2
+    def exp(cA: Long, cB: Long): (Long, Double) = {
+      val (xnb, yna) = ((cA + 1) * 4, (cB + 1) * 5)
+      val l = math.floor(math.log(xnb.toDouble / yna) * 1e9).toLong
+      val contrib = BigDecimal((xnb - yna).toDouble * l / (5.0 * 4.0) / 1e9)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (l, contrib)
+    }
+    val (l16, c16) = exp(3, 1)
+    val (l32, c32) = exp(0, 1)
+    assert(got === Seq((16L, 3L, 1L, l16, c16), (32L, 0L, 1L, l32, c32)))
+    // both tails of the smoothing: the slice-empty bin contributes a
+    // POSITIVE term too (PSI is symmetric-positive), sanity-pinned
+    assert(c16 > 0 && c32 > 0)
+  }
+
+  test("q197 calibration: an exact-dup pair lands in bin 20 with nothing else; fixture bins stay in [0, 20]") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs197").toString
+    val dup = (1 to 12).map("d" + _).mkString(" ")
+    val other = (1 to 12).map("z" + _).mkString(" ") // disjoint vocabulary
+    Seq((0L, dup, "s"), (1L, dup, "s"), (2L, other, "s"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q197JaccCalibration(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq((20L, 100L, 1L)))
+    val fix = graft.queries.TextQueries.q197JaccCalibration(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(fix.map(_._3).sum > 0)
+    assert(fix.forall(r => r._1 >= 0 && r._1 <= 20 && r._2 == r._1 * 5))
+  }
+
+  test("q198 occupancy: identical docs fill size-2 buckets in every band, a disjoint doc fills size-1, short docs vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs198").toString
+    val dup = (1 to 12).map("d" + _).mkString(" ")
+    val other = (1 to 12).map("z" + _).mkString(" ")
+    Seq((0L, dup, "s"), (1L, dup, "s"), (2L, other, "s"), (3L, "a b", "s"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q198BandOccupancy(spark, dir)
+      .orderBy("bucket_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 6 bands: the dup twins share all 6 keys (size 2, 1 pair each); the
+    // disjoint doc owns its 6 (size 1, 0 pairs); "a b" has no shingles
+    assert(got === Seq((1L, 6L, 0L), (2L, 6L, 6L)))
+  }
 }
