@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Materialized ANN index lake — the vector twin of CorpusPipeline's
+  * materialized-signature design. The repeated claim behind q23/q29/q185
+  * ("at 100 TB the index is the expensive artifact; probes are cheap") is
+  * executed here rather than asserted: [[build]] banks the SRP bucket
+  * table ONCE, [[append]] buckets only newly-arrived vectors under the
+  * frozen layout, and [[topK]] answers queries against the banked buckets
+  * plus a bounded fetch-back — the corpus is never re-scanned and never
+  * re-bucketed after its first pass.
+  *
+  * The layout (tables, planes-per-table, dims) is FROZEN at build time
+  * from the then-corpus size and persisted next to the index: bucket ids
+  * are a function of the plane count, so re-deriving the corpus-adaptive
+  * plane rule ([[Similarity.adaptivePlanes]]) on a grown corpus would
+  * silently split the index into incompatible generations (new vectors
+  * landing in a key space old vectors never hashed into — recall decays
+  * to the append fraction, with no error anywhere). Growth instead
+  * degrades bucket occupancy linearly until a REBUILD, and
+  * [[bucketStats]] (q198's vector analog) is the measured rebuild
+  * trigger.
+  *
+  * Layout on disk (all Spark-managed parquet):
+  * {{{
+  *   path/_layout/   one row: (tables, pn, dims)
+  *   path/buckets/   (vec_id, tbl, bucket)   — the index
+  *   path/vectors/   (vec_id, embedding)     — fetch-back payload
+  * }}}
+  */
+object VectorLake {
+
+  final case class Layout(tables: Int, pn: Int, dims: Int)
+
+  private val DefaultTables = 4
+
+  private def signsFor(l: Layout) =
+    Similarity.hyperplaneSigns(l.tables * Similarity.MaxPlanesPerTable, l.dims)
+
+  private def banded(vecs: DataFrame, l: Layout): DataFrame = vecs
+    .select(col("vec_id"), posexplode(Similarity.srpBucketsAdaptive(
+      col("embedding"), signsFor(l), l.tables, l.pn)))
+    .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+
+  /** Bank the index: freeze the layout from the CURRENT corpus size,
+    * write buckets + payload. Overwrite — a rebuild replaces the index
+    * (the generation point where a new adaptive pn takes effect). */
+  def build(spark: SparkSession, vecs: DataFrame, path: String,
+            tables: Int = DefaultTables): Layout = {
+    val n = vecs.count()
+    val dims = vecs.select(size(col("embedding"))).head().getInt(0)
+    val l = Layout(tables, Similarity.adaptivePlanes(n), dims)
+    import spark.implicits._
+    Seq((l.tables, l.pn, l.dims)).toDF("tables", "pn", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_layout")
+    banded(vecs, l).write.mode("overwrite").parquet(s"$path/buckets")
+    vecs.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    l
+  }
+
+  def layoutOf(spark: SparkSession, path: String): Layout = {
+    val r = spark.read.parquet(s"$path/_layout").head()
+    Layout(r.getAs[Int]("tables"), r.getAs[Int]("pn"), r.getAs[Int]("dims"))
+  }
+
+  /** Incremental append: bucket ONLY the new vectors, under the frozen
+    * layout. Existing index files are untouched (spec-asserted) — the
+    * 100 TB contract is precisely that an increment's cost is the
+    * increment's size. */
+  def append(spark: SparkSession, newVecs: DataFrame, path: String): Layout = {
+    val l = layoutOf(spark, path)
+    banded(newVecs, l).write.mode("append").parquet(s"$path/buckets")
+    newVecs.select("vec_id", "embedding")
+      .write.mode("append").parquet(s"$path/vectors")
+    l
+  }
+
+  /** ANN top-k against the banked index: queries are bucketed with the
+    * stored layout (per-row, no corpus work), candidates come from the
+    * (tbl, bucket) equi-join against the banked buckets, and the exact
+    * cosine re-rank runs only on the bounded fetch-back. The query-side
+    * frame broadcasts (bounded by the query batch); the index side only
+    * shuffles matched candidates. */
+  def topK(spark: SparkSession, queries: DataFrame, path: String,
+           k: Int = 3): DataFrame = {
+    val l = layoutOf(spark, path)
+    val qb = queries
+      .select(col("qid"), posexplode(Similarity.srpBucketsAdaptive(
+        col("qe"), signsFor(l), l.tables, l.pn)))
+      .select(col("qid"), col("pos").as("tbl"), col("col").as("bucket"))
+    val cand = spark.read.parquet(s"$path/buckets")
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val scored = cand
+      .join(spark.read.parquet(s"$path/vectors"), Seq("vec_id"))
+      .join(queries, Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cs"), 6).as("cos"))
+  }
+
+  /** Bucket-occupancy histogram over the banked index (q198's vector
+    * analog): the rebuild trigger. Mean occupancy drifting far above the
+    * build-time target means the frozen pn has been outgrown. */
+  def bucketStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/buckets")
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("s").as("bucket_size"), col("n_buckets"))
+}

@@ -2381,7 +2381,12 @@ object TextQueries {
       val gramsOf = (t: Column) =>
         if (n == 1) TA.tokens(t) else graft.functions.WordShingles(TA.tokens(t), n)
       Tables.documents(spark, dir)
-        .select(col("source"), explode(gramsOf(col("text"))).as("g"))
+        .select(col("source"), explode(gramsOf(col("text"))).as("g0"))
+        // gramKeyOpt (the digestHex conf): only counts over the gram reach
+        // the output, so all three corpus-wide (source, gram) exchanges
+        // can key on fixed-width digests (the q187 posture)
+        .select(col("source"),
+          gramKeyOpt(spark).fold(col("g0"))(k => k(col("g0"))).as("g"))
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(sum(col("c")).as(s"n_$pfx"), count(lit(1)).as(s"d_$pfx"))

@@ -84,6 +84,25 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Crawl-intake URL dedup — the streaming twin of q193: each arriving
+    * page's URL is canonicalized ([[graft.ops.Urls.canonicalUrl]]: host
+    * case/`www.`/`:80`/fragment/tracker normalization) and only the FIRST
+    * arrival per canonical URL within the watermark passes downstream.
+    * This is the cheapest dedup layer a streaming crawl runs (a narrow
+    * string map + keyed state — no shingles, no signatures), in front of
+    * [[streamingNearDupHits]]'s content layer. State = one entry per
+    * distinct canonical URL seen within the watermark, so the horizon is
+    * the memory knob exactly as in [[dedupWithinWatermark]]; a re-crawl
+    * arriving past the horizon is readmitted (the batch lake pass — q193
+    * over the accumulated lake — catches those, CorpusPipeline's posture). */
+  def urlDedupWithinWatermark(crawl: DataFrame,
+                              watermark: String = "30 minutes"): DataFrame =
+    crawl
+      .withColumn("canonical_url",
+        graft.ops.Urls.canonicalUrl(col("raw_url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Stream-stream inner join with an event-time range: each left event
     * pairs with right events of the same key no older than `maxAge`.
     * BOTH sides carry watermarks and the join condition bounds event-time

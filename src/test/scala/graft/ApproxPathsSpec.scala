@@ -124,6 +124,8 @@ class ApproxPathsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     val exact187 = TextQueries.q187GramCollision(spark, sfDir)
       .orderBy("source").collect().toSeq
+    val exact192 = TextQueries.q192NgramDiversity(spark, sfDir)
+      .orderBy("source").collect().toSeq
     withConf("spark.graft.dedup.digestHex", "16") {
       assert(TextQueries.q57GramPostings(spark, sfDir)
         .orderBy("gram").collect().toSeq === exact57)
@@ -131,6 +133,8 @@ class ApproxPathsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq === exact115)
       assert(TextQueries.q187GramCollision(spark, sfDir)
         .orderBy("source").collect().toSeq === exact187)
+      assert(TextQueries.q192NgramDiversity(spark, sfDir)
+        .orderBy("source").collect().toSeq === exact192)
     }
     assert(exact57.nonEmpty && exact115.nonEmpty && exact187.nonEmpty)
   }

@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == 4L) === 1)
   }
 
+  test("urlDedupWithinWatermark: cross-batch raw-URL variants collapse to the first arrival per canonical form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // two raw variants of ONE canonical page split across batches, plus a
+    // distinct page — the canonicalizer (not the raw string) is the dedup key
+    ms.addData(Seq(
+      (ts(0), 10L, "http://www.a.example.com/p?id=1&utm_source=feed#s"),
+      (ts(1), 11L, "http://b.example.com/q?id=2")))
+    ms.addData(Seq(
+      (ts(2), 12L, "HTTP://A.EXAMPLE.COM:80/p/?utm_campaign=x&id=1")))
+    val out = Streams.urlDedupWithinWatermark(
+      ms.toDF().toDF("ts", "doc_id", "raw_url"))
+    val q = out.writeStream.format("memory").queryName("urldedup")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("urldedup")
+      .select("doc_id", "canonical_url").as[(Long, String)].collect().toSet
+    assert(rows === Set(
+      (10L, "http://a.example.com/p?id=1"),
+      (11L, "http://b.example.com/q?id=2")))
+  }
+
   test("streamStreamJoin: watermarked event-time range join, stream == batch") {
     import spark.implicits._
     val clicks = batch1.filter(_.event_type == "click")

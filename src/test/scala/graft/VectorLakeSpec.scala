@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.pipeline.VectorLake
+import graft.sources.Tables
+
+/** The materialized-ANN-index contracts: frozen layout across appends,
+  * increment cost = increment size (existing files untouched), query
+  * parity with an independent bucket reimplementation, and the occupancy
+  * audit. */
+class VectorLakeSpec extends SparkSpec {
+
+  private def freshPath() =
+    java.nio.file.Files.createTempDirectory("graft_veclake").toString
+
+  private def bucketFiles(path: String): Set[String] = {
+    val d = new java.io.File(s"$path/buckets")
+    d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("append buckets new vectors under the FROZEN build-time layout, not a re-derived one") {
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val l = VectorLake.build(spark, half1, path)
+    // a full rebuild at the grown size would choose MORE planes — the
+    // incompatibility append must not introduce
+    assert(Similarity.adaptivePlanes(500) > l.pn)
+    VectorLake.append(spark, half2, path)
+    assert(VectorLake.layoutOf(spark, path) === l)
+    // appended rows equal an independent re-bucketing of half2 under the
+    // FROZEN layout (the composed Column form is the semantic reference)
+    val got = spark.read.parquet(s"$path/buckets")
+      .join(half2.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy("vec_id", "tbl")
+      .collect().toSeq
+    val signs = Similarity.hyperplaneSigns(
+      l.tables * Similarity.MaxPlanesPerTable, l.dims)
+    val expect = half2
+      .select(col("vec_id"), posexplode(Similarity.srpBucketsComposed(
+        col("embedding"), signs, l.tables, l.pn)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      .orderBy("vec_id", "tbl")
+      .collect().toSeq
+    assert(got === expect)
+  }
+
+  test("append leaves every pre-existing index file untouched — increment cost is the increment's size") {
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorLake.build(spark, emb.filter(col("vec_id") < 250), path)
+    val before = bucketFiles(path)
+    VectorLake.append(spark, emb.filter(col("vec_id") >= 250), path)
+    val after = bucketFiles(path)
+    assert(before.subsetOf(after), "append rewrote existing index files")
+    assert(after.size > before.size)
+  }
+
+  test("topK: corpus queries rank themselves first; results match the banked-bucket recompute") {
+    import spark.implicits._
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorLake.build(spark, emb, path)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = VectorLake.topK(spark, queries, path, k = 3)
+    val top1 = got.filter(col("rk") === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(top1 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // every returned neighbor shares at least one banked bucket with its
+    // query (candidates come from the index, never a corpus scan)
+    val l = VectorLake.layoutOf(spark, path)
+    val signs = Similarity.hyperplaneSigns(
+      l.tables * Similarity.MaxPlanesPerTable, l.dims)
+    val qb = queries
+      .select(col("qid"), posexplode(Similarity.srpBucketsComposed(
+        col("qe"), signs, l.tables, l.pn)))
+      .select(col("qid"), col("pos").as("tbl"), col("col").as("bucket"))
+    val legal = spark.read.parquet(s"$path/buckets")
+      .join(qb, Seq("tbl", "bucket"))
+      .select(col("qid"), col("vec_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val returned = got.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(returned.subsetOf(legal))
+  }
+
+  test("bucketStats: occupancy histogram accounts for every banked (vector, table) row") {
+    import spark.implicits._
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    val l = VectorLake.build(spark, emb, path)
+    val stats = VectorLake.bucketStats(spark, path)
+      .as[(Long, Long)].collect().toSeq
+    assert(stats.map { case (s, n) => s * n }.sum === 500L * l.tables)
+  }
+}
