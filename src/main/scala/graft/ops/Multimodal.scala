@@ -11,6 +11,11 @@ case class MediaRow(media_id: Long, kind: String, blob: Array[Byte])
 case class MediaFeatures(media_id: Long, kind: String,
                          n_bytes: Long, features: Array[Float])
 
+/** Output of the positional-downscale stub ([[Multimodal.decodeSegments]]):
+  * exact integer byte sums + counts per equal-width span. */
+case class MediaSegments(media_id: Long, kind: String, n_bytes: Long,
+                         seg_sums: Array[Long], seg_counts: Array[Long])
+
 /** Multimodal (image/audio/video) columns for a training-data pipeline.
   *
   * Media is modeled the way a 100 TB lakehouse stores it: an opaque `binary`
@@ -95,4 +100,33 @@ object Multimodal {
       }(enc)
       .toDF()
   }
+
+  /** STUB positional downscale — the aHash grid shape: the blob split
+    * into `segments` equal-width spans, per-span byte SUM and COUNT as
+    * exact integers (a real image decoder emits pixel-grid means here;
+    * the integer sums keep the downstream fingerprint engine-portable —
+    * no float means cross this boundary). Same mapPartitions execution
+    * contract as [[decodeFeatures]]. Byte i (0-based) lands in span
+    * i·segments/n — the oracle's (i-1)·segments // n over 1-based
+    * positions. Empty blobs emit all-zero spans (callers filter). */
+  def decodeSegments(media: DataFrame, segments: Int = 15): DataFrame =
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.blob
+          val n = b.length
+          val sums = new Array[Long](segments)
+          val counts = new Array[Long](segments)
+          var i = 0
+          while (i < n) {
+            val s = (i.toLong * segments / n).toInt
+            sums(s) += (b(i) & 0xff)
+            counts(s) += 1
+            i += 1
+          }
+          MediaSegments(r.media_id, r.kind, n.toLong, sums, counts)
+        }
+      }(Encoders.product[MediaSegments])
+      .toDF()
 }

@@ -53,6 +53,82 @@ object MediaQueries {
         round(col("v").cast("double") * greatest(col("n_bytes"), lit(1)))
           .cast("long").as("bin_count"))
 
+  /** q200: media perceptual-hash near-dup — the image/audio dedup layer a
+    * multimodal pipeline runs after exact content-hash dedup (q24's
+    * sha256 catches byte-identical blobs; this catches re-encodes and
+    * small edits). A 60-bit perceptual fingerprint is built from the
+    * POSITIONAL downscale stub ([[Multimodal.decodeSegments]] — the aHash
+    * pixel-grid shape: 15 equal spans × 4 mean-relative threshold levels;
+    * production swaps the span means for downscaled-DCT coefficients and
+    * keeps everything downstream unchanged), then banded with the same
+    * lossless Manku block-permutation tables as q44 (radius-3 pigeonhole,
+    * corpus-adaptive block count) and verified with exact Hamming ≤ 3 —
+    * candidates only ever meet inside a shared band bucket, never via a
+    * corpus self-scan. Feature choice is measured, not aesthetic: the
+    * byte-HISTOGRAM features are degenerate on ASCII text (3 live bins of
+    * 16 — measured: every same-kind fixture pair lands within Hamming 3
+    * under any threshold scheme), while positional spans at ±1–3%-of-mean
+    * thresholds separate the fixture to ~1 natural pair in 125k. Every
+    * bit is an exact integer cross-multiplication (span_sum·bytes·100 >
+    * total·span_count·level, decimal(38,0)/HUGEINT) so the fingerprint is
+    * engine-portable bit for bit; the oracle deliberately runs the OTHER
+    * algorithm (brute-force all-pairs Hamming — the q44 gate: banding
+    * must prove lossless against ground truth). Same-kind pairs only. */
+  def q200MediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // blocks from the corpus size (the q44 corpus-adaptive rule); the
+    // +4% twin slice never moves mankuBlocksFor across a breakpoint
+    val blocks = graft.ops.Dedup.mankuBlocksFor(docs.count())
+    // planted re-encodes (the q177 injection posture): every 25th doc
+    // gets a same-length lightly-perturbed twin under a shifted id —
+    // byte-histogram features are DEGENERATE on ASCII text (3 live bins
+    // of 16; measured: every same-kind pair within Hamming 3), so the
+    // fingerprint uses the POSITIONAL downscale, and the twins make the
+    // detector's hit set non-vacuous (OpsEdgeSpec pins all planted found)
+    val twins = Multimodal.fromDocuments(
+        docs.filter(col("doc_id") % 25 === 0)
+          .withColumn("text", expr("replace(text, 'the', 'thf')")))
+      .withColumn("media_id", col("media_id") + lit(1000000000L))
+    val all = media(spark, dir).unionByName(twins)
+    // 60-bit fingerprint: 15 positional spans x 4 mean-relative threshold
+    // levels (x{0.97, 0.99, 1.01, 1.03}) — every bit an exact integer
+    // cross-multiplication over the decode stub's integer span sums
+    val segs = Multimodal.decodeSegments(all)
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        expr("aggregate(seg_sums, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("s_all"),
+        posexplode(arrays_zip(col("seg_sums"), col("seg_counts")))
+          .as(Seq("seg", "z")))
+      .select(col("media_id"), col("kind"),
+        (0 until 4).map(t =>
+          // decimal(38,0) cross products (oracle: HUGEINT): sum x bytes x
+          // 100 overflows a long exactly on GB-sized blobs
+          when(col("z.seg_sums").cast("decimal(38,0)") * col("n_bytes") * 100
+              > col("s_all").cast("decimal(38,0)") * col("z.seg_counts")
+                * (97 + 2 * t),
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(seg * 4 + $t AS INT))"))
+            .otherwise(0L)).reduce(_ + _).as("bit"))
+    val ph = segs.groupBy(col("media_id"), col("kind"))
+      .agg(sum(col("bit")).as("phash"))
+    val banded = ph.select(col("media_id"), col("kind"), col("phash"),
+        explode(graft.ops.Dedup.mankuBands(col("phash"), blocks = blocks))
+          .as("bb"))
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    banded.select(col("kind"), col("band"), col("band_key"),
+        col("media_id").as("id1"), col("phash").as("p1"))
+      .join(banded.select(col("kind"), col("band"), col("band_key"),
+        col("media_id").as("id2"), col("phash").as("p2")),
+        Seq("kind", "band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("kind"), col("id1"), col("id2"),
+        graft.ops.Dedup.hammingDistance(col("p1"), col("p2"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** The same deterministic media derivation, in DuckDB terms. DuckDB's
@@ -104,6 +180,44 @@ object MediaQueries {
          |SELECT b.media_id, b.kind, b.n_bytes, CAST(bins.bin AS BIGINT) AS bin,
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_count
          |FROM base b CROSS JOIN bins
-         |LEFT JOIN counts c ON c.media_id = b.media_id AND c.bin = bins.bin""".stripMargin
+         |LEFT JOIN counts c ON c.media_id = b.media_id AND c.bin = bins.bin""".stripMargin,
+
+    // the OTHER algorithm: brute-force all-pairs Hamming over the same
+    // 60-bit fingerprint — the q44 losslessness gate for the Manku banding
+    "q200_media_phash" ->
+      s"""WITH md AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    text, CAST(n_chars AS BIGINT) AS n_bytes FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END,
+         |    replace(text, 'the', 'thf'), CAST(n_chars AS BIGINT)
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |chars AS (SELECT media_id, n_bytes,
+         |  (u.i - 1) * 15 // n_bytes AS seg,
+         |  CAST(ascii(substr(text, CAST(u.i AS INT), 1)) AS BIGINT) AS bv
+         |  FROM md CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) u),
+         |segs AS (SELECT media_id, n_bytes, seg,
+         |  CAST(SUM(bv) AS BIGINT) AS ss, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM chars GROUP BY 1, 2, 3),
+         |tot AS (SELECT media_id, CAST(SUM(ss) AS BIGINT) AS s_all
+         |  FROM segs GROUP BY 1),
+         |ph AS (SELECT s.media_id, m.kind,
+         |  CAST(SUM(CASE WHEN s.ss::HUGEINT * s.n_bytes * 100
+         |      > t2.s_all::HUGEINT * s.ns * (97 + 2 * u.t)
+         |    THEN (2 ** (s.seg * 4 + u.t))::BIGINT ELSE 0 END) AS BIGINT)
+         |    AS phash
+         |  FROM segs s JOIN tot t2 USING (media_id)
+         |  JOIN md m USING (media_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t) u
+         |  GROUP BY 1, 2)
+         |SELECT a.kind, a.media_id AS id1, b2.media_id AS id2,
+         |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b2 ON a.kind = b2.kind AND a.media_id < b2.media_id
+         |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin
   )
 }

@@ -56,6 +56,65 @@ object WebQueries {
         expr("(2 * (n_docs - n_urls) * 10000 + n_docs) DIV (2 * n_docs)")
           .as("dup_bp"))
 
+  /** q199: the dedup funnel — corpus survival through the successive
+    * layers a real intake runs IN ORDER OF COST: (1) canonical-URL
+    * keepers (q193's rule — narrow map + one key agg), (2) exact-text
+    * keepers (q18's normKey), (3) the q82 chunk gate (docs ≥ 50%
+    * duplicated 32-token chunks dropped). One row per stage with
+    * surviving docs and chars — the report that justifies the layering
+    * (each layer only pays for what the cheaper ones missed). Each layer
+    * keeps min-doc_id (q93's survivorship rule); the chunk-frequency
+    * table is computed among LAYER-2 SURVIVORS (dup evidence already
+    * deduped away must not re-flag its keeper). Scale shape: two
+    * partitioned windows (canonical_url, norm key) + the chunk-digest
+    * agg — every exchange is keyed, nothing quadratic; the stage
+    * aggregates recompute the narrow upstream maps per branch (at 100 TB
+    * you persist each survivor frame; at bench SF recompute of the
+    * narrow stages is cheaper than caching fat text rows — q20's
+    * measured posture). */
+  def q199DedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        Urls.canonicalUrl(
+          Urls.syntheticRawUrl(col("doc_id"), col("source"))).as("u"))
+    val urlKeep = docs
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("u"))))
+      .filter(col("doc_id") === col("m")).drop("m", "u")
+    val exactKeep = urlKeep
+      .withColumn("k", graft.ops.Dedup.normKey(col("text")))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("k"))))
+      .filter(col("doc_id") === col("m")).drop("m", "k")
+    // q82's chunk machinery over layer-2 survivors only
+    val keyed = exactKeep
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) + 31) / 32).cast("int") - 1)).as("ci"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("ci") * 32 + 1, lit(32))))
+          .as("ck"))
+    val freq = keyed.groupBy(col("ck")).agg(count(lit(1)).as("nk"))
+    val dropped = keyed.join(freq, Seq("ck"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("nk") > 1, 1L).otherwise(0L)).as("nd"))
+      .filter(col("nd") * 2 >= col("nc"))
+      .select("doc_id")
+    val chunkKeep = exactKeep.join(dropped, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, n: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("docs_out"),
+          sum(col("n_chars")).as("chars_out"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("layer"),
+          col("docs_out"), col("chars_out"))
+    stage(docs, 0, "0_intake")
+      .unionAll(stage(urlKeep, 1, "1_url"))
+      .unionAll(stage(exactKeep, 2, "2_exact"))
+      .unionAll(stage(chunkKeep, 3, "3_chunk"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** The injected raw URL — doc_id % 3 variants (Urls.syntheticRawUrl). */
@@ -126,6 +185,42 @@ object WebQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_urls FROM h GROUP BY 1)
          |SELECT host, n_docs, n_urls,
          |  (2 * (n_docs - n_urls) * 10000 + n_docs) // (2 * n_docs) AS dup_bp
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    // layer CTEs in cost order: url keeper -> exact keeper -> chunk gate;
+    // each stage row is a tiny aggregate over the survivor CTE
+    "q199_dedup_funnel" ->
+      s"""WITH raw AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         |$canonicalSql,
+         |l1 AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d
+         |  JOIN (SELECT MIN(doc_id) AS m FROM canon GROUP BY canonical_url) k
+         |    ON d.doc_id = k.m),
+         |l2 AS (SELECT doc_id, text, n_chars FROM (
+         |  SELECT doc_id, text, n_chars, MIN(doc_id) OVER (
+         |    PARTITION BY md5(lower(substr(text, 1, 120)))) AS m FROM l1)
+         |  WHERE doc_id = m),
+         |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |  x -> len(x) > 0) AS toks FROM l2),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0,
+         |    CAST(FLOOR((len(toks) + 31) / 32.0) AS INT) - 1)) AS ci
+         |  FROM t WHERE len(toks) > 0),
+         |x AS (SELECT doc_id,
+         |  md5(array_to_string(toks[ci * 32 + 1 : ci * 32 + 32], ' ')) AS ck
+         |  FROM c),
+         |f AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS nk FROM x GROUP BY 1),
+         |dropped AS (SELECT doc_id FROM x JOIN f USING (ck)
+         |  GROUP BY doc_id
+         |  HAVING 2 * SUM(CASE WHEN nk > 1 THEN 1 ELSE 0 END) >= COUNT(*)),
+         |l3 AS (SELECT l2.* FROM l2 ANTI JOIN dropped USING (doc_id))
+         |SELECT CAST(0 AS BIGINT) AS stage, '0_intake' AS layer,
+         |  CAST(COUNT(*) AS BIGINT) AS docs_out,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_out FROM documents
+         |UNION ALL SELECT 1, '1_url', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(n_chars) AS BIGINT) FROM l1
+         |UNION ALL SELECT 2, '2_exact', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(n_chars) AS BIGINT) FROM l2
+         |UNION ALL SELECT 3, '3_chunk', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(n_chars) AS BIGINT) FROM l3""".stripMargin
   )
 }

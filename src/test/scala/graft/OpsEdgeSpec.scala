@@ -962,4 +962,48 @@ class OpsEdgeSpec extends SparkSpec {
     // disjoint doc owns its 6 (size 1, 0 pairs); "a b" has no shingles
     assert(got === Seq((1L, 6L, 0L), (2L, 6L, 6L)))
   }
+
+  test("q199 funnel: each layer removes exactly its own class — URL group, exact twin, chunk-dup pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs199").toString
+    val tA = (1 to 10).map("a" + _).mkString(" ")            // d0's text
+    val c32 = (1 to 32).map("c" + _).mkString(" ")
+    val d32 = (1 to 32).map("d" + _).mkString(" ")
+    val s32 = (1 to 32).map("s" + _).mkString(" ")           // shared chunk
+    val tU = (1 to 10).map("u" + _).mkString(" ")            // survives all
+    // URL groups are doc_id DIV 3 per source: {0,1,2} collapse to 0;
+    // 3/6/9/12 are singleton groups
+    val rows = Seq(
+      (0L, tA), (1L, "junk one"), (2L, "junk two"),
+      (3L, tA),              // URL keeper, exact twin of d0 -> dropped at L2
+      (6L, s"$c32 $s32"),    // chunk 2 shared with d9 -> both dropped at L3
+      (9L, s"$d32 $s32"),
+      (12L, tU))
+    rows.map { case (id, t) => (id, t, "en", "src_a", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.WebQueries.q199DedupFunnel(spark, dir)
+      .orderBy("stage")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    def chars(ids: Long*) =
+      rows.filter(r => ids.contains(r._1)).map(_._2.length.toLong).sum
+    assert(got === Seq(
+      (0L, "0_intake", 7L, chars(0, 1, 2, 3, 6, 9, 12)),
+      (1L, "1_url", 5L, chars(0, 3, 6, 9, 12)),
+      (2L, "2_exact", 4L, chars(0, 6, 9, 12)),
+      (3L, "3_chunk", 2L, chars(0, 12))))
+  }
+
+  test("q200 phash: every planted re-encode twin is found within Hamming 3") {
+    import spark.implicits._
+    val got = graft.queries.MediaQueries.q200MediaPhash(spark, sfDir)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(p => p._3 >= 0 && p._3 <= 3))
+    val planted = got.filter(p => p._2 - p._1 == 1000000000L).map(_._1).toSet
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 25 === 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(expected.nonEmpty && planted === expected,
+      s"missed twins: ${expected.diff(planted)}")
+  }
 }
