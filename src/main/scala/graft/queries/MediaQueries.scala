@@ -71,9 +71,15 @@ object MediaQueries {
     * thresholds separate the fixture to ~1 natural pair in 125k. Every
     * bit is an exact integer cross-multiplication (span_sum·bytes·100 >
     * total·span_count·level, decimal(38,0)/HUGEINT) so the fingerprint is
-    * engine-portable bit for bit; the oracle deliberately runs the OTHER
-    * algorithm (brute-force all-pairs Hamming — the q44 gate: banding
-    * must prove lossless against ground truth). Same-kind pairs only. */
+    * engine-portable bit for bit. Output is per EXACT-fingerprint group
+    * (rep id + member count + near-group count + nearest near-rep), never
+    * per pair: re-encode cliques collapse to one representative BEFORE
+    * any pairwise work, so output and join cost are linear in distinct
+    * fingerprints rather than quadratic in clique size (the per-pair form
+    * OOM'd the 1000× rung on ~1000-member cross-copy cliques). The oracle
+    * deliberately runs the OTHER algorithm (brute-force all-pairs Hamming
+    * between distinct fingerprints — the q44 gate: banding must prove
+    * lossless against ground truth). Same-kind pairing only. */
   def q200MediaPhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // blocks from the corpus size (the q44 corpus-adaptive rule); the
@@ -111,22 +117,40 @@ object MediaQueries {
             .otherwise(0L)).reduce(_ + _).as("bit"))
     val ph = segs.groupBy(col("media_id"), col("kind"))
       .agg(sum(col("bit")).as("phash"))
-    val banded = ph.select(col("media_id"), col("kind"), col("phash"),
+    // exact-fingerprint groups FIRST, banding over group REPRESENTATIVES
+    // only. This is both the production shape (re-encodes collapse before
+    // any pairwise work) and the scale guard: pair output per media would
+    // be quadratic in clique size — the 1000× rung OOM'd on exactly that
+    // (ScaleUp's token-prefix transform preserves byte-POSITIONAL
+    // statistics, so every original formed a ~1000-member cross-copy
+    // clique; measured at 10×: 5000 media → 1395 distinct fingerprints,
+    // max clique = copies, near-GROUP pairs sparse at 671).
+    val grp = ph.groupBy(col("kind"), col("phash"))
+      .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("n_media"))
+    val banded = grp.select(col("kind"), col("phash"), col("rep_id"),
         explode(graft.ops.Dedup.mankuBands(col("phash"), blocks = blocks))
           .as("bb"))
-      .select(col("media_id"), col("kind"), col("phash"),
+      .select(col("kind"), col("phash"), col("rep_id"),
         col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-    banded.select(col("kind"), col("band"), col("band_key"),
-        col("media_id").as("id1"), col("phash").as("p1"))
+    val nearAgg = banded.select(col("kind"), col("band"), col("band_key"),
+        col("phash").as("p1"), col("rep_id").as("r1"))
       .join(banded.select(col("kind"), col("band"), col("band_key"),
-        col("media_id").as("id2"), col("phash").as("p2")),
+        col("phash").as("p2"), col("rep_id").as("r2")),
         Seq("kind", "band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("kind"), col("id1"), col("id2"),
+      .filter(col("p1") =!= col("p2"))
+      .select(col("kind"), col("r1"), col("r2"),
         graft.ops.Dedup.hammingDistance(col("p1"), col("p2"))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
+          .cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .distinct() // multi-band duplicates of the same group pair
+      .groupBy(col("kind"), col("r1"))
+      .agg(count(lit(1)).as("n_near_groups"), min(col("r2")).as("nearest_rep"))
+      .withColumnRenamed("r1", "rep_id")
+    grp.select(col("kind"), col("rep_id"), col("n_media"))
+      .join(nearAgg, Seq("kind", "rep_id"), "left")
+      .select(col("kind"), col("rep_id"), col("n_media"),
+        coalesce(col("n_near_groups"), lit(0L)).as("n_near_groups"),
+        col("nearest_rep"))
   }
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -214,10 +238,17 @@ object MediaQueries {
          |  FROM segs s JOIN tot t2 USING (media_id)
          |  JOIN md m USING (media_id)
          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t) u
+         |  GROUP BY 1, 2),
+         |g AS (SELECT kind, phash, MIN(media_id) AS rep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_media FROM ph GROUP BY 1, 2),
+         |np AS (SELECT a.kind, a.rep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near_groups,
+         |  MIN(b2.rep_id) AS nearest_rep
+         |  FROM g a JOIN g b2 ON a.kind = b2.kind AND a.phash <> b2.phash
+         |    AND bit_count(xor(a.phash, b2.phash)) <= 3
          |  GROUP BY 1, 2)
-         |SELECT a.kind, a.media_id AS id1, b2.media_id AS id2,
-         |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
-         |FROM ph a JOIN ph b2 ON a.kind = b2.kind AND a.media_id < b2.media_id
-         |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin
+         |SELECT g.kind, g.rep_id, g.n_media,
+         |  COALESCE(np.n_near_groups, 0) AS n_near_groups, np.nearest_rep
+         |FROM g LEFT JOIN np ON np.kind = g.kind AND np.rep_id = g.rep_id""".stripMargin
   )
 }

@@ -994,16 +994,53 @@ class OpsEdgeSpec extends SparkSpec {
       (3L, "3_chunk", 2L, chars(0, 12))))
   }
 
-  test("q200 phash: every planted re-encode twin is found within Hamming 3") {
+  test("q200 phash groups: full independent recomputation agrees; every planted twin collapses into its original's group") {
     import spark.implicits._
+    // independent reimplementation of the whole fingerprint path
+    // (positional spans, exact cross-multiplied threshold bits)
+    def phashOf(text: String): Long = {
+      val b = text.getBytes("UTF-8"); val n = b.length
+      val sums = new Array[Long](15); val counts = new Array[Long](15)
+      var i = 0
+      while (i < n) {
+        val s = (i.toLong * 15 / n).toInt
+        sums(s) += (b(i) & 0xff); counts(s) += 1; i += 1
+      }
+      val sAll = sums.sum
+      var h = 0L
+      for (s <- 0 until 15; t <- 0 until 4)
+        if (BigInt(sums(s)) * n * 100 > BigInt(sAll) * counts(s) * (97 + 2 * t))
+          h |= 1L << (s * 4 + t)
+      h
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val kindOf = (id: Long) => Seq("image", "audio", "video")((id % 3).toInt)
+    val mediaRows =
+      docs.map { case (id, t) => (id, kindOf(id), t) } ++
+        docs.filter(_._1 % 25 == 0)
+          .map { case (id, t) =>
+            (id + 1000000000L, kindOf(id), t.replace("the", "thf")) }
+    // planted twins land within the detection radius of their original:
+    // most collapse to the identical fingerprint (same group), a doc
+    // whose span mean sits on a threshold edge flips a bit or two and
+    // surfaces as a near-group pair instead — either way detected
+    for ((id, t) <- docs if id % 25 == 0)
+      assert(java.lang.Long.bitCount(
+        phashOf(t) ^ phashOf(t.replace("the", "thf"))) <= 3, s"twin of $id")
+    val groups = mediaRows.map { case (id, k, t) => (k, phashOf(t), id) }
+      .groupBy(r => (r._1, r._2))
+      .map { case ((k, p), rs) => (k, p, rs.map(_._3).min, rs.size.toLong) }
+      .toSeq
+    val expected = groups.map { case (k, p, rep, n) =>
+      val near = groups.filter(g => g._1 == k && g._2 != p &&
+        java.lang.Long.bitCount(g._2 ^ p) <= 3)
+      (k, rep, n, near.size.toLong,
+        if (near.isEmpty) None else Some(near.map(_._3).min))
+    }.toSet
     val got = graft.queries.MediaQueries.q200MediaPhash(spark, sfDir)
-      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSeq
-    assert(got.forall(p => p._3 >= 0 && p._3 <= 3))
-    val planted = got.filter(p => p._2 - p._1 == 1000000000L).map(_._1).toSet
-    val expected = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 25 === 0).select("doc_id")
-      .as[Long].collect().toSet
-    assert(expected.nonEmpty && planted === expected,
-      s"missed twins: ${expected.diff(planted)}")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 >= 2), "no collapsed group — injection broken")
   }
 }
