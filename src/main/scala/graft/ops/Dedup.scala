@@ -167,4 +167,37 @@ object Dedup {
       struct(lit(t).as("band"), key.as("band_key"))
     }: _*)
   }
+
+  /** Batch rows whose `keyCol` does NOT appear in `lakeKeys` — the exact
+    * incremental-dedup gate, computed WITHOUT ever shuffling the lake.
+    *
+    * Three stages, all lake-shuffle-free:
+    *   1. build — the lake's keys fold into ONE bloom binary
+    *      ([[graft.functions.BloomFilters.bloomAgg]]; partial-aggregated,
+    *      so the exchange carries one bitset per map task, not keys);
+    *   2. probe — the batch filters map-side through the codegen'd
+    *      `might_contain` riding a scalar subquery (executed once);
+    *   3. verify — only probe-POSITIVE keys (true dups + fp rate) are
+    *      broadcast back over the lake as a SEMI join, scanned map-side.
+    *
+    * Bloom false positives surface as verify work, never as output: the
+    * anti-join against the CONFIRMED-old key set returns exactly the
+    * batch rows with unseen keys, bit-identical to the plain anti-join
+    * (spec-pinned), while the lake-proportional key shuffle that the
+    * plain form pays per increment never happens. `expectedItems` sizes
+    * the bloom (`spark.graft.dedup.bloomItems` at call sites); a
+    * too-small bloom degrades to more verify traffic, not wrong rows. */
+  def bloomGatedNewKeys(lakeKeys: DataFrame, batch: DataFrame,
+                        keyCol: String, expectedItems: Long): DataFrame = {
+    val bloom = graft.functions.BloomFilters
+      .bloomOf(lakeKeys, keyCol, expectedItems)
+    val flagged = batch.withColumn("maybe_old",
+      graft.functions.BloomFilters.mightContain(bloom.scalar(), col(keyCol)))
+    val maybeKeys = flagged.filter(col("maybe_old"))
+      .select(col(keyCol)).distinct()
+    val confirmedOld = lakeKeys
+      .join(broadcast(maybeKeys), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct()
+    flagged.join(confirmedOld, Seq(keyCol), "left_anti").drop("maybe_old")
+  }
 }

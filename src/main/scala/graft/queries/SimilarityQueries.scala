@@ -341,6 +341,76 @@ object SimilarityQueries {
       .withColumn("ivf_recall_ppm", expr("ivf_hits * 1000000 DIV 3"))
   }
 
+  /** Candidate-pool width for q202's MMR rerank. */
+  private val mmrPoolK = 12
+
+  /** q202: MMR-diversified top-3 selection per query (Carbonell &
+    * Goldstein 1998) — the exemplar-picking operator of data curation:
+    * plain top-k returns k near-copies of the best match; MMR greedily
+    * picks argmax of λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    * so each pick is relevant AND novel. λ = 0.7.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the relevance pool
+    * (q22's broadcast-queries scan — swap in the q23/q185 ANN arm when
+    * the corpus outgrows brute force; everything downstream is
+    * arm-agnostic). The pool is k-bounded per query (nQueries × 12 rows),
+    * so the pairwise-similarity matrix and the three greedy steps are
+    * broadcast-joined constant-size frames — the greedy loop is unrolled
+    * into the plan (selection count is a fixed contract, like q180's
+    * power rounds), never a driver collect. Doubles fold in fixed index
+    * order on both engines, tie-breaks are (score desc, vec_id asc), so
+    * the argmax chain is engine-portable bit-for-bit. */
+  def q202MmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val byRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val pool = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("rel"),
+        col("embedding"))
+      .withColumn("rn", row_number().over(byRel))
+      .filter(col("rn") <= mmrPoolK).drop("rn")
+    // pairwise cosines within each query's pool: 12×11 rows per query,
+    // both sides bounded → broadcast join, embeddings never re-shuffled
+    val sims = pool.select(col("qid"), col("cand_id"), col("embedding"))
+      .join(broadcast(pool.select(col("qid"), col("cand_id").as("other_id"),
+        col("embedding").as("eo"))), Seq("qid"))
+      .filter(col("cand_id") =!= col("other_id"))
+      .select(col("qid"), col("cand_id"), col("other_id"),
+        Similarity.cosine(col("embedding"), col("eo")).as("sim"))
+    val bare = pool.select(col("qid"), col("cand_id"), col("rel"))
+    val byMmr = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr").desc, col("cand_id").asc)
+    // one greedy step: drop already-selected, penalize by the max
+    // similarity to the selected set, keep the per-query argmax
+    def step(selected: DataFrame, rank: Int): DataFrame = {
+      val sel = selected.select(col("qid"), col("vec_id").as("cand_id"))
+      val pen = sims
+        .join(broadcast(sel.withColumnRenamed("cand_id", "other_id")),
+          Seq("qid", "other_id"))
+        .groupBy(col("qid"), col("cand_id")).agg(max(col("sim")).as("maxsim"))
+      bare.join(broadcast(sel), Seq("qid", "cand_id"), "left_anti")
+        .join(pen, Seq("qid", "cand_id"), "left")
+        .select(col("qid"), col("cand_id"),
+          (lit(0.7) * col("rel") -
+            lit(0.3) * coalesce(col("maxsim"), lit(0.0))).as("mmr"))
+        .withColumn("rn", row_number().over(byMmr))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cand_id").as("vec_id"),
+          col("mmr"), lit(rank).as("rank"))
+    }
+    val none = bare.select(col("qid"), col("cand_id").as("vec_id")).limit(0)
+    val s1 = step(none, 1)
+    val s2 = step(s1, 2)
+    val s3 = step(s1.unionByName(s2, allowMissingColumns = false), 3)
+    s1.unionByName(s2).unionByName(s3)
+      .select(col("qid"), col("rank").as("sel_rank"), col("vec_id"),
+        round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Per-label centroid table — the k-means/Lloyd building block the IVF
     * quantizer (q29) would train with: posexplode to (label, dim, value),
     * one groupBy shuffle. Values are floor-quantized to 1e-6 before
@@ -1306,6 +1376,48 @@ object SimilarityQueries {
        |  FROM c)
        |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin
 
+  /** q202's unrolled greedy chain: each step is (prune selected → max-sim
+    * penalty → argmax) — the same three relational moves as the Spark
+    * plan, so every double folds in the same order and the argmax chain
+    * matches bit-for-bit. */
+  private lazy val q202Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |rel AS (SELECT q.qid, e.vec_id AS cand_id,
+       |  ${cosSql("q.qe", "e.embedding")} AS rel, e.embedding AS emb
+       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+       |pool AS (SELECT qid, cand_id, rel, emb FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cand_id ASC) AS rn
+       |  FROM rel) WHERE rn <= $mmrPoolK),
+       |sims AS (SELECT a.qid, a.cand_id, b.cand_id AS other_id,
+       |  ${cosSql("a.emb", "b.emb")} AS sim
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand_id <> b.cand_id),
+       |s1 AS (SELECT qid, cand_id AS vec_id, mmr, 1 AS r FROM (
+       |  SELECT qid, cand_id, 0.7 * rel - 0.3 * COALESCE(NULL, 0.0) AS mmr,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY (0.7 * rel - 0.3 * COALESCE(NULL, 0.0)) DESC, cand_id ASC) AS rn
+       |  FROM pool) WHERE rn = 1),
+       |pen2 AS (SELECT s.qid, s.cand_id, MAX(s.sim) AS maxsim FROM sims s
+       |  JOIN s1 ON s1.qid = s.qid AND s1.vec_id = s.other_id GROUP BY 1, 2),
+       |c2 AS (SELECT p.qid, p.cand_id,
+       |  0.7 * p.rel - 0.3 * COALESCE(pen2.maxsim, 0.0) AS mmr
+       |  FROM pool p LEFT JOIN pen2 ON pen2.qid = p.qid AND pen2.cand_id = p.cand_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.qid = p.qid AND s1.vec_id = p.cand_id)),
+       |s2 AS (SELECT qid, cand_id AS vec_id, mmr, 2 AS r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cand_id ASC) AS rn
+       |  FROM c2) WHERE rn = 1),
+       |sel2 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+       |pen3 AS (SELECT s.qid, s.cand_id, MAX(s.sim) AS maxsim FROM sims s
+       |  JOIN sel2 ON sel2.qid = s.qid AND sel2.vec_id = s.other_id GROUP BY 1, 2),
+       |c3 AS (SELECT p.qid, p.cand_id,
+       |  0.7 * p.rel - 0.3 * COALESCE(pen3.maxsim, 0.0) AS mmr
+       |  FROM pool p LEFT JOIN pen3 ON pen3.qid = p.qid AND pen3.cand_id = p.cand_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel2 WHERE sel2.qid = p.qid AND sel2.vec_id = p.cand_id)),
+       |s3 AS (SELECT qid, cand_id AS vec_id, mmr, 3 AS r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cand_id ASC) AS rn
+       |  FROM c3) WHERE rn = 1),
+       |allr AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |SELECT qid, CAST(r AS INT) AS sel_rank, vec_id, ROUND(mmr, 6) AS mmr FROM allr""".stripMargin
+
   private lazy val q23Sql: String =
     s"""WITH ${pnCte("embeddings")},
        |bl AS (SELECT vec_id,
@@ -1594,6 +1706,8 @@ object SimilarityQueries {
         |FROM q""".stripMargin,
 
     "q22_cosine_topk" -> q22Sql,
+
+    "q202_mmr_select" -> q202Sql,
 
     "q28_cosine_neardup" ->
       s"""WITH ${pnCte("embeddings")},

@@ -2519,6 +2519,34 @@ object TextQueries {
         expr("CAST(CAST(s * (s - 1) DIV 2 AS DECIMAL(38,0)) * n_buckets" +
           " AS BIGINT)").as("cand_pairs"))
 
+  /** q201: bloom-gated incremental exact dedup — the "what lands from
+    * tonight's batch" query, with the corpus-side cost structure a 100 TB
+    * lake demands. Batch = docs with doc_id % 10 == 7; lake = the rest.
+    * The naive form anti-joins batch keys against the LAKE's keys — a
+    * shuffle proportional to the corpus on every increment. Here the lake
+    * folds once into a bloom ([[graft.ops.Dedup.bloomGatedNewKeys]]):
+    * build is a partial-aggregated bitset (bitwise-OR merge, no key ever
+    * crosses an exchange), the batch probes it map-side via codegen'd
+    * `might_contain`, and only probe-positives are verified against the
+    * lake through a broadcast semi join (lake scanned map-side, zero
+    * lake shuffle). Output is EXACT regardless of fp rate — the oracle
+    * is the plain anti-join — grouped to one surviving row per new key
+    * (q18's contract: min doc_id + within-batch dup count). */
+  def q201BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val expectedItems =
+      spark.conf.getOption("spark.graft.dedup.bloomItems")
+        .map(_.toLong).getOrElse(1000000L)
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.normKey(col("text")).as("dedup_key"))
+    val lakeKeys = keyed.filter(col("doc_id") % 10 =!= 7)
+      .select(col("dedup_key"))
+    val batch = keyed.filter(col("doc_id") % 10 === 7)
+    Dedup.bloomGatedNewKeys(lakeKeys, batch, "dedup_key", expectedItems)
+      .groupBy(col("dedup_key"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("dup_count"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -3396,6 +3424,18 @@ object TextQueries {
       """SELECT md5(lower(substr(text, 1, 120))) AS dedup_key,
         |  MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the bloom pre-filter is invisible to semantics: the oracle is the
+    // plain batch-vs-lake anti-join q201's funnel must equal bit-for-bit
+    "q201_bloom_dedup" ->
+      """WITH k AS (SELECT doc_id, md5(lower(substr(text, 1, 120))) AS dedup_key
+        |  FROM documents)
+        |SELECT b.dedup_key, MIN(b.doc_id) AS kept_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM k b
+        |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+        |  SELECT 1 FROM k l WHERE l.doc_id % 10 <> 7 AND l.dedup_key = b.dedup_key)
+        |GROUP BY 1""".stripMargin,
 
     "q19_minhash_lsh" -> minhashPairsSql,
 

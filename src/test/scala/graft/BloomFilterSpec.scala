@@ -49,4 +49,36 @@ class BloomFilterSpec extends SparkSpec {
       assert(bloom === plain)
     }
   }
+
+  test("bloomGatedNewKeys == plain anti-join, even with an undersized bloom") {
+    import spark.implicits._
+    val lake = (0L until 400L).map(i => "k" + (i % 250)).toDF("k")
+    val batch = (0L until 300L).map(i => ("k" + (i + 200), i)).toDF("k", "id")
+    val plain = batch.join(lake, Seq("k"), "left_anti")
+      .as[(String, Long)].collect().toSet
+    // generously sized (fp ~1%) and pathologically undersized (fp-heavy)
+    // blooms must both reproduce the anti-join exactly: false positives
+    // are verify traffic, never output
+    for (items <- Seq(1000000L, 1L)) {
+      val got = graft.ops.Dedup.bloomGatedNewKeys(lake, batch, "k", items)
+        .as[(String, Long)].collect().toSet
+      assert(got === plain, s"expectedItems=$items")
+    }
+  }
+
+  test("q201 probes through might_contain and verifies via broadcast semi join") {
+    val df = graft.queries.TextQueries.q201BloomDedup(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      "q201's batch probe is not the codegen'd bloom expression:\n" + opt.take(1500))
+    df.collect() // materialize so AQE settles the physical joins
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"))
+    // the lake-side verify must be the broadcast semi join (lake scanned
+    // map-side; the lake-proportional key shuffle is the thing this
+    // operator exists to remove)
+    assert(phys.contains("BroadcastHashJoin") &&
+      phys.toLowerCase.contains("leftsemi"),
+      "verify stage is not a broadcast semi join:\n" + phys.take(2000))
+  }
 }
