@@ -411,6 +411,51 @@ object SimilarityQueries {
         round(col("mmr"), 6).as("mmr"))
   }
 
+  /** q205: per-label centroid-shift audit — the embedding-space drift /
+    * cluster-coherence screen (a label whose centroid points AWAY from
+    * the rest of the corpus is a candidate for separate indexing or a
+    * mislabeled batch; run next to q79's per-dim stats and q180's
+    * anisotropy check before committing an ANN layout). For each label:
+    * cosine between its centroid and the centroid of everything else.
+    * cos is scale-invariant, so cos(s/n, (S−s)/(N−n)) = cos(s, S−s): the
+    * whole query runs on the exact quantized integer SUM vectors (one
+    * `long_vec_sum` agg per label — the q142 idiom) and never forms a
+    * mean; the rest-of-corpus sum is derived from the 1-row broadcast
+    * grand total, NOT a second scan. Moments (dot products of per-label
+    * sums) widen through decimal(38,0) — component sums stay exact until
+    * ~1e12 rows per label — and ONE double division at the end produces
+    * the cosine (the q165 posture). Scale shape: one corpus scan, one
+    * label-keyed agg; everything after is |labels|-row arithmetic. */
+  def q205CentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .select(col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("xq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.longVecSum(col("xq")).as("s"))
+    val tot = per.agg(sum(col("n")).as("nt"),
+      graft.functions.GraftFunctions.longVecSum(col("s")).as("st"))
+    per.crossJoin(broadcast(tot)) // 1-row grand total
+      .select(col("label"), col("n"), (col("nt") - col("n")).as("n_rest"),
+        posexplode(zip_with(col("s"), col("st"),
+          (sv, tv) => struct(sv.as("sv"), (tv - sv).as("tv")))))
+      .groupBy(col("label"), col("n"), col("n_rest"))
+      .agg(
+        sum(expr("CAST(col.sv AS DECIMAL(18,0)) * CAST(col.tv AS DECIMAL(18,0))"))
+          .as("dot_st"),
+        sum(expr("CAST(col.sv AS DECIMAL(18,0)) * CAST(col.sv AS DECIMAL(18,0))"))
+          .as("dot_ss"),
+        sum(expr("CAST(col.tv AS DECIMAL(18,0)) * CAST(col.tv AS DECIMAL(18,0))"))
+          .as("dot_tt"))
+      // nullif guard (the q186 lesson): a single-label corpus has a zero
+      // rest-vector — both engines must yield NULL, not NaN/Inf
+      .select(col("label"), col("n"), col("n_rest"),
+        round(col("dot_st").cast("double") /
+          expr("nullif(sqrt(CAST(dot_ss AS DOUBLE) * CAST(dot_tt AS DOUBLE)), 0.0D)"),
+          6).as("cos_shift"))
+  }
+
   /** Per-label centroid table — the k-means/Lloyd building block the IVF
     * quantizer (q29) would train with: posexplode to (label, dim, value),
     * one groupBy shuffle. Values are floor-quantized to 1e-6 before
@@ -1501,6 +1546,30 @@ object SimilarityQueries {
        |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quantized integer sums; HUGEINT moments are exact like the
+    // decimal(38,0) ones, and the single double division matches
+    "q205_centroid_shift" ->
+      """WITH q AS (SELECT label, list_transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |e AS (SELECT label, unnest(list_transform(generate_series(1, len(xq)),
+        |  i -> struct_pack(d := i, v := xq[i]))) AS s FROM q),
+        |pd AS (SELECT label, s.d AS d, CAST(SUM(s.v) AS HUGEINT) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |td AS (SELECT d, SUM(sv) AS tv FROM pd GROUP BY 1),
+        |m AS (SELECT label,
+        |  SUM(sv * (tv - sv)) AS dot_st,
+        |  SUM(sv * sv) AS dot_ss,
+        |  SUM((tv - sv) * (tv - sv)) AS dot_tt
+        |  FROM pd JOIN td USING (d) GROUP BY 1)
+        |SELECT m.label, n.n,
+        |  CAST((SELECT SUM(n) FROM n) - n.n AS BIGINT) AS n_rest,
+        |  ROUND(CAST(dot_st AS DOUBLE) /
+        |    nullif(sqrt(CAST(dot_ss AS DOUBLE) * CAST(dot_tt AS DOUBLE)), 0.0),
+        |    6) AS cos_shift
+        |FROM m JOIN n USING (label)""".stripMargin,
+
     "q174_bitext_mining" ->
       s"""WITH ${pnCte("embeddings")},
          |tagged AS (SELECT e.vec_id, e.embedding, d.lang

@@ -2547,6 +2547,126 @@ object TextQueries {
         count(lit(1)).as("dup_count"))
   }
 
+  /** q203: consecutive-repeat (stutter) run audit — the degenerate-
+    * generation detector ("the the the ...") every synthetic-data intake
+    * runs next to q55's 2-gram repetition screen (q55 catches loops with
+    * period ≥ 2; a pure token stutter has ONE distinct 2-gram per run and
+    * can hide from it). Longest same-token run per doc computed by a
+    * single `aggregate` fold over the token array — a pure narrow map
+    * (state = (prev, current-run, best), no window, no per-doc shuffle),
+    * so the only exchange in the plan is the ≤|sources|-row rollup.
+    * Scale shape: per-row cost linear in doc length, corpus cost linear
+    * in tokens, shuffle O(|sources|) at any corpus size. */
+  def q203StutterRuns(spark: SparkSession, dir: String): DataFrame = {
+    val maxRun = expr(
+      """aggregate(
+        |  toks,
+        |  named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'cur',  CASE WHEN a.prev <=> x THEN a.cur + 1L ELSE 1L END,
+        |    'best', GREATEST(a.best,
+        |      CASE WHEN a.prev <=> x THEN a.cur + 1L ELSE 1L END)),
+        |  a -> a.best)""".stripMargin)
+    Tables.documents(spark, dir)
+      .select(col("source"), TA.tokens(col("text")).as("toks"))
+      .select(col("source"), maxRun.as("max_run"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_run") >= 2, 1L).otherwise(0L)).as("n_rep2_docs"),
+        sum(when(col("max_run") >= 3, 1L).otherwise(0L)).as("n_stutter_docs"),
+        max(col("max_run")).as("max_run"))
+      .select(col("source"), col("n_docs"), col("n_rep2_docs"),
+        col("n_stutter_docs"), col("max_run"),
+        // half-up bp of stutter docs (run >= 3 = the generation-artifact
+        // gate; run = 2 is common in natural text and only reported)
+        expr("(2 * n_stutter_docs * 10000 + n_docs) DIV (2 * n_docs)")
+          .as("stutter_bp"))
+  }
+
+  /** q204: inter-source gram-overlap matrix — the cross-source
+    * contamination / mirror detector (two "different" crawls sharing most
+    * of their 3-gram vocabulary are one corpus counted twice; the
+    * per-PAIR complement of q176's distribution distance, which compares
+    * token FREQUENCIES and can miss verbatim overlap under reweighting).
+    * The naive form self-joins the distinct (source, gram) set on gram —
+    * correct but it shuffles the gram set twice and re-materializes it
+    * per side. Here each gram's source set is collapsed ONCE
+    * (`collect_set` ≤ |sources| elements — bounded state per key, the
+    * skew ceiling is structural), pairs are expanded from the sorted
+    * bounded array by a nested `transform`, and the matrix is a
+    * ≤|sources|²-row count. ONE gram-keyed exchange total; with
+    * `spark.graft.dedup.digestHex` set the exchange carries fixed-width
+    * digests, never gram text. Zero-overlap pairs are absent by
+    * construction (nothing joins them), which is what keeps the output
+    * — and the scale-ladder's cross-copy disjoint vocabularies — sparse. */
+  def q204SourceGramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.WordShingles(TA.tokens(col("text")), 3))
+          .as("g0"))
+      .select(col("source"),
+        gramKeyOpt(spark).fold(col("g0"))(k => k(col("g0"))).as("g"))
+    val srcSets = grams.groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+    val pairs = srcSets
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    named_struct('src_a', a, 'src_b', b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // per-source distinct-gram sizes: a second pass over the same scan,
+    // collapsing to <= |sources| rows (joined without a forced hint —
+    // both sides are matrix-sized, AQE broadcasts the measured-small one)
+    val sizes = grams.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("d"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("d").as("d_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("d").as("d_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("d_a"),
+        col("d_b"),
+        expr("(2 * n_common * 10000 + (d_a + d_b - n_common))" +
+          " DIV (2 * (d_a + d_b - n_common))").as("jaccard_bp"),
+        expr("(2 * n_common * 10000 + LEAST(d_a, d_b))" +
+          " DIV (2 * LEAST(d_a, d_b))").as("containment_bp"))
+  }
+
+  /** q206: vocabulary-coverage / OOV audit — the tokenizer-readiness
+    * screen (a source whose token mass falls outside the model's core
+    * vocabulary trains badly at any mixing weight; run BEFORE committing
+    * a mix, next to q195's fertility and q186's temperature weights).
+    * Core vocabulary = global top-16 tokens by exact corpus count (ties
+    * broken by token text so the cut is deterministic in both engines) —
+    * a `limit` over the token-count aggregate, which Catalyst executes as
+    * TakeOrderedAndProject (no global sort; the aggregate's width is the
+    * corpus VOCABULARY, bounded by Heaps' law, not the corpus). The
+    * 16-row vocab is statically broadcast (bounded by the limit — the
+    * q185 posture: hint only what is provably small) onto the per-
+    * (source, token) counts, so the coverage rollup adds no exchange
+    * beyond the count's own. */
+  def q206VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    val vocab = bySrc.groupBy(col("g")).agg(sum(col("c")).as("cg"))
+      .orderBy(col("cg").desc, col("g").asc).limit(16)
+      .select(col("g"), lit(1).as("in_vocab"))
+    bySrc.join(broadcast(vocab), Seq("g"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("c")).otherwise(0L))
+          .as("n_covered"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        col("n_oov_types"),
+        expr("(2 * (n_tokens - n_covered) * 10000 + n_tokens)" +
+          " DIV (2 * n_tokens)").as("oov_bp"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -3436,6 +3556,67 @@ object TextQueries {
         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
         |  SELECT 1 FROM k l WHERE l.doc_id % 10 <> 7 AND l.dedup_key = b.dedup_key)
         |GROUP BY 1""".stripMargin,
+
+    // the aggregate-fold maximum run must equal the window/run-id form
+    "q203_stutter_runs" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |  i -> struct_pack(i := i, g := toks[i]))) AS s FROM t WHERE len(toks) > 0),
+         |r AS (SELECT doc_id, s.i AS i,
+         |  CASE WHEN lag(s.g) OVER (PARTITION BY doc_id ORDER BY s.i) = s.g
+         |       THEN 0 ELSE 1 END AS brk FROM e),
+         |rid AS (SELECT doc_id, i,
+         |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS rid FROM r),
+         |runs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rl
+         |  FROM rid GROUP BY doc_id, rid),
+         |pd AS (SELECT doc_id, MAX(rl) AS max_run FROM runs GROUP BY 1),
+         |alld AS (SELECT d.source, COALESCE(p.max_run, 0) AS max_run
+         |  FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN max_run >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep2_docs,
+         |  CAST(SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stutter_docs,
+         |  CAST(MAX(max_run) AS BIGINT) AS max_run,
+         |  CAST((2 * SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) * 10000 + COUNT(*))
+         |    // (2 * COUNT(*)) AS BIGINT) AS stutter_bp
+         |FROM alld GROUP BY 1""".stripMargin,
+
+    // the collect_set pair expansion must equal the plain distinct-set
+    // self-join (the naive form IS the oracle)
+    "q204_source_gram_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT source, unnest(CASE WHEN len(toks) >= 3
+         |  THEN list_transform(generate_series(1, len(toks) - 2),
+         |         i -> array_to_string(toks[i:i+2], ' '))
+         |  ELSE [] END) AS g FROM t),
+         |d AS (SELECT DISTINCT source, g FROM sh),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d FROM d GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM d a JOIN d b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, d_a, d_b,
+         |  (2 * n_common * 10000 + (d_a + d_b - n_common))
+         |    // (2 * (d_a + d_b - n_common)) AS jaccard_bp,
+         |  (2 * n_common * 10000 + LEAST(d_a, d_b))
+         |    // (2 * LEAST(d_a, d_b)) AS containment_bp
+         |FROM p
+         |JOIN (SELECT source AS src_a, d AS d_a FROM sz) USING (src_a)
+         |JOIN (SELECT source AS src_b, d AS d_b FROM sz) USING (src_b)""".stripMargin,
+
+    "q206_vocab_coverage" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS g FROM documents),
+         |bs AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |v AS (SELECT g FROM (SELECT g, SUM(c) AS cg FROM bs GROUP BY 1)
+         |  ORDER BY cg DESC, g ASC LIMIT 16),
+         |f AS (SELECT bs.source, bs.c,
+         |  CASE WHEN v.g IS NULL THEN 0 ELSE 1 END AS iv
+         |  FROM bs LEFT JOIN v ON bs.g = v.g)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN iv = 1 THEN c ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CAST(SUM(CASE WHEN iv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+         |  CAST((2 * SUM(CASE WHEN iv = 0 THEN c ELSE 0 END) * 10000 + SUM(c))
+         |    // (2 * SUM(c)) AS BIGINT) AS oov_bp
+         |FROM f GROUP BY 1""".stripMargin,
 
     "q19_minhash_lsh" -> minhashPairsSql,
 

@@ -895,6 +895,83 @@ class OpsEdgeSpec extends SparkSpec {
     assert(got === Seq(("en", 1L, 3L, 5L, 16667L, 2200000L)))
   }
 
+  test("q203 stutter runs: aggregate-fold max run matches hand counts; empty doc scores 0; half-up bp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs203").toString
+    Seq(
+      (0L, "a a a b", "src_a"),  // run of 3 -> rep2 + stutter
+      (1L, "x y x y", "src_a"),  // alternation: max run 1
+      (2L, "p p q", "src_b"),    // run of 2: rep2 only
+      (3L, "", "src_b"))         // zero tokens: max run 0
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q203StutterRuns(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // src_a: 1 of 2 docs stutters -> (2*1*10000 + 2) DIV 4 = 5000 bp
+    assert(got === Seq(
+      ("src_a", 2L, 1L, 1L, 3L, 5000L),
+      ("src_b", 2L, 1L, 0L, 2L, 0L)))
+  }
+
+  test("q204 source gram overlap: hand-computed jaccard/containment; zero-overlap pairs absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs204").toString
+    Seq(
+      (0L, "w1 w2 w3 w4", "src_a"), // grams {w1w2w3, w2w3w4}
+      (1L, "w1 w2 w3 z", "src_b"),  // grams {w1w2w3, w2w3z}
+      (2L, "q1 q2 q3", "src_c"))    // disjoint: must not appear
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q204SourceGramOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // jacc 1/3 -> (2*10000 + 3) DIV 6 = 3333; containment 1/2 -> 5000
+    assert(got === Seq(("src_a", "src_b", 1L, 2L, 2L, 3333L, 5000L)))
+  }
+
+  test("q205 centroid shift: hand-computed cosine on axis vectors; single-label corpus yields NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb205").toString
+    Seq(
+      (0L, Array(1.0f, 1.0f), 0),  // s = (1e6, 1e6)
+      (1L, Array(1.0f, 0.0f), 1))  // s = (1e6, 0)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q205CentroidShift(spark, dir)
+      .orderBy("label")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    // both labels: cos((1,1),(1,0)) = 1/sqrt(2) -> 0.707107
+    assert(got === Seq(
+      (0, 1L, 1L, Some(0.707107)),
+      (1, 1L, 1L, Some(0.707107))))
+    val solo = java.nio.file.Files.createTempDirectory("edge_emb205b").toString
+    Seq((0L, Array(1.0f, 2.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$solo/embeddings.parquet")
+    val lone = graft.queries.SimilarityQueries.q205CentroidShift(spark, solo)
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(lone === Seq((7, 1L, 0L, None))) // zero rest-vector: NULL, never NaN
+  }
+
+  test("q206 vocab coverage: top-16 cut is deterministic at a count tie (token asc); OOV mass exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs206").toString
+    // 17 tokens all with count 2: the tie at the boundary drops t17
+    val a = (1 to 16).map(i => f"t$i%02d t$i%02d").mkString(" ")
+    Seq((0L, a, "src_a"), (1L, "t17 t17", "src_b"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q206VocabCoverage(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("src_a", 32L, 32L, 0L, 0L),
+      ("src_b", 2L, 0L, 1L, 10000L)))
+  }
+
   test("q196 PSI: union bins, add-1 smoothing, and contributions match an independent in-test recomputation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_docs196").toString
