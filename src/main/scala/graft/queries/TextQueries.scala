@@ -2609,20 +2609,27 @@ object TextQueries {
         gramKeyOpt(spark).fold(col("g0"))(k => k(col("g0"))).as("g"))
     val srcSets = grams.groupBy(col("g"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
-    val pairs = srcSets
+    // the expansion INCLUDES the diagonal (a, a): the matrix then carries
+    // the per-source distinct-gram sizes on its diagonal, so the sizes
+    // need no second pass over the scan (the r7 first cut ran a separate
+    // distinct → count and paid the full gram exchange twice: 65.0 s at
+    // the 100× rung; the diagonal form runs ONE exchange total)
+    val matrix = srcSets
       .select(explode(expr(
         """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |  transform(slice(ss, i + 1, size(ss) - i), b ->
           |    named_struct('src_a', a, 'src_b', b))))""".stripMargin))
         .as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
-    // per-source distinct-gram sizes: a second pass over the same scan,
-    // collapsing to <= |sources| rows (joined without a forced hint —
-    // both sides are matrix-sized, AQE broadcasts the measured-small one)
-    val sizes = grams.distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("d"))
-    pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // matrix is <= |sources|² rows — the persist is bounded at any corpus
+    // size, and the diagonal joins below read it, not the gram stream.
+    // Cache contract (ContractSpec): lazy return depends on this pinned
+    // frame; the release point is the caller's clearCache (Bench/Verify)
+    val sizes = matrix.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), col("n_common").as("d"))
+    matrix.filter(col("src_a") < col("src_b"))
       .join(sizes.select(col("source").as("src_a"), col("d").as("d_a")),
         Seq("src_a"))
       .join(sizes.select(col("source").as("src_b"), col("d").as("d_b")),
@@ -2649,9 +2656,16 @@ object TextQueries {
     * (source, token) counts, so the coverage rollup adds no exchange
     * beyond the count's own. */
   def q206VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both the vocab cut and the coverage rollup read this
+    // frame, and it is |sources| × vocabulary rows — bounded by Heaps'
+    // law at any corpus size (the token EXPLODE behind it is not, and
+    // without the persist both consumers re-run it: measured 8.7 s →
+    // 1.9 s at the 100× rung). Cache contract (ContractSpec): release
+    // point is the caller's clearCache (Bench/Verify)
     val bySrc = Tables.documents(spark, dir)
       .select(col("source"), explode(TA.tokens(col("text"))).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = bySrc.groupBy(col("g")).agg(sum(col("c")).as("cg"))
       .orderBy(col("cg").desc, col("g").asc).limit(16)
       .select(col("g"), lit(1).as("in_vocab"))

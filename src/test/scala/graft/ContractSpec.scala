@@ -31,7 +31,9 @@ class ContractSpec extends SparkSpec {
     "q180_pca_power",       // per-round sr/w/v double-referenced by their normalizers
     "q183_dsir_weights",    // (doc, bucket) count frame feeds model + scoring aggs
     "q189_fuzzy_decontam",  // candidate + verified-pair spines drive multiple subplans
-    "q197_jacc_calibration") // candidate-pair spine drives 3 verify subplans (q20's contract)
+    "q197_jacc_calibration", // candidate-pair spine drives 3 verify subplans (q20's contract)
+    "q204_source_gram_overlap", // ≤|sources|²-row matrix feeds diagonal sizes + off-diagonal output
+    "q206_vocab_coverage")  // Heaps-bounded (source, token) counts feed vocab cut + coverage rollup
 
   test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
     spark.catalog.clearCache()
