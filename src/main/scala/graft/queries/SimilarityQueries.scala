@@ -456,6 +456,47 @@ object SimilarityQueries {
           6).as("cos_shift"))
   }
 
+  /** q207: label-pair centroid cosine matrix — the vector-space twin of
+    * q204's gram-overlap matrix (q204 catches lexically-mirrored sources;
+    * this catches SEMANTICALLY collapsed label classes — two labels whose
+    * centroids nearly coincide are merge candidates before cluster-
+    * balanced sampling, and a near-1 pair predicts IVF cell confusion in
+    * q29). Same exact-integer machinery as q205: one corpus scan into
+    * per-label quantized sum vectors (cos(s_a/n_a, s_b/n_b) =
+    * cos(s_a, s_b) by scale invariance), then every pair of the
+    * ≤|labels|-row frame via an explicit broadcast cross (bounded by the
+    * label domain, a schema property — the crossJoin-of-a-bounded-frame
+    * house posture) with decimal(38,0) moments and ONE double division. */
+  def q207CentroidMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .select(col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+        .as("xq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions.longVecSum(col("xq")).as("s"))
+    per.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("s").as("sa"))
+      .crossJoin(broadcast(per.select(col("label").as("label_b"),
+        col("n").as("n_b"), col("s").as("sb"))))
+      .where(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        posexplode(zip_with(col("sa"), col("sb"),
+          (a, b) => struct(a.as("av"), b.as("bv")))))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(expr("CAST(col.av AS DECIMAL(18,0)) * CAST(col.bv AS DECIMAL(18,0))"))
+          .as("dot_ab"),
+        sum(expr("CAST(col.av AS DECIMAL(18,0)) * CAST(col.av AS DECIMAL(18,0))"))
+          .as("dot_aa"),
+        sum(expr("CAST(col.bv AS DECIMAL(18,0)) * CAST(col.bv AS DECIMAL(18,0))"))
+          .as("dot_bb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dot_ab").cast("double") /
+          expr("nullif(sqrt(CAST(dot_aa AS DOUBLE) * CAST(dot_bb AS DOUBLE)), 0.0D)"),
+          6).as("cos_ab"))
+  }
+
   /** Per-label centroid table — the k-means/Lloyd building block the IVF
     * quantizer (q29) would train with: posexplode to (label, dim, value),
     * one groupBy shuffle. Values are floor-quantized to 1e-6 before
@@ -1546,6 +1587,29 @@ object SimilarityQueries {
        |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q205's per-label sums, paired by a plain inequality self-join
+    "q207_centroid_matrix" ->
+      """WITH q AS (SELECT label, list_transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |e AS (SELECT label, unnest(list_transform(generate_series(1, len(xq)),
+        |  i -> struct_pack(d := i, v := xq[i]))) AS s FROM q),
+        |pd AS (SELECT label, s.d AS d, CAST(SUM(s.v) AS HUGEINT) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |m AS (SELECT a.label AS label_a, b.label AS label_b,
+        |  SUM(a.sv * b.sv) AS dot_ab,
+        |  SUM(a.sv * a.sv) AS dot_aa,
+        |  SUM(b.sv * b.sv) AS dot_bb
+        |  FROM pd a JOIN pd b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
+        |  ROUND(CAST(dot_ab AS DOUBLE) /
+        |    nullif(sqrt(CAST(dot_aa AS DOUBLE) * CAST(dot_bb AS DOUBLE)), 0.0),
+        |    6) AS cos_ab
+        |FROM m JOIN n na ON na.label = m.label_a
+        |       JOIN n nb ON nb.label = m.label_b""".stripMargin,
+
     // same quantized integer sums; HUGEINT moments are exact like the
     // decimal(38,0) ones, and the single double division matches
     "q205_centroid_shift" ->

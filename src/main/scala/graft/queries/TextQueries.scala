@@ -2681,6 +2681,53 @@ object TextQueries {
           " DIV (2 * n_tokens)").as("oov_bp"))
   }
 
+  /** q208: contamination-span REMOVAL rewrite — the removal form of
+    * decontamination (q54 FLAGS contaminated train docs; q189 catches
+    * paraphrase; published pipelines that keep flagged docs instead strip
+    * the overlapping spans — the GPT-3 appendix-C posture). Composes
+    * q54's eval-gram screen with q182's span-prune machinery: every
+    * 8-token train window whose digest appears ANYWHERE in the benchmark
+    * slice (doc_id % 100 == 0, q54's convention) is cut — no keeper
+    * exemption, unlike q182: eval text has no right to survive in train —
+    * and surviving tokens re-join via the native `prune_sorted_positions`
+    * merge walk (linear, the q182 fix). Eval docs themselves are not
+    * rewritten (they are the reference, not the corpus); fully-
+    * contaminated docs emit no row (q182's contract). Scale shape: the
+    * window exchange carries digests only (digestHex-aware winDigest);
+    * the eval gram side joins semi with NO static hint — eval suites are
+    * fixed-size in production, so AQE broadcasts the measured-small side
+    * while a pathological eval slice degrades to a shuffle join instead
+    * of an OOM (the r6 hint-sweep posture). */
+  def q208DecontamRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+    def wins(df: DataFrame): DataFrame = df
+      .where(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+          i => winDigest(spark, col("toks"), i, W))).as(Seq("pos", "h")))
+    val bench = wins(toks.where(col("doc_id") % 100 === 0))
+      .select("h").distinct()
+    val cuts = wins(toks.where(col("doc_id") % 100 =!= 0))
+      .join(bench, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("tp"))).as("cuts"))
+    toks.where(col("doc_id") % 100 =!= 0)
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.GraftFunctions.pruneSortedPositions(col("toks"),
+          coalesce(col("cuts"), array().cast("array<int>"))).as("kept"))
+      .where(size(col("kept")) > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -3570,6 +3617,31 @@ object TextQueries {
         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
         |  SELECT 1 FROM k l WHERE l.doc_id % 10 <> 7 AND l.dedup_key = b.dedup_key)
         |GROUP BY 1""".stripMargin,
+
+    // q182's span machinery with the bench screen replacing the keeper
+    // rule: EVERY train window matching an eval gram is cut
+    "q208_decontam_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, len(toks) - 7)) AS p
+         |  FROM t WHERE len(toks) >= 8),
+         |x AS (SELECT doc_id, p - 1 AS pos,
+         |  md5(array_to_string(toks[p : p + 7], ' ')) AS h FROM w),
+         |bench AS (SELECT DISTINCT h FROM x WHERE doc_id % 100 = 0),
+         |rw AS (SELECT doc_id, pos FROM x
+         |  WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM bench)),
+         |rp AS (SELECT DISTINCT doc_id, tp FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rw) y),
+         |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  generate_subscripts(toks, 1) - 1 AS tp, unnest(toks) AS tok
+         |  FROM t WHERE doc_id % 100 <> 0),
+         |kept AS (SELECT e.doc_id, e.n_tokens, e.tp, e.tok FROM e
+         |  ANTI JOIN rp USING (doc_id, tp))
+         |SELECT doc_id, n_tokens,
+         |  n_tokens - CAST(COUNT(*) AS BIGINT) AS n_removed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY tp)) AS kept_md5
+         |FROM kept GROUP BY doc_id, n_tokens""".stripMargin,
 
     // the aggregate-fold maximum run must equal the window/run-id form
     "q203_stutter_runs" ->

@@ -972,6 +972,46 @@ class OpsEdgeSpec extends SparkSpec {
       ("src_b", 2L, 0L, 1L, 10000L)))
   }
 
+  test("q207 centroid matrix: orthogonal and 45-degree label pairs land at 0 and 1/sqrt(2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb207").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q207CentroidMatrix(spark, dir)
+      .orderBy("label_a", "label_b")
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (0, 1, 1L, 1L, Some(0.0)),
+      (0, 2, 1L, 1L, Some(0.707107)),
+      (1, 2, 1L, 1L, Some(0.707107))))
+  }
+
+  test("q208 decontam rewrite: eval spans cut from train docs, clean docs pass, fully-contaminated docs vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs208").toString
+    val evalText = (1 to 8).map("e" + _).mkString(" ")
+    Seq(
+      (0L, evalText, "src_e"),            // eval slice (doc_id % 100 == 0)
+      (1L, s"x1 $evalText x2", "src_t"),  // eval window at pos 1..8
+      (2L, "c1 c2 c3", "src_t"),          // short, untouched
+      (3L, evalText, "src_t"))            // fully contaminated: no row
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.queries.TextQueries.q208DecontamRewrite(spark, dir)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, 8L, 2L, md5("x1 x2")),
+      (2L, 3L, 0L, 3L, md5("c1 c2 c3"))))
+  }
+
   test("q196 PSI: union bins, add-1 smoothing, and contributions match an independent in-test recomputation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_docs196").toString
