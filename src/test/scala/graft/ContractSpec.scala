@@ -33,7 +33,8 @@ class ContractSpec extends SparkSpec {
     "q189_fuzzy_decontam",  // candidate + verified-pair spines drive multiple subplans
     "q197_jacc_calibration", // candidate-pair spine drives 3 verify subplans (q20's contract)
     "q204_source_gram_overlap", // ≤|sources|²-row matrix feeds diagonal sizes + off-diagonal output
-    "q206_vocab_coverage")  // Heaps-bounded (source, token) counts feed vocab cut + coverage rollup
+    "q206_vocab_coverage",  // Heaps-bounded (source, token) counts feed vocab cut + coverage rollup
+    "q208_decontam_rewrite") // eval-suite-bounded digest set feeds sizing count + bloom + verify semi
 
   test("every SparkEntry query executes at sf0.001 and leaves no undocumented cache") {
     spark.catalog.clearCache()
