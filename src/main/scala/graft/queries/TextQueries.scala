@@ -2761,6 +2761,103 @@ object TextQueries {
         md5(concat_ws(" ", col("kept"))).as("kept_md5"))
   }
 
+  /** q209: token-budget water-filling — the ALLOCATOR on top of q186's
+    * temperature weights (q186 states the target proportions p_i ∝ √c_i;
+    * this turns them into a concrete per-source token grant under a
+    * budget B with availability caps — the published mixing-plan shape:
+    * grant min(c_i, λ·w_i) with λ the unique water level spending
+    * exactly B, sources hitting their cap redistributing surplus to the
+    * rest). Exact by construction: the capped set is characterized
+    * per-boundary (prefix P capped ⟺ its own boundary caps AND no
+    * later source would), every comparison is a decimal(38,0) cross-
+    * multiplication (never a division), and λ is carried as the exact
+    * integer pair (num, den) = (B − C_P, W − W_P) — ONE floor division
+    * per source at the end. No window anywhere: prefix sums and the
+    * violation screen run on the ≤|sources|²-row broadcast cross (the
+    * q204/q207 bounded-matrix posture), so the plan holds at any corpus
+    * size — the corpus appears only in the one token-count agg.
+    * `spark.graft.mix.budgetTokens` overrides the default B = total/2;
+    * B ≥ total degenerates to every source fully granted. Zero-token
+    * sources emit no row (they can neither receive nor cap). */
+  def q209BudgetFill(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), size(TA.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("c"))
+      .where(col("c") > 0)
+    val tot = counts.agg(max(col("c")).as("c_max"), sum(col("c")).as("t_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("wm",
+        floor(lit(1000000.0d) * sqrt(col("c").cast("double") /
+          nullif(col("c_max"), lit(0L)).cast("double"))).cast("long"))
+      .select(col("source"), col("c"), col("wm"), col("t_total"))
+    val budget = spark.conf.getOption("spark.graft.mix.budgetTokens")
+      .map(v => lit(v.toLong)).getOrElse(expr("t_total DIV 2"))
+    val probe = broadcast(w.select(col("source").as("src_j"),
+      col("c").as("c_j"), col("wm").as("wm_j")))
+    // exact order key: j before-or-equal i ⟺ c_j/wm_j < c/wm (cross-
+    // multiplied) or equal with src_j <= source
+    val beforeEq =
+      (expr("CAST(c_j AS DECIMAL(38,0)) * wm") <
+        expr("CAST(c AS DECIMAL(38,0)) * wm_j")) ||
+      (expr("CAST(c_j AS DECIMAL(38,0)) * wm") ===
+        expr("CAST(c AS DECIMAL(38,0)) * wm_j") && col("src_j") <= col("source"))
+    val pre = w.crossJoin(probe)
+      .groupBy(col("source"), col("c"), col("wm"), col("t_total"))
+      .agg(sum(when(beforeEq, col("c_j")).otherwise(0L)).as("cum_c"),
+        sum(when(beforeEq, col("wm_j")).otherwise(0L)).as("cum_w"),
+        sum(col("wm_j")).as("w_total"))
+    // candidate water levels: one per boundary source (prefix through it
+    // capped) plus the no-caps candidate (num = B, den = ΣW)
+    val cands = pre
+      .select(col("source"), col("c"), col("wm"), col("cum_c"),
+        (budget - col("cum_c")).as("num"),
+        (col("w_total") - col("cum_w")).as("den"))
+      .unionByName(pre.groupBy()
+        .agg(first(col("t_total")).as("t_total"), sum(col("wm")).as("w_total"))
+        .select(lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("c"), lit(null).cast("long").as("wm"),
+          lit(0L).as("cum_c"), budget.as("num"), col("w_total").as("den")))
+    // a candidate is valid iff its own boundary caps (vacuous for the
+    // no-caps row) and NO later source caps at its level
+    val selfOk = col("source").isNull ||
+      (expr("CAST(c AS DECIMAL(38,0)) * den") <=
+        expr("CAST(num AS DECIMAL(38,0)) * wm"))
+    val afterCand = col("source").isNull ||
+      (expr("CAST(c AS DECIMAL(38,0)) * wm_j") <
+        expr("CAST(c_j AS DECIMAL(38,0)) * wm")) ||
+      (expr("CAST(c AS DECIMAL(38,0)) * wm_j") ===
+        expr("CAST(c_j AS DECIMAL(38,0)) * wm") && col("src_j") > col("source"))
+    val violates = afterCand &&
+      (expr("CAST(c_j AS DECIMAL(38,0)) * den") <=
+        expr("CAST(num AS DECIMAL(38,0)) * wm_j"))
+    val chosen = cands.where(col("den") > 0 && col("num") >= 0 && selfOk)
+      .crossJoin(probe)
+      .groupBy(col("source"), col("cum_c"), col("num"), col("den"))
+      .agg(sum(when(violates, 1L).otherwise(0L)).as("n_viol"))
+      .where(col("n_viol") === 0)
+      // unique by the math; min-prefix keeps the pick deterministic, and
+      // the struct-min agg yields exactly one row (all-NULL when B ≥
+      // total leaves no candidate — the all-capped CASE below covers it)
+      .agg(min(struct(col("cum_c"), col("num"), col("den"))).as("s"))
+      .select(coalesce(col("s.num"), lit(0L)).as("num"),
+        coalesce(col("s.den"), lit(1L)).as("den"))
+    w.crossJoin(broadcast(chosen))
+      .select(col("source"), col("c").as("n_tokens"), col("wm").as("weight_micro"),
+        when(budget >= col("t_total"), col("c"))
+          .when(expr("CAST(c AS DECIMAL(38,0)) * den") <=
+            expr("CAST(num AS DECIMAL(38,0)) * wm"), col("c"))
+          .otherwise(expr(
+            "CAST((CAST(num AS DECIMAL(38,0)) * wm) DIV den AS BIGINT)"))
+          .as("alloc_tokens"),
+        (budget >= col("t_total") ||
+          expr("CAST(c AS DECIMAL(38,0)) * den") <=
+            expr("CAST(num AS DECIMAL(38,0)) * wm")).as("capped"))
+      .select(col("source"), col("n_tokens"), col("weight_micro"),
+        col("alloc_tokens"), col("capped"),
+        expr("(2 * alloc_tokens * 10000 + n_tokens) DIV (2 * n_tokens)")
+          .as("fill_bp"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -3650,6 +3747,54 @@ object TextQueries {
         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
         |  SELECT 1 FROM k l WHERE l.doc_id % 10 <> 7 AND l.dedup_key = b.dedup_key)
         |GROUP BY 1""".stripMargin,
+
+    // the oracle's sort key is the double ratio (window prefix sums need
+    // a scalar key); every VALIDITY comparison is exact HUGEINT cross-
+    // multiplication, so a double tie can only reorder boundary-
+    // equivalent candidates that yield the same water level
+    "q209_budget_fill" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |c AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS c FROM t
+         |  GROUP BY 1 HAVING SUM(len(toks)) > 0),
+         |m AS (SELECT MAX(c) AS c_max, CAST(SUM(c) AS BIGINT) AS t_total FROM c),
+         |w AS (SELECT source, c, CAST(FLOOR(1000000.0 *
+         |    sqrt(CAST(c AS DOUBLE) / CAST(nullif(c_max, 0) AS DOUBLE)))
+         |    AS BIGINT) AS wm, t_total FROM c, m),
+         |b AS (SELECT CAST(SUM(wm) AS BIGINT) AS w_total,
+         |  MAX(t_total) AS t_total, MAX(t_total) // 2 AS bud FROM w),
+         |o AS (SELECT source, c, wm,
+         |  SUM(c) OVER ord AS cum_c, SUM(wm) OVER ord AS cum_w
+         |  FROM w WINDOW ord AS (ORDER BY CAST(c AS DOUBLE) / wm, source
+         |    ROWS UNBOUNDED PRECEDING)),
+         |cand AS (
+         |  SELECT o.source, o.c, o.wm, o.cum_c,
+         |    b.bud - o.cum_c AS num, b.w_total - o.cum_w AS den FROM o, b
+         |  UNION ALL
+         |  SELECT NULL, NULL, NULL, 0, bud, w_total FROM b),
+         |valid AS (SELECT cand.cum_c, cand.num, cand.den FROM cand
+         |  WHERE den > 0 AND num >= 0
+         |    AND (cand.source IS NULL OR
+         |      CAST(cand.c AS HUGEINT) * den <= CAST(num AS HUGEINT) * cand.wm)
+         |    AND NOT EXISTS (SELECT 1 FROM w j
+         |      WHERE (cand.source IS NULL
+         |          OR CAST(cand.c AS HUGEINT) * j.wm < CAST(j.c AS HUGEINT) * cand.wm
+         |          OR (CAST(cand.c AS HUGEINT) * j.wm = CAST(j.c AS HUGEINT) * cand.wm
+         |              AND j.source > cand.source))
+         |        AND CAST(j.c AS HUGEINT) * den <= CAST(num AS HUGEINT) * j.wm)),
+         |ch AS (SELECT num, den FROM valid ORDER BY cum_c LIMIT 1),
+         |fin AS (SELECT w.source, w.c, w.wm,
+         |  CASE WHEN b.bud >= b.t_total THEN w.c
+         |       WHEN CAST(w.c AS HUGEINT) * (SELECT den FROM ch)
+         |            <= CAST((SELECT num FROM ch) AS HUGEINT) * w.wm THEN w.c
+         |       ELSE CAST((CAST((SELECT num FROM ch) AS HUGEINT) * w.wm)
+         |            // (SELECT den FROM ch) AS BIGINT) END AS alloc,
+         |  (b.bud >= b.t_total OR CAST(w.c AS HUGEINT) * (SELECT den FROM ch)
+         |    <= CAST((SELECT num FROM ch) AS HUGEINT) * w.wm) AS capped
+         |  FROM w, b)
+         |SELECT source, c AS n_tokens, wm AS weight_micro,
+         |  alloc AS alloc_tokens, capped,
+         |  CAST((2 * alloc * 10000 + c) // (2 * c) AS BIGINT) AS fill_bp
+         |FROM fin""".stripMargin,
 
     // q182's span machinery with the bench screen replacing the keeper
     // rule: EVERY train window matching an eval gram is cut

@@ -1012,6 +1012,38 @@ class OpsEdgeSpec extends SparkSpec {
       (2L, 3L, 0L, 3L, md5("c1 c2 c3"))))
   }
 
+  test("q209 budget fill: hand-computed water level, cap redistribution, floor grants; B >= total grants everything") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs209").toString
+    def toks(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    Seq(
+      (0L, toks("a", 100), "src1"),
+      (1L, toks("b", 50), "src2"),
+      (2L, toks("d", 10), "src3"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // B = 160/2 = 80; weights (1e6, 707106, 316227); src3 caps first
+    // (water level num/den = 70/1707106), then floor grants 41 + 28 + 10
+    val got = graft.queries.TextQueries.q209BudgetFill(spark, dir)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+    assert(got === Seq(
+      ("src1", 100L, 1000000L, 41L, false, 4100L),
+      ("src2", 50L, 707106L, 28L, false, 5600L),
+      ("src3", 10L, 316227L, 10L, true, 10000L)))
+    spark.conf.set("spark.graft.mix.budgetTokens", "1000")
+    try {
+      val all = graft.queries.TextQueries.q209BudgetFill(spark, dir)
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+      assert(all === Seq(
+        ("src1", 100L, 1000000L, 100L, true, 10000L),
+        ("src2", 50L, 707106L, 50L, true, 10000L),
+        ("src3", 10L, 316227L, 10L, true, 10000L)))
+    } finally spark.conf.unset("spark.graft.mix.budgetTokens")
+  }
+
   test("q196 PSI: union bins, add-1 smoothing, and contributions match an independent in-test recomputation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_docs196").toString
