@@ -338,6 +338,45 @@ class PlanSpec extends SparkSpec {
       "1-row min-count frame was not broadcast:\n" + p.take(800))
   }
 
+  test("q203: the fold is narrow — the plan's only exchange is the per-source rollup") {
+    val df = graft.queries.TextQueries.q203StutterRuns(spark, sfDir)
+    df.collect()
+    assert(countShuffles(df.queryExecution.executedPlan) === 1,
+      "expected exactly one exchange (the <=|sources|-row rollup)")
+  }
+
+  test("q205/q207: label agg partial-aggregates map-side; everything downstream is label-bounded") {
+    for (df <- Seq(SimilarityQueries.q205CentroidShift(spark, sfDir),
+        SimilarityQueries.q207CentroidMatrix(spark, sfDir))) {
+      val p = planString(df)
+      assert(p.contains("partial_longvecsum") || p.contains("partial_"),
+        "long_vec_sum lost map-side combine:\n" + p.take(800))
+      assert(!p.contains("SortMergeJoin"),
+        "bounded centroid frames degraded to a shuffle join:\n" + p.take(800))
+    }
+  }
+
+  test("q208: the corpus never moves — no corpus-wide exchange, cuts broadcast back") {
+    val df = graft.queries.TextQueries.q208DecontamRewrite(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    // the final rewrite join must be broadcast (cuts are contamination-
+    // sized); a SortMergeJoin there would re-shuffle the token arrays
+    assert(!p.contains("SortMergeJoin"),
+      "rewrite join degraded to sort-merge (corpus-wide shuffle):\n" + p.take(1200))
+    spark.catalog.clearCache()
+  }
+
+  test("q209: allocation algebra runs on broadcast bounded frames — no sort-merge join, no window") {
+    val df = graft.queries.TextQueries.q209BudgetFill(spark, sfDir)
+    df.collect()
+    val p = planString(df)
+    assert(!p.contains("SortMergeJoin"),
+      "bounded allocation frames degraded to a shuffle join:\n" + p.take(800))
+    assert(walkWindows(df.queryExecution.executedPlan).isEmpty,
+      "the allocator must not plan a window (bounded-cross contract)")
+  }
+
   private def walkWindows(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
