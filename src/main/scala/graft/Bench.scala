@@ -7,7 +7,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N, 2]: allow ONE task retry. Local mode defaults to
+      // maxFailures=1 while every real cluster runs 4 — a single
+      // cold-JVM GCLocker hiccup on the suite's first heavy query then
+      // fails the whole rung record (observed: q04 OOM'd the 1000×
+      // runs=1 record at suite position 4, re-ran clean at 48 s
+      // isolated). One retry is the minimum cluster-faithful setting;
+      // a query whose PLAN over-allocates still fails on the retry.
+      .master(s"local[$cpus, 2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // shuffle/spill files on tmpfs: the sandbox disk sustains ~55 MB/s
