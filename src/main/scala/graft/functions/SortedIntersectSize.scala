@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd `|A ∩ B|` over two SORTED, de-duplicated string arrays.
+/** Native codegen'd `|A ∩ B|` over two SORTED, de-duplicated arrays —
+  * `array<string>` (the q126 set-similarity verify) or `array<long>` (the
+  * q20/q113/q189/q197 digest-array verify; both sides must be the same type).
   *
   * The built-in `size(array_intersect(a, b))` is the semantically right
   * verify step for a set-similarity join, but its interpreted path builds a
@@ -22,33 +24,40 @@ import org.apache.spark.sql.types._
   * and the same holds on a 1000-executor cluster: per-pair CPU, not bytes,
   * is what the verify stage spends.
   *
-  * The walk compares via `UTF8String.binaryCompare`, NOT `compareTo`:
+  * The string walk compares via `UTF8String.binaryCompare`, NOT `compareTo`:
   * in Spark 4 `compareTo` is a deprecation guard that calls
   * `SparkEnvUtils.isTesting` — a `System.getenv` (linear env-map scan +
   * string re-encode) on EVERY comparison. Profiled on the q126 verify
   * stage, that guard was ~95% of executor samples (~500 CPU-s); the
-  * byte-level `binaryCompare` is what Spark's own operators use.
+  * byte-level `binaryCompare` is what Spark's own operators use. The long
+  * walk is a primitive compare — the reason the digest-array verify hashes
+  * shingles to longs before shipping them.
   *
-  * Contract: both inputs must be sorted ascending in Spark's binary
-  * UTF8String order (exactly what `array_sort` produces) and duplicate-free
+  * Contract: both inputs must be sorted ascending in Spark's order for the
+  * element type (exactly what `array_sort` produces) and duplicate-free
   * (what `array_distinct` produces). NULL array -> NULL; a NULL ELEMENT
   * (legal for array_sort, which puts it last) -> NULL result IF the merge
   * walk reaches it, surfacing the contract violation instead of guessing —
-  * the caller's sets are built from non-null shingles.
+  * the caller's sets are built from non-null shingles / digests.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_size requires array<string> inputs, got " +
-        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (StringType | LongType), _) => Some(t)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two array<string> or two " +
+          s"array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  private lazy val longElems: Boolean = elemType(left).contains(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -61,7 +70,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var cnt = 0L
     while (i < n1 && j < n2) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val c = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
+      val c =
+        if (longElems) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -74,13 +85,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+      val cmp =
+        if (longElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).binaryCompare($b.getUTF8String($j))"
       s"""
          |int $n1 = $a.numElements();
          |int $n2 = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $n1 && $j < $n2) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

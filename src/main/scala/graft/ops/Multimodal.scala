@@ -16,6 +16,12 @@ case class MediaFeatures(media_id: Long, kind: String,
 case class MediaSegments(media_id: Long, kind: String, n_bytes: Long,
                          seg_sums: Array[Long], seg_counts: Array[Long])
 
+/** Parsed container: the decoded payload (pixels / PCM samples) plus the
+  * structure the parser read out of the container's own header bytes. */
+case class ParsedMedia(media_id: Long, kind: String, container_bytes: Long,
+                       width: Int, height: Int, sample_rate: Int,
+                       blob: Array[Byte])
+
 /** Multimodal (image/audio/video) columns for a training-data pipeline.
   *
   * Media is modeled the way a 100 TB lakehouse stores it: an opaque `binary`
@@ -26,11 +32,23 @@ case class MediaSegments(media_id: Long, kind: String, n_bytes: Long,
   * partition-wise so a real codec (JPEG/PCM/mp4 demux) drops in without
   * changing the plan shape.
   *
-  * The decode itself is a STUB: no image/audio codecs exist in this
-  * environment, so [[decodeFeatures]] derives a deterministic 16-bin byte
-  * histogram from the blob. The Spark-side contract — schema, batch shape,
-  * partition-wise execution, fixed-length Array[Float] output — is the real,
-  * tested part; swap `stubDecode` for a codec call in production.
+  * Two decode tiers exist behind the same boundary:
+  *
+  *  - REAL byte-structure parsing for two dependency-free container
+  *    formats ([[MediaCodec]]): binary PPM (P6 — ASCII header, raw RGB
+  *    payload) for image/video and WAV (RIFF chunk walk — LE size fields,
+  *    fmt chunk, word-aligned padding, unknown chunks skipped) for audio.
+  *    [[encodeContainers]] packs payload bytes into genuine containers;
+  *    [[parseContainers]] walks the bytes back out. q26/q200 run their
+  *    feature extraction over the PARSED payload, so the pipeline
+  *    exercises real header validation / chunk traversal, not arithmetic
+  *    on text bytes.
+  *  - The perceptual FEATURE step past the parse ([[decodeFeatures]]'s
+  *    byte histogram, [[decodeSegments]]' positional downscale) remains a
+  *    deterministic stand-in for a lossy codec (JPEG DCT / mel
+  *    filterbank) — those need native libraries this environment lacks.
+  *    The Spark-side contract — schema, batch shape, partition-wise
+  *    execution, fixed-length Array[Float] output — is real and tested.
   */
 object Multimodal {
 
@@ -59,6 +77,50 @@ object Multimodal {
         when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(0))
           .cast("int").as("sample_rate"),
         (col("n_chars") % 240 + 16).cast("int").as("n_frames")).as("meta"))
+
+  /** Pack each row's payload bytes into a GENUINE container: PPM P6 for
+    * image/video, WAV (RIFF/PCM8) for audio ([[MediaCodec]]). Runs via
+    * mapPartitions — ingest-side byte packing is imperative, the same
+    * execution boundary as the decode. Output schema matches the
+    * (media_id, kind, blob) decode input; the blob is the container. */
+  def encodeContainers(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val container = r.kind match {
+            case "audio" => MediaCodec.encodeWav(r.blob, sampleRate = 16000)
+            case _ => MediaCodec.encodePpm(r.blob)
+          }
+          MediaRow(r.media_id, r.kind, container)
+        }
+      }(Encoders.product[MediaRow])
+      .toDF()
+
+  /** Walk each container's bytes back out ([[MediaCodec.parsePpm]] /
+    * [[MediaCodec.parseWav]]): real header validation, ASCII dimension
+    * parse (PPM), little-endian RIFF chunk traversal with word-alignment
+    * and unknown-chunk skipping (WAV). Returns the decoded payload as
+    * `blob` — ready for [[decodeFeatures]] / [[decodeSegments]] — plus
+    * the structure read from the container itself (not from metadata). */
+  def parseContainers(encoded: DataFrame): DataFrame =
+    encoded.select(col("media_id"), col("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          r.kind match {
+            case "audio" =>
+              val w = MediaCodec.parseWav(r.blob)
+              ParsedMedia(r.media_id, r.kind, r.blob.length.toLong,
+                0, 0, w.sampleRate, w.samples)
+            case _ =>
+              val p = MediaCodec.parsePpm(r.blob)
+              ParsedMedia(r.media_id, r.kind, r.blob.length.toLong,
+                p.width, p.height, 0, p.pixels)
+          }
+        }
+      }(Encoders.product[ParsedMedia])
+      .toDF()
 
   /** Byte-level blob features — pure Catalyst expressions (codegen'd, no
     * UDF): size, content hash, and an 8-byte prefix signature. */

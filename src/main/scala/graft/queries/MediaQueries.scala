@@ -6,10 +6,17 @@ import graft.ops.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column queries over a media table derived deterministically
-  * from the `documents` fixture (text bytes as the opaque blob + arithmetic
+  * from the `documents` fixture (payload bytes from the text + arithmetic
   * metadata — so DuckDB can re-derive the identical table for the oracle).
-  * The decode stub (q26) is the one non-SQL-expressible op: driver records
-  * a rows-only check; its numeric contract is pinned by MultimodalSpec. */
+  * q26/q200/q210 route the payload through GENUINE containers (PPM P6 /
+  * RIFF WAV, [[graft.ops.MediaCodec]]) and extract features from the
+  * PARSED bytes; the oracles model the container arithmetic (PPM RGB
+  * zero-pad, WAV exact roundtrip) so the compare stays value-exact.
+  * q24 profiles the stored blob AS-IS (content hash before any decode —
+  * the exact-dedup layer) and q25 samples frames from METADATA only
+  * (decide which frames before any decode — the pushdown point); both by
+  * design never touch container internals. MediaCodec's byte-level
+  * contracts are pinned by MultimodalSpec. */
 object MediaQueries {
 
   private def media(spark: SparkSession, dir: String): DataFrame =
@@ -35,17 +42,25 @@ object MediaQueries {
       .select(col("media_id"), col("kind"), col("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"))
 
-  /** Partition-wise stub decode, projected to a checker-hashable shape:
+  /** Features over PARSED media: the payload is packed into a genuine
+    * container (PPM P6 for image/video, RIFF/WAV for audio —
+    * [[graft.ops.MediaCodec]]), parsed back by real header validation /
+    * chunk traversal, and the histogram runs on the DECODED pixels/
+    * samples — so the pipeline exercises byte-structure parsing, not
+    * arithmetic on text bytes. Projected to a checker-hashable shape:
     * one row per (media, bin) with the EXACT integer histogram count.
-    * [[Multimodal.decodeFeatures]] stays the ops-API (Array[Float] features
-    * for the similarity operators, pinned by MultimodalSpec); here the
-    * normalized float is inverted back to its integer count via
+    * [[Multimodal.decodeFeatures]] stays the ops-API (Array[Float]
+    * features for the similarity operators, pinned by MultimodalSpec);
+    * here the normalized float is inverted back to its integer count via
     * round(v * n) — exact because v = float(count/n) carries ≤ n·2⁻²⁴
     * absolute error, far below 0.5 for any document-sized blob. The
-    * scalar long/string columns hash cleanly in the driver's pandas
-    * check AND admit a value-exact DuckDB oracle. */
+    * oracle models the container arithmetic (PPM zero-pads the payload
+    * to whole RGB triples — pad ∈ {0,1,2} bytes landing in bin 0; WAV
+    * round-trips exactly). */
   def q26MediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(media(spark, dir))
+    Multimodal.decodeFeatures(
+      Multimodal.parseContainers(Multimodal.encodeContainers(
+        media(spark, dir))))
       .select(col("media_id"), col("kind"), col("n_bytes"),
         posexplode(col("features")).as(Seq("bin", "v")))
       .select(col("media_id"), col("kind"), col("n_bytes"),
@@ -99,7 +114,11 @@ object MediaQueries {
     // 60-bit fingerprint: 15 positional spans x 4 mean-relative threshold
     // levels (x{0.97, 0.99, 1.01, 1.03}) — every bit an exact integer
     // cross-multiplication over the decode stub's integer span sums
-    val segs = Multimodal.decodeSegments(all)
+    // container roundtrip first (q26's posture): fingerprints are built
+    // from PARSED pixels/samples — PPM pad zeros join the last span's
+    // counts, modeled by the oracle's padded-length arithmetic
+    val segs = Multimodal.decodeSegments(
+        Multimodal.parseContainers(Multimodal.encodeContainers(all)))
       .filter(col("n_bytes") > 0)
       .select(col("media_id"), col("kind"), col("n_bytes"),
         expr("aggregate(seg_sums, CAST(0 AS BIGINT), (a, x) -> a + x)")
@@ -153,6 +172,28 @@ object MediaQueries {
         col("nearest_rep"))
   }
 
+  /** q210: container-layer roundtrip audit — the intake check a multimodal
+    * lake runs on every media batch: pack each payload into its genuine
+    * container (PPM P6 / RIFF WAV — [[graft.ops.MediaCodec]]), parse the
+    * bytes back with real header validation and chunk traversal, and
+    * report what the CONTAINER says (its total size, the payload size the
+    * parser extracted, the dimensions/sample-rate read from the header
+    * bytes). The oracle reproduces every figure from the format
+    * arithmetic — PPM: 3·ceil(n/3) payload behind a "P6\\n<w> 1\\n255\\n"
+    * header (digits(w) + 10 header bytes); WAV: 12-byte RIFF preamble +
+    * 24-byte fmt + 12-byte LIST + 8-byte data header + payload +
+    * word-alignment pad — so a single byte of drift in either the
+    * encoder or the parser breaks the hash compare. Scale shape: one
+    * narrow mapPartitions pass, no exchange at all. */
+  def q210MediaContainer(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.parseContainers(Multimodal.encodeContainers(
+        media(spark, dir)))
+      .select(col("media_id"), col("kind"), col("container_bytes"),
+        octet_length(col("blob")).cast("long").as("payload_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"))
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** The same deterministic media derivation, in DuckDB terms. DuckDB's
@@ -171,6 +212,27 @@ object MediaQueries {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every figure from the container formats' own arithmetic: PPM P6 =
+    // "P6\n<w> 1\n255\n" (10 + digits(w) bytes) + 3·w payload with
+    // w = ceil(n/3); WAV = RIFF preamble 12 + fmt 24 + LIST 12 + data
+    // header 8 + n payload + (n % 2) word-alignment pad
+    "q210_media_container" ->
+      s"""WITH media AS ($mediaSql),
+         |b AS (SELECT media_id, kind,
+         |  CAST(octet_length(blob) AS BIGINT) AS n FROM media)
+         |SELECT media_id, kind,
+         |  CAST(CASE WHEN kind = 'audio' THEN 12 + 24 + 12 + 8 + n + (n % 2)
+         |       ELSE 10 + length(CAST((n + 2) // 3 AS VARCHAR))
+         |            + 3 * ((n + 2) // 3) END AS BIGINT) AS container_bytes,
+         |  CAST(CASE WHEN kind = 'audio' THEN n
+         |       ELSE 3 * ((n + 2) // 3) END AS BIGINT) AS payload_bytes,
+         |  CAST(CASE WHEN kind = 'audio' THEN 0
+         |       ELSE (n + 2) // 3 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 1 END AS BIGINT)
+         |    AS height,
+         |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS BIGINT)
+         |    AS sample_rate
+         |FROM b""".stripMargin,
     "q24_binary_meta" ->
       s"""WITH media AS ($mediaSql)
          |SELECT media_id, kind,
@@ -187,42 +249,61 @@ object MediaQueries {
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 7)) AS f) u
          |WHERE n_frames > 0""".stripMargin,
 
-    // The stub decode's 16-bin byte histogram, re-derived arithmetically:
-    // bin(b) = (b*16)/256 = b//16 for b in 0..255; the fixture text is pure
-    // ASCII so per-character ascii() equals the blob byte. Zero-count bins
-    // are emitted too (Spark's posexplode yields all 16 per media row).
+    // The decode's 16-bin byte histogram over the PARSED payload,
+    // re-derived arithmetically: bin(b) = (b*16)/256 = b//16 for b in
+    // 0..255; the fixture text is pure ASCII so per-character ascii()
+    // equals the payload byte. The container roundtrip is modeled as
+    // arithmetic: WAV data == payload exactly; PPM zero-pads to whole
+    // RGB triples (n_dec = ceil(n/3)*3; the 0..2 pad zeros land in bin
+    // 0). Zero-count bins are emitted too (Spark's posexplode yields all
+    // 16 per media row).
     "q26_media_features" ->
       s"""WITH media AS ($mediaSql),
          |base AS (SELECT media_id, kind,
-         |  CAST(octet_length(blob) AS BIGINT) AS n_bytes, text FROM media),
+         |  CAST(octet_length(blob) AS BIGINT) AS raw_bytes,
+         |  CAST(CASE WHEN kind = 'audio' THEN octet_length(blob)
+         |       ELSE ((octet_length(blob) + 2) // 3) * 3 END AS BIGINT)
+         |    AS n_bytes, text FROM media),
          |chars AS (SELECT media_id, ascii(substr(text, u.i, 1)) // 16 AS bin
          |  FROM base CROSS JOIN LATERAL
-         |    (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) u),
+         |    (SELECT unnest(generate_series(1, CAST(raw_bytes AS INT))) AS i) u),
          |counts AS (SELECT media_id, bin, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM chars GROUP BY 1, 2),
          |bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
          |SELECT b.media_id, b.kind, b.n_bytes, CAST(bins.bin AS BIGINT) AS bin,
-         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_count
+         |  CAST(COALESCE(c.n, 0)
+         |    + CASE WHEN bins.bin = 0 THEN b.n_bytes - b.raw_bytes
+         |           ELSE 0 END AS BIGINT) AS bin_count
          |FROM base b CROSS JOIN bins
          |LEFT JOIN counts c ON c.media_id = b.media_id AND c.bin = bins.bin""".stripMargin,
 
     // the OTHER algorithm: brute-force all-pairs Hamming over the same
-    // 60-bit fingerprint — the q44 losslessness gate for the Manku banding
+    // 60-bit fingerprint — the q44 losslessness gate for the Manku
+    // banding. The container roundtrip is modeled as arithmetic (q26's
+    // rule): WAV payload == text; PPM zero-pads to whole RGB triples, so
+    // positions past the raw length carry byte value 0 and the span
+    // assignment runs over the PADDED length.
     "q200_media_phash" ->
-      s"""WITH md AS (
+      s"""WITH md0 AS (
          |  SELECT doc_id AS media_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |    text, CAST(n_chars AS BIGINT) AS n_bytes FROM documents
+         |    text, CAST(n_chars AS BIGINT) AS raw_bytes FROM documents
          |  UNION ALL
          |  SELECT doc_id + 1000000000,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
          |         WHEN 1 THEN 'audio' ELSE 'video' END,
          |    replace(text, 'the', 'thf'), CAST(n_chars AS BIGINT)
          |  FROM documents WHERE doc_id % 25 = 0),
+         |md AS (SELECT media_id, kind, text, raw_bytes,
+         |  CAST(CASE WHEN kind = 'audio' THEN raw_bytes
+         |       ELSE ((raw_bytes + 2) // 3) * 3 END AS BIGINT) AS n_bytes
+         |  FROM md0),
          |chars AS (SELECT media_id, n_bytes,
          |  (u.i - 1) * 15 // n_bytes AS seg,
-         |  CAST(ascii(substr(text, CAST(u.i AS INT), 1)) AS BIGINT) AS bv
+         |  CAST(CASE WHEN u.i <= raw_bytes
+         |    THEN ascii(substr(text, CAST(u.i AS INT), 1))
+         |    ELSE 0 END AS BIGINT) AS bv
          |  FROM md CROSS JOIN LATERAL
          |    (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) u),
          |segs AS (SELECT media_id, n_bytes, seg,

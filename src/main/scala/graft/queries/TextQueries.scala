@@ -94,31 +94,31 @@ object TextQueries {
     * a small vocabulary: random fixture doc pairs score ~0.5 on token sets
     * but near 0 on shingle sets.)
     *
-    * inter comes from [[shingleCoCounts]] (posting co-occurrence counting
-    * — no shingle array ever crosses an exchange), intersected with the
-    * LSH candidate set; see that method for why the historical
-    * array-payload verify join was a measured 100×-rung cliff.
+    * (inter, n1, n2) come from [[pairOverlapCounts]] (sorted digest-array
+    * merge walk per candidate pair); see that method for the exchange
+    * shape and for why it replaced both the historical array-payload
+    * string join (the measured 100×-rung cliff) and the r4–r7 posting
+    * co-count (the measured 1000×-rung super-linear shuffle).
     *
-    * The shingle frame feeds the banding, the posting stream, and the
-    * size frames. Deliberately NOT cached — measured at local[32]/sf0.1:
-    * the expensive branch (minhash signatures) runs ONCE either way; the
-    * other consumers only re-run the cheap tokenize→shingle narrow maps,
-    * while caching pays a columnar encode of fat array<string> rows and
-    * severs whole-stage codegen. Contrast q44, where the heavy digest
-    * sits in all three branches and persist wins 5×. At 100 TB neither
-    * recompute nor cache is right: you materialize the SIGNATURE table
-    * (small, reusable) and band/verify off that. */
+    * The shingle frame feeds the banding and the two digest-set frames.
+    * Deliberately NOT cached — measured at local[32]/sf0.1: the expensive
+    * branch (minhash signatures) runs ONCE either way; the other
+    * consumers only re-run the cheap tokenize→shingle narrow maps, while
+    * caching pays a columnar encode of fat array<string> rows and severs
+    * whole-stage codegen. Contrast q44, where the heavy digest sits in
+    * all three branches and persist wins 5×. At 100 TB neither recompute
+    * nor cache is right: you materialize the SIGNATURE table (small,
+    * reusable) and band/verify off that. */
   /** CACHE CONTRACT: the skinny candidate-pair spine persists until
     * clearCache (Bench/Verify clear per query) — it drives the verify's
-    * two posting semi-joins and the join spine, and recomputing it would
-    * re-run the minhash digest three times. Two longs per row. */
+    * two digest-side semi-join key sets and the join spine, and
+    * recomputing it would re-run the minhash digest three times. Two
+    * longs per row. */
   def q20JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shingleCoCounts(docs, pairs)
-      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
-      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+    pairOverlapCounts(docs, pairs)
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")).cast("double"),
@@ -126,50 +126,76 @@ object TextQueries {
       .filter(col("jacc") >= 0.3)
   }
 
-  /** Per-doc distinct 3-shingle count, keyed as `idAs` — the n1/n2 verify
-    * denominators. A narrow recompute of the shingle map, never a joined
-    * array payload. */
-  private def distinctShingleCounts(docs: DataFrame, idAs: String,
-                                    nAs: String): DataFrame =
-    docs.select(col("doc_id").as(idAs),
-      size(array_distinct(col("sh"))).cast("long").as(nAs))
-
-  /** Exact |S1 ∩ S2| for every CANDIDATE pair, by counting shingle
-    * co-occurrences in posting-row space — the verify stage for the LSH
-    * candidate queries (q20 Jaccard, q113 containment). The historical
-    * verify joined `array_sort(array_distinct(sh))` onto BOTH sides of
-    * every candidate pair, shipping the corpus payload once per pair —
-    * the cliff the q126 rewrite removed (q113 was the worst query in
-    * the suite at the 100× rung: 29.2× wall, 430 cpu-s).
-    *
-    * Shape: the candidate pairs DRIVE the intersection. Each side's
-    * postings are semi-joined to that side's candidate docs BEFORE the
-    * explode (only candidate docs' shingles are ever emitted), then
-    * pairs ⋈ postings(doc1) ⋈ postings(doc2, g) keeps exactly the
-    * shared shingles and the count per pair is inter. Volume is
-    * Σ_pairs |S1| skinny (long, long, shingle-key) rows — measured 60×
-    * smaller than the corpus-wide Σ_g df(g)² co-occurrence stream at
-    * sf0.1 (48k vs 2.8M; the corpus-wide form was tried first and
-    * measured TEN TIMES WORSE than even the array-payload join at the
-    * 100× rung: 194 s / 5,355 cpu-s / 27.7 GB shuffled, because with no
-    * q126-style in-stage filter the whole pair stream crosses the final
-    * exchange). Arrays still never move: only posting rows and the
-    * skinny pair stream shuffle. Pairs whose inter is 0 produce no row;
-    * no caller's threshold admits inter = 0, so the inner join is
-    * exact. `pairs` must be persisted by the caller — it drives three
-    * subplans (two semi-joins and the join spine). */
-  private def shingleCoCounts(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    def postFor(side: String) = docs
+  /** Per-side sorted digest-set frame for [[pairOverlapCounts]]: candidate
+    * docs only (semi-joined against the pair spine's `side` ids, so a
+    * broadcast-able candidate set keeps non-candidate docs out of the
+    * exchange entirely), each doc's distinct 3-shingles hashed to
+    * xxhash64 longs and sorted — the merge-walk-ready set. */
+  private def digestSide(docs: DataFrame, pairs: DataFrame, side: String,
+                         aAs: String): DataFrame =
+    docs
       .join(pairs.select(col(side).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as(side),
-        explode(array_distinct(col("sh"))).as("g"))
+        array_sort(array_distinct(transform(col("sh"), g => xxhash64(g))))
+          .as(aAs))
+
+  /** Exact (inter, n1, n2) per CANDIDATE pair over distinct-3-shingle
+    * DIGEST sets — the verify stage for the LSH candidate queries (q20
+    * Jaccard, q113 containment, q189 fuzzy decontam, q197 calibration).
+    *
+    * Shape: each side's candidate docs carry ONE sorted array<long> of
+    * xxhash64 shingle digests; the pair spine joins side 1 (doc-linear
+    * exchanges: skinny pairs by doc1 + digest arrays by doc_id), then the
+    * (pair, a1) stream meets side 2 on doc2 and `sorted_intersect_size`
+    * merges the two sorted arrays in-stage — no groupBy, no count joins,
+    * n1/n2 are the array sizes in the same projection. The plan's ONE
+    * pair-proportional exchange is the a1 fan-out on doc2 at 8 bytes per
+    * set element.
+    *
+    * Why this replaced the r4–r7 posting co-count form (explode postings,
+    * fan pairs by doc1's shingles, join on (doc2, g), count): that shape
+    * shuffles Σ_pairs |S1| individual (long, long, gram-string) ROWS and
+    * sort-merges them on (doc2, g) — measured at the 1000× rung as the
+    * suite's dominant exchange growing super-linearly per decade (q197
+    * 541 MB → 11.15 GB on 10.01× candidates — the r7 `weak`; q20 100.4 s
+    * at 5M docs). Same asymptotic row count, but ~5× the bytes (string
+    * gram keys + per-row join overhead vs packed 8-byte longs) and an
+    * n·log n sort of the fan-out stream that the pre-sorted arrays don't
+    * pay. The even-earlier corpus-wide Σ_g df(g)² co-occurrence stream
+    * stays rejected (measured 10× worse again: 194 s / 27.7 GB at 100×).
+    *
+    * Digest space: n1/n2/inter all count DISTINCT XXHASH64 VALUES, so the
+    * triple is internally consistent; vs the oracle's string sets a
+    * divergence needs two distinct shingles of one doc-pair's union to
+    * collide in 64 bits — p ≈ |S∪|²/2⁶⁵ < 10⁻¹² per pair at 10³
+    * shingles/doc (accepted, same posture as winDigest). Pairs with
+    * inter = 0 are dropped to preserve the co-count form's inner-join
+    * semantics bit-for-bit (no caller's threshold admits inter = 0; q197
+    * bins only verified-overlap candidates — unchanged). NULL digest
+    * arrays (shingle-less docs) cannot appear: bandedFrom gives them NULL
+    * band keys, so they never enter `pairs`, and the inner join drops
+    * their frame rows. `pairs` must be persisted by the caller — it
+    * drives three subplans (two semi-join key sets and the join spine). */
+  private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame): DataFrame =
+    // join strategy left to the planner (SMJ under AQE), MEASURED against
+    // the shuffle_hash alternative at the 1000× rung and kept: hinting
+    // both digest sides to SHJ avoided the fan-out sort and won the
+    // cold-JVM first run 3× (241 → 82 s), but its hash-relation build
+    // (millions of array-payload rows per partition, rebuilt per query)
+    // priced steady state at 2190 cpu-s vs SMJ's 859 (q20 second-in-JVM:
+    // 51.4 s vs 88.4 s) and wrote 9.1 GB vs 4.3 GB on one of the two
+    // queries — and mid-suite (the only committed regime) every run is
+    // warm. Numbers in BASELINE.md next to the digestHex=16 rejection.
     pairs
-      .join(postFor("doc1"), Seq("doc1"))
-      .join(postFor("doc2"), Seq("doc2", "g"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("inter"))
-  }
+      .join(digestSide(docs, pairs, "doc1", "a1"), Seq("doc1"))
+      .join(digestSide(docs, pairs, "doc2", "a2"), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        graft.functions.GraftFunctions.sortedIntersectSize(col("a1"), col("a2"))
+          .as("inter"),
+        size(col("a1")).cast("long").as("n1"),
+        size(col("a2")).cast("long").as("n2"))
+      .where(col("inter") > 0)
 
   /** BPE-ish subword token counting: a GPT-style pre-tokenizer regex
     * (letter runs | digit runs | single non-alnum) counted per class —
@@ -1269,16 +1295,14 @@ object TextQueries {
     * inside a long one scores low Jaccard but containment ≈ 1 on the
     * short side — the signal quote/boilerplate dedup actually needs.
     * Same band-bucket candidate stream as q20, and the same
-    * co-occurrence-counting verify ([[shingleCoCounts]] — arrays never
-    * cross an exchange); ratios via the integer half-up rule. */
+    * digest-array merge-walk verify ([[pairOverlapCounts]]); ratios via
+    * the integer half-up rule. */
   /** CACHE CONTRACT: same persisted pair spine as q20 (see there). */
   def q113Containment(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shingleCoCounts(docs, pairs)
-      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
-      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+    pairOverlapCounts(docs, pairs)
       .select(col("doc1"), col("doc2"), col("n1"), col("n2"), col("inter"))
       .withColumn("contain1",
         expr("(2 * inter * 10000 + n1) DIV (2 * n1)").cast("double") / lit(1e4))
@@ -1668,7 +1692,20 @@ object TextQueries {
     * instead of the exact one — q59 audits MinHash's per-pair ESTIMATE,
     * this audits the banding's pair-level RECALL. Two independent
     * algorithms on both engines: the Spark side joins the two operators'
-    * outputs; the oracle nests both relational formulations verbatim. */
+    * outputs; the oracle nests both relational formulations verbatim.
+    *
+    * The audit is quadratic BY DEFINITION (exact ground truth), so at
+    * scale it runs on a deterministic doc_id sample — the design posture
+    * made executable: `spark.graft.audit.sampleDenom` = d keeps docs with
+    * doc_id % d = 0 (a 1/d sub-corpus; pseudo-random under the fixture's
+    * dense ids and ScaleUp's copy offsets), BOTH algorithms run on the
+    * same sample, and the fraction is carried in the output schema as
+    * `sample_denom` so a recorded recall is never mistaken for a
+    * full-corpus measurement. Default d = 1 (full corpus — the oracle's
+    * fixed formulation). Recall estimated on a uniform doc sample is an
+    * unbiased estimator of pair-level recall restricted to sampled-pair
+    * space; the audit's verdict (keep/veto the banding) needs the RATE,
+    * not the roster. */
   def q139LshRecall(spark: SparkSession, dir: String): DataFrame = {
     // ONE shared shingle frame feeds both algorithms (tokenize→shingle→
     // sort-distinct runs once, not twice — MinHash is set-insensitive, see
@@ -1676,7 +1713,11 @@ object TextQueries {
     // because it feeds the recall join AND the n_lsh count. The 1-row
     // result is evaluated eagerly inside withPersisted so both cache
     // entries are released before this function returns.
-    val docs = sortedShingleSets(spark, dir)
+    val denom = spark.conf.getOption("spark.graft.audit.sampleDenom")
+      .map(_.toLong).getOrElse(1L)
+    require(denom >= 1, s"spark.graft.audit.sampleDenom must be >= 1: $denom")
+    val all = sortedShingleSets(spark, dir)
+    val docs = if (denom > 1) all.where(col("doc_id") % denom === 0) else all
     val lsh = Dedup.candidatePairs(
       bandedFrom(docs.select(col("doc_id"), col("s").as("sh"))))
     graft.ops.Caching.withPersisted(docs, lsh) {
@@ -1688,7 +1729,8 @@ object TextQueries {
         .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
           (expr("(2 * n_hit * 10000 + n_exact) DIV (2 * n_exact)")
-            .cast("double") / lit(1e4)).as("recall"))
+            .cast("double") / lit(1e4)).as("recall"),
+          lit(denom).as("sample_denom"))
       val out = row.collect()
       spark.createDataFrame(java.util.Arrays.asList(out: _*), row.schema)
     }
@@ -2244,8 +2286,8 @@ object TextQueries {
     * (train side × eval side — train×train pairs never materialize, which
     * at a fixed eval-set size makes the join linear in corpus, not
     * quadratic); candidates are then verified with exact 3-shingle
-    * Jaccard via the posting co-count (no shingle array ever crosses an
-    * exchange) and rolled up per train doc: how many eval docs it
+    * Jaccard via the digest-array merge walk ([[pairOverlapCounts]])
+    * and rolled up per train doc: how many eval docs it
     * collides with, the worst Jaccard, and the eval doc to cite
     * (tie-break: smallest eval id at the max). At 100 TB the eval side is
     * a bounded benchmark corpus, so its banded frame broadcasts and the
@@ -2254,7 +2296,7 @@ object TextQueries {
     * embedding decontam) so the equi-join is left to size itself. */
   /** CACHE CONTRACT: the skinny cross-slice candidate-pair spine and the
     * verified-pair frame persist until clearCache (Bench/Verify clear per
-    * query) — pairs drives the verify's two posting semi-joins + join
+    * query) — pairs drives the verify's two digest-side key sets + join
     * spine, and the verified frame feeds both the per-doc rollup and the
     * argmax-eval join. Three/two longs per row respectively. */
   def q189FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
@@ -2268,9 +2310,7 @@ object TextQueries {
         Seq("band", "band_key"))
       .select("doc1", "doc2").distinct()
       .persist(mad)
-    val v = shingleCoCounts(docs, pairs)
-      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
-      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+    val v = pairOverlapCounts(docs, pairs)
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jacc"))
@@ -2481,18 +2521,16 @@ object TextQueries {
     * is the table that sets the dedup threshold: the bin where the
     * candidate mass turns from noise floor to dup shoulder is where the
     * gate goes, and banding parameters are re-tuned when the noise-floor
-    * share grows. Scale shape: exactly q20's candidate + posting
-    * co-count machinery (linear, digests only) collapsed to ≤21 rows.
+    * share grows. Scale shape: exactly q20's candidate + digest-array
+    * merge-walk machinery ([[pairOverlapCounts]]) collapsed to ≤21 rows.
     * CACHE CONTRACT (q20's): the skinny candidate-pair spine persists
-    * until clearCache — it drives the verify's two posting semi-joins
+    * until clearCache — it drives the verify's two digest-side key sets
     * and the join spine. Two longs per row. */
   def q197JaccCalibration(spark: SparkSession, dir: String): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = shingled(spark, dir)
     val pairs = Dedup.candidatePairs(bandedFrom(docs)).persist(mad)
-    shingleCoCounts(docs, pairs)
-      .join(distinctShingleCounts(docs, "doc1", "n1"), Seq("doc1"))
-      .join(distinctShingleCounts(docs, "doc2", "n2"), Seq("doc2"))
+    pairOverlapCounts(docs, pairs)
       .select(expr("(20 * inter) DIV (n1 + n2 - inter)").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
       .select(col("bin"), (col("bin") * 5).as("lo_pct"), col("n_pairs"))
@@ -2555,19 +2593,29 @@ object TextQueries {
     * single `aggregate` fold over the token array — a pure narrow map
     * (state = (prev, current-run, best), no window, no per-doc shuffle),
     * so the only exchange in the plan is the ≤|sources|-row rollup.
+    * Run-break semantics deliberately match the oracle's `lag(g) = g`:
+    * plain (non-null-safe) equality, so a NULL token BREAKS a run in
+    * both engines (TA.tokens never emits NULL elements today, but the
+    * fold no longer depends on that invariant — ADVICE r7).
     * Scale shape: per-row cost linear in doc length, corpus cost linear
     * in tokens, shuffle O(|sources|) at any corpus size. */
+  /** Longest same-token run over a `toks` array column — q203's fold,
+    * factored for the NULL-semantics pin (OpsEdgeSpec): plain equality,
+    * so a NULL element always breaks the run (matches the oracle's
+    * `lag(g) = g`). */
+  private[graft] def maxStutterRun: Column = expr(
+    """aggregate(
+      |  toks,
+      |  named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),
+      |  (a, x) -> named_struct(
+      |    'prev', x,
+      |    'cur',  CASE WHEN a.prev = x THEN a.cur + 1L ELSE 1L END,
+      |    'best', GREATEST(a.best,
+      |      CASE WHEN a.prev = x THEN a.cur + 1L ELSE 1L END)),
+      |  a -> a.best)""".stripMargin)
+
   def q203StutterRuns(spark: SparkSession, dir: String): DataFrame = {
-    val maxRun = expr(
-      """aggregate(
-        |  toks,
-        |  named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),
-        |  (a, x) -> named_struct(
-        |    'prev', x,
-        |    'cur',  CASE WHEN a.prev <=> x THEN a.cur + 1L ELSE 1L END,
-        |    'best', GREATEST(a.best,
-        |      CASE WHEN a.prev <=> x THEN a.cur + 1L ELSE 1L END)),
-        |  a -> a.best)""".stripMargin)
+    val maxRun = maxStutterRun
     Tables.documents(spark, dir)
       .select(col("source"), TA.tokens(col("text")).as("toks"))
       .select(col("source"), maxRun.as("max_run"))
@@ -2591,37 +2639,85 @@ object TextQueries {
     * token FREQUENCIES and can miss verbatim overlap under reweighting).
     * The naive form self-joins the distinct (source, gram) set on gram —
     * correct but it shuffles the gram set twice and re-materializes it
-    * per side. Here each gram's source set is collapsed ONCE
-    * (`collect_set` ≤ |sources| elements — bounded state per key, the
-    * skew ceiling is structural), pairs are expanded from the sorted
-    * bounded array by a nested `transform`, and the matrix is a
-    * ≤|sources|²-row count. ONE gram-keyed exchange total; with
-    * `spark.graft.dedup.digestHex` set the exchange carries fixed-width
-    * digests, never gram text. Zero-overlap pairs are absent by
+    * per side. Here each gram's source set is collapsed ONCE into a
+    * presence-bit MASK (`bit_or` of per-source bits — one primitive long
+    * of agg state per key; the skew ceiling is structural), pairs are
+    * expanded from the mask's set bits by a nested `transform`, and the
+    * matrix is a ≤|sources|²-row count. ONE gram-keyed exchange total;
+    * with `spark.graft.dedup.digestHex` set the exchange carries
+    * fixed-width digests, never gram text. Zero-overlap pairs are absent by
     * construction (nothing joins them), which is what keeps the output
     * — and the scale-ladder's cross-copy disjoint vocabularies — sparse. */
   def q204SourceGramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val grams = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.functions.WordShingles(TA.tokens(col("text")), 3))
           .as("g0"))
       .select(col("source"),
         gramKeyOpt(spark).fold(col("g0"))(k => k(col("g0"))).as("g"))
-    val srcSets = grams.groupBy(col("g"))
-      .agg(array_sort(collect_set(col("source"))).as("ss"))
+    // source → bit index for the mask aggregate: the distinct source list
+    // is |sources|-bounded by construction and collected once, eagerly, at
+    // plan build (the q29 bounded-collect posture; sorted, so bit order =
+    // lexicographic order and the pair orientation below is unchanged)
+    val srcList = Tables.documents(spark, dir).select(col("source"))
+      .distinct().orderBy(col("source")).as[String].collect().toSeq
+    // per-gram source set collapsed to ONE LONG of presence bits
+    // (`bit_or` over shifted bit indices): the agg state is a primitive
+    // fixed-width long that lives in the codegen'd hash map, where the
+    // r7 `collect_set` form kept a per-group array buffer — the object
+    // pressure behind the measured 1000×-rung spill regime (164.7 s wall,
+    // ~1.2× above linear; the digestHex=16 alternative was measured and
+    // rejected in BASELINE.md — this is the structural cut instead). The
+    // gram-keyed exchange now carries (g, 8-byte mask) partials. Pairs of
+    // set bits expand by the same diagonal-inclusive nested transform as
+    // before, over INT bit indices instead of strings; >63 sources falls
+    // back to the collect_set form (the mask is the common case — a
+    // curated corpus has tens of sources, and ScaleUp holds the source
+    // domain fixed across copies).
+    val matrix0 =
+      if (srcList.nonEmpty && srcList.length <= 63) {
+        val idxFrame = broadcast(
+          srcList.zipWithIndex.toDF("source", "src_idx"))
+        grams.join(idxFrame, Seq("source"))
+          .groupBy(col("g"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), src_idx))").as("m"))
+          // bits materialized ONCE per gram (63 lambda evals), then the
+          // expansion runs over the |bits|-sized actual set — the nested
+          // filter-in-transform form would re-scan all 63 slots per set
+          // bit per gram, and HOFs evaluate interpreted
+          .select(expr("filter(sequence(0, 62), i -> (m >> i) & 1 = 1)")
+            .as("bits"))
+          .select(expr(
+            """flatten(transform(bits, (a, i) ->
+              |  transform(slice(bits, i + 1, size(bits) - i),
+              |    b -> named_struct('ia', a, 'ib', b))))""".stripMargin)
+            .as("ps"))
+          .select(explode(col("ps")).as("p"))
+          .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+          .agg(count(lit(1)).as("n_common"))
+          .select(
+            element_at(array(srcList.map(lit): _*), col("ia") + 1).as("src_a"),
+            element_at(array(srcList.map(lit): _*), col("ib") + 1).as("src_b"),
+            col("n_common"))
+      } else {
+        val srcSets = grams.groupBy(col("g"))
+          .agg(array_sort(collect_set(col("source"))).as("ss"))
+        srcSets
+          .select(explode(expr(
+            """flatten(transform(ss, (a, i) ->
+              |  transform(slice(ss, i + 1, size(ss) - i), b ->
+              |    named_struct('src_a', a, 'src_b', b))))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+      }
     // the expansion INCLUDES the diagonal (a, a): the matrix then carries
     // the per-source distinct-gram sizes on its diagonal, so the sizes
     // need no second pass over the scan (the r7 first cut ran a separate
     // distinct → count and paid the full gram exchange twice: 65.0 s at
     // the 100× rung; the diagonal form runs ONE exchange total)
-    val matrix = srcSets
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 1, size(ss) - i), b ->
-          |    named_struct('src_a', a, 'src_b', b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val matrix = matrix0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // matrix is <= |sources|² rows — the persist is bounded at any corpus
     // size, and the diagonal joins below read it, not the gram stream.
@@ -2727,16 +2823,24 @@ object TextQueries {
     // 1000× rung). The eval digests fold once into a bitset, train
     // windows probe it map-side, and only probe-positives (true hits +
     // the fp rate) reach the exact semi-join verify — no false negatives,
-    // so the rewrite is bit-identical and the exchange is priced by the
-    // contamination (measured, with the corpus repartition also removed:
-    // 15.1 → 1.61 GB shuffle, wall 130.5 → 67.8 s, cpu halved).
+    // so AT THE DEFAULT 32-hex digest the rewrite is bit-identical and
+    // the exchange is priced by the contamination (measured, with the
+    // corpus repartition also removed: 15.1 → 1.61 GB shuffle, wall
+    // 130.5 → 67.8 s, cpu halved). With spark.graft.dedup.digestHex
+    // truncating winDigest, the exact verify itself runs on truncated
+    // digests, so a train/eval digest collision cuts a clean span — the
+    // winDigest accepted-risk posture (same class as the measured
+    // digestHex=16 q204 rejection), NOT covered by the bloom's
+    // no-false-negative guarantee.
     // bloom sized from the data, not a guess: an undersized bitset costs
     // fp-rate × corpus windows of verify shuffle (measured: the 1M
     // default at the 1000× rung's 5.65M eval digests left 3.7 GB of fp
     // traffic). The eager count is one metadata-cheap job over the 1%
     // eval slice (the q126 posture: count before sizing); the conf
     // overrides it for a persisted-bloom deployment where the build-time
-    // size is already known.
+    // size is already known — and for PLAN-ONLY contexts (explain
+    // tooling builds this DataFrame through SparkEntry.queries; setting
+    // spark.graft.dedup.bloomItems skips the eager sizing job).
     val expectedItems =
       spark.conf.getOption("spark.graft.dedup.bloomItems")
         .map(_.toLong).getOrElse(math.max(bench.count(), 1000L))
@@ -3348,10 +3452,10 @@ object TextQueries {
          |  ROUND(dnum * ln_ratio_nano::DOUBLE / den / 1e9, 9) AS psi_contrib
          |FROM f""".stripMargin,
 
-    // q19's candidates + q20's posting co-count verify, binned by the
+    // q19's candidates + q20's digest-array verify, binned by the
     // EXACT integer division (20*inter) // union; candidate pairs with
-    // zero shingle co-occurrence (possible only under a band-hash
-    // collision) fall out of the inner joins identically on both sides
+    // zero shingle overlap (possible only under a band-hash collision)
+    // are dropped identically on both sides (Spark: inter > 0 filter)
     "q197_jacc_calibration" ->
       s"""WITH cand AS ($minhashPairsSql),
          |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -3583,7 +3687,8 @@ object TextQueries {
          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM l)
          |SELECT n_exact, n_lsh, n_hit,
          |  CAST((2 * n_hit * 10000 + n_exact) // (2 * n_exact) AS DOUBLE) / 1e4
-         |    AS recall
+         |    AS recall,
+         |  CAST(1 AS BIGINT) AS sample_denom
          |FROM g CROSS JOIN m""".stripMargin,
 
     "q140_calibration" ->
@@ -3748,10 +3853,15 @@ object TextQueries {
         |  SELECT 1 FROM k l WHERE l.doc_id % 10 <> 7 AND l.dedup_key = b.dedup_key)
         |GROUP BY 1""".stripMargin,
 
-    // the oracle's sort key is the double ratio (window prefix sums need
-    // a scalar key); every VALIDITY comparison is exact HUGEINT cross-
-    // multiplication, so a double tie can only reorder boundary-
-    // equivalent candidates that yield the same water level
+    // the oracle's window sort key is the EXACT scaled quotient
+    // (c*10^12)//wm — order-isomorphic to the cross-multiplied rational
+    // c/wm because wm ≤ 10^6 means two distinct exact ratios differ by
+    // ≥ 1/(wm_i*wm_j) ≥ 10^-12, so their scaled floors differ by ≥ 1,
+    // while exactly-equal ratios floor identically; the double-ratio key
+    // used before could collapse near-ties beyond double precision and
+    // let the source tie-break reorder non-equivalent prefixes (ADVICE
+    // r7). Every VALIDITY comparison below is already exact HUGEINT
+    // cross-multiplication.
     "q209_budget_fill" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
          |c AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS c FROM t
@@ -3764,7 +3874,8 @@ object TextQueries {
          |  MAX(t_total) AS t_total, MAX(t_total) // 2 AS bud FROM w),
          |o AS (SELECT source, c, wm,
          |  SUM(c) OVER ord AS cum_c, SUM(wm) OVER ord AS cum_w
-         |  FROM w WINDOW ord AS (ORDER BY CAST(c AS DOUBLE) / wm, source
+         |  FROM w WINDOW ord AS (
+         |    ORDER BY CAST(c AS HUGEINT) * 1000000000000 // wm, source
          |    ROWS UNBOUNDED PRECEDING)),
          |cand AS (
          |  SELECT o.source, o.c, o.wm, o.cum_c,

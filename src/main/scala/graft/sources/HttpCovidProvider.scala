@@ -27,9 +27,13 @@ import java.time.Duration
   * per-partition), so connections/timeouts live where the fetch runs and
   * nothing here needs to be serializable-stateful.
   *
-  * NOT exercised against a live endpoint in CI (the sandbox has no egress);
-  * CovidReportSourceSpec verifies the option-plumbing with a local stub
-  * provider class wired by name through the same constructor path.
+  * No live endpoint in CI (the sandbox has no egress), but the provider IS
+  * driven end-to-end over a real socket: CovidReportSourceSpec stands up an
+  * in-JVM `com.sun.net.httpserver` fixture and pins the full reference
+  * extract contract — auth header delivery, the date/iso query params, the
+  * 60 s (configurable) timeout, non-200 fail-fast, and the
+  * `absorbNon200` warn-and-skip parity mode — through the connector's
+  * reflective constructor path, not by calling fetch() directly.
   */
 final class HttpCovidProvider(options: Map[String, String])
     extends CovidPayloadProvider {
@@ -38,6 +42,14 @@ final class HttpCovidProvider(options: Map[String, String])
     options.getOrElse("url", "https://covid-19-statistics.p.rapidapi.com/reports")
   private val timeout =
     Duration.ofSeconds(options.get("timeoutsec").map(_.toLong).getOrElse(60L))
+  // reference parity switch: the reference WARNS and skips a failed fetch
+  // (`dags/ETL_covid19_pandas.py:45-55`), trusting the downstream count
+  // tolerance gate (A2) to flag a short day. `provider.absorbNon200=true`
+  // reproduces that: non-200 → warn + empty envelope (zero report rows).
+  // Default is fail-fast — in a Spark reader a task failure is retried by
+  // the scheduler, which is the honest cluster equivalent of "try again".
+  private val absorbNon200 =
+    options.get("absorbnon200").exists(_.toBoolean)
   private val headers = options.collect {
     case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
   }
@@ -54,11 +66,14 @@ final class HttpCovidProvider(options: Map[String, String])
       .timeout(timeout).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    // the reference logs-and-skips a non-200; in a Spark reader the honest
-    // equivalent is a task failure (retried by the scheduler), not a
-    // silently absent partition
-    require(resp.statusCode() == 200,
+    if (resp.statusCode() == 200) resp.body()
+    else if (absorbNon200) {
+      // reference warn-and-skip: the report is absorbed as an empty
+      // envelope and the count gate downstream is the backstop
+      System.err.println(s"[covid-source] WARN: HTTP ${resp.statusCode()} " +
+        s"for ($ds, $iso) — absorbed as empty report (absorbNon200)")
+      """{"data":[]}"""
+    } else throw new IllegalStateException(
       s"covid report fetch failed: HTTP ${resp.statusCode()} for ($ds, $iso)")
-    resp.body()
   }
 }

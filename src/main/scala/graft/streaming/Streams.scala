@@ -354,12 +354,15 @@ object Streams {
     * canonical — the recall-for-memory trade, stated.
     *
     * Deliberately the V1 API (`flatMapGroupsWithState` +
-    * `ProcessingTimeTimeout`), not state-v2 TTL: in this Spark build,
-    * `transformWithState` under `TimeMode.ProcessingTime` dies planning
-    * its timer-driven batches (NPE constructing TransformWithStateExec —
-    * PythonSQLMetrics reads an unset session) and `TTLConfig` only
-    * FILTERS expired values on read; the v1 timeout callback is where the
-    * store actually shrinks. Operational note shared by ANY
+    * `ProcessingTimeTimeout`), not state-v2 TTL. History: the r7 build
+    * could not PLAN `transformWithState` under `TimeMode.ProcessingTime`
+    * (NPE constructing TransformWithStateExec — PythonSQLMetrics read an
+    * unset session); the r8 retest shows the current build plans and
+    * runs it, and StreamingSpec pins the v2 twin's semantics
+    * ([[BandOwnerTtlProcessor]]). v1 stays load-bearing on the retained
+    * ground: `TTLConfig` only FILTERS expired values on read; the v1
+    * timeout callback is where the store actually shrinks, and bounded
+    * PHYSICAL state is the horizon's purpose. Operational note shared by ANY
     * processing-time-timer operator (both APIs): the operator requests a
     * batch on every trigger, so `processAllAvailable` never sees its
     * no-work signal and `Trigger.AvailableNow` never self-terminates —
@@ -385,6 +388,49 @@ object Streams {
             out.iterator
           }
       }
+  }
+
+  /** State-v2 TTL twin of [[bandOwnerWithHorizon]]: the same
+    * bucket-owner semantics expressed with `transformWithState` +
+    * `TTLConfig` under `TimeMode.ProcessingTime`. The r7 build could not
+    * PLAN this combination (NPE constructing TransformWithStateExec);
+    * the r8 retest shows the current build plans and runs it, so
+    * StreamingSpec now pins the twin's SEMANTICS (in-horizon dup flags
+    * match v1). The horizon pipeline itself deliberately stays on the v1
+    * API: `TTLConfig` only FILTERS expired values on read, while the v1
+    * timeout callback physically `remove()`s the entry — bounded
+    * physical state is the property the horizon exists to buy, so
+    * switching would need a measured RocksDB-size comparison first. */
+  class BandOwnerTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, BandClaim, DupHit] {
+    @transient private var owner: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: String, rows: Iterator[BandClaim],
+                                 timerValues: TimerValues): Iterator[DupHit] = {
+      var own = if (owner.exists()) owner.get() else -1L
+      val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+        if (own < 0) { own = r.doc_id; None }
+        else if (r.doc_id == own) None
+        else Some(DupHit(r.doc_id, key, own))
+      }
+      if (own >= 0) owner.update(own) // update-on-touch re-arms the TTL
+      out.iterator
+    }
+  }
+
+  /** [[streamingNearDupHits]]'s claim pipeline wired to the v2 TTL
+    * processor — exists solely for StreamingSpec's incompatibility pin. */
+  def streamingNearDupHitsV2Ttl(docs: DataFrame,
+                                ttlMs: Long): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    claimsOf(docs)
+      .groupByKey(_.bkey)(Encoders.STRING)
+      .transformWithState(new BandOwnerTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())(
+        Encoders.product[DupHit])
   }
 
   /** Streaming near-duplicate detection at INGEST — the online twin of the
@@ -422,12 +468,13 @@ object Streams {
     * batch parity for in-horizon arrivals and the expire-readmit
     * behavior past the horizon; see [[bandOwnerWithHorizon]] for why the
     * horizon path is the v1 state API and how to drive such a query. */
-  def streamingNearDupHits(docs: DataFrame,
-      horizon: Option[java.time.Duration] = None): Dataset[DupHit] = {
+  /** The shared map-side claim pipeline: doc → 6 LSH band-bucket claims
+    * (the identical native-expression chain as batch q19). */
+  private def claimsOf(docs: DataFrame): Dataset[BandClaim] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.{Dedup, TextAnalysis => TA}
-    val claims = docs
+    docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
       .select(col("doc_id"), explode(Dedup.lshBands(
@@ -436,6 +483,13 @@ object Streams {
       .select(concat(col("bb.band").cast("string"), lit(":"),
         col("bb.band_key")).as("bkey"), col("doc_id"))
       .as[BandClaim]
+  }
+
+  def streamingNearDupHits(docs: DataFrame,
+      horizon: Option[java.time.Duration] = None): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val claims = claimsOf(docs)
     horizon match {
       case Some(d) => bandOwnerWithHorizon(claims, d.toMillis)
       case None => claims

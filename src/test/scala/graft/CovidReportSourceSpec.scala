@@ -103,4 +103,115 @@ class CovidReportSourceSpec extends SparkSpec {
     val viaFixture = CovidPipeline.run(spark, CovidFixture.stage(spark), "2023-03-02").fact
     assert(viaSource.collect().toSet === viaFixture.collect().toSet)
   }
+
+  // ---- HttpCovidProvider end-to-end over a real socket -------------------
+  // An in-JVM com.sun.net.httpserver fixture (no network egress) pins the
+  // reference extract contract (dags/ETL_covid19_pandas.py:33-55): auth
+  // headers + date/iso query params on the wire, the timeout option, and
+  // both non-200 postures (fail-fast default; absorbNon200 warn-and-skip
+  // parity). The provider is wired reflectively through the connector —
+  // the exact production path — not called directly.
+
+  /** One handler: 200 + the real fixture envelope for RUS, 503 for CHN,
+    * a past-deadline stall for IND; records every request's query + the
+    * api-key header. */
+  private def withHttpFixture(test: (String, java.util.concurrent.ConcurrentLinkedQueue[(String, String)]) => Unit): Unit = {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/reports", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      seen.add(q -> Option(ex.getRequestHeaders.getFirst("X-Rapidapi-Key")).orNull)
+      val iso = q.split("&").collectFirst {
+        case kv if kv.startsWith("iso=") => kv.stripPrefix("iso=")
+      }.getOrElse("")
+      def respond(code: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      iso match {
+        case "CHN" => respond(503, "upstream sad")
+        case "IND" => Thread.sleep(3000); respond(200, """{"data":[]}""")
+        case _ =>
+          val (is, country) = CovidFixture.isoCountries.find(_._1 == iso).get
+          val ci = CovidFixture.isoCountries.indexWhere(_._1 == iso)
+          respond(200, CovidFixture.envelope("2023-03-02", is, country, ci, 48))
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}/reports", seen)
+    finally server.stop(0)
+  }
+
+  private def httpSrc(url: String) = src
+    .option("payloadProvider", "graft.sources.HttpCovidProvider")
+    .option("provider.url", url)
+    .option("provider.header.x-rapidapi-key", "test-key-123")
+
+  test("HTTP provider end-to-end: 200 payload == fixture; auth header and " +
+      "query params on the wire") {
+    withHttpFixture { (url, seen) =>
+      val got = httpSrc(url).load()
+        .filter(col("iso_country") === "RUS").collect()
+      assert(got.length === 1)
+      // the payload that crossed the socket is byte-identical to the
+      // fixture generator's envelope — the full pipeline parses it
+      assert(got.head.getString(3) ===
+        CovidFixture.envelope("2023-03-02", "RUS",
+          CovidFixture.isoCountries.find(_._1 == "RUS").get._2,
+          CovidFixture.isoCountries.indexWhere(_._1 == "RUS"), 48))
+      val (query, key) = seen.asScala.head
+      assert(query === "date=2023-03-02&iso=RUS")
+      assert(key === "test-key-123")
+    }
+  }
+
+  test("HTTP provider: non-200 fails the task by default (scheduler retry " +
+      "is the cluster-honest posture)") {
+    withHttpFixture { (url, _) =>
+      val e = intercept[Exception] {
+        httpSrc(url).load().filter(col("iso_country") === "CHN").collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("HTTP 503"), s"unexpected failure: $e")
+    }
+  }
+
+  test("HTTP provider: absorbNon200 reproduces the reference warn-and-skip " +
+      "(empty envelope, count gate is the backstop)") {
+    withHttpFixture { (url, _) =>
+      val got = httpSrc(url)
+        .option("provider.absorbNon200", "true")
+        .load().filter(col("iso_country") === "CHN").collect()
+      assert(got.length === 1)
+      assert(got.head.getString(3) === """{"data":[]}""")
+      // and the absorbed day surfaces downstream as ZERO flat rows for
+      // the country (the fixture yields 48 clean provinces) — exactly
+      // the shortfall the A2 count tolerance gate exists to flag
+      val stage = spark.createDataFrame(
+        java.util.Arrays.asList(got: _*),
+        graft.sources.CovidReportSource.schema)
+      assert(graft.ops.CovidOps.flatten(stage, "2023-03-02").count() === 0)
+    }
+  }
+
+  test("HTTP provider: timeoutSec is the request deadline (60s contract, " +
+      "configurable)") {
+    withHttpFixture { (url, _) =>
+      val e = intercept[Exception] {
+        httpSrc(url)
+          .option("provider.timeoutSec", "1")
+          .load().filter(col("iso_country") === "IND").collect()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(
+        _.isInstanceOf[java.net.http.HttpTimeoutException]),
+        s"expected HttpTimeoutException in cause chain: $e")
+    }
+  }
 }

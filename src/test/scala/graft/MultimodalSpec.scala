@@ -71,4 +71,94 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("s") =!= col("n_bytes")).count()
     assert(bad === 0)
   }
+
+  // ---- MediaCodec: genuine container byte structure -----------------------
+
+  test("PPM P6: header bytes are exactly the spec's ASCII form; payload " +
+      "round-trips with zero-pad to whole RGB triples") {
+    import graft.ops.MediaCodec
+    val payload = "hello world".getBytes("US-ASCII") // 11 bytes -> w=4, pad=1
+    val blob = MediaCodec.encodePpm(payload)
+    assert(new String(blob.take(11), "US-ASCII") === "P6\n4 1\n255\n")
+    assert(blob.length === 11 + 12)
+    val img = MediaCodec.parsePpm(blob)
+    assert((img.width, img.height) === (4, 1))
+    assert(img.pixels.toSeq === (payload :+ 0.toByte).toSeq)
+    // parser handles multi-whitespace headers (the spec allows runs)
+    val loose = "P6\n 4  1 \n255 ".getBytes("US-ASCII") ++ img.pixels
+    assert(MediaCodec.parsePpm(loose).pixels.toSeq === img.pixels.toSeq)
+    // empty payload is a legal 0x1 image
+    assert(MediaCodec.parsePpm(MediaCodec.encodePpm(Array.emptyByteArray))
+      .pixels.isEmpty)
+  }
+
+  test("PPM P6: structural corruption fails loudly, not silently") {
+    import graft.ops.MediaCodec
+    val good = MediaCodec.encodePpm("abcdef".getBytes)
+    intercept[IllegalArgumentException] {
+      MediaCodec.parsePpm("P5\n2 1\n255\nabcdef".getBytes)
+    } // wrong magic
+    intercept[IllegalArgumentException] {
+      MediaCodec.parsePpm(good.dropRight(1)) // truncated payload
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.parsePpm("P6\n2 1\n65535\n".getBytes ++ new Array[Byte](6))
+    } // 16-bit maxval unsupported
+  }
+
+  test("WAV RIFF: chunk walk skips the LIST chunk, honors word alignment " +
+      "on odd payloads, and reads fmt fields from the bytes") {
+    import graft.ops.MediaCodec
+    val payload = "odd".getBytes("US-ASCII") // 3 bytes -> data pad byte
+    val blob = MediaCodec.encodeWav(payload, sampleRate = 16000)
+    assert(new String(blob.take(4), "US-ASCII") === "RIFF")
+    assert(new String(blob.slice(8, 12), "US-ASCII") === "WAVE")
+    // outer size field == file length - 8 (parser validates this too)
+    assert(blob.length % 2 === 0) // word-aligned file
+    val wav = MediaCodec.parseWav(blob)
+    assert(wav.sampleRate === 16000)
+    assert(wav.channels === 1)
+    assert(wav.bitsPerSample === 8)
+    assert(wav.samples.toSeq === payload.toSeq) // pad NOT in the payload
+  }
+
+  test("WAV RIFF: corruption and unsupported codecs fail loudly") {
+    import graft.ops.MediaCodec
+    val good = MediaCodec.encodeWav("abcd".getBytes, 8000)
+    intercept[IllegalArgumentException] {
+      MediaCodec.parseWav("RIFX".getBytes ++ good.drop(4)) // byte-swapped RIFF
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.parseWav(good.dropRight(2)) // size field now lies
+    }
+    val compressed = good.clone() // fmt audioFormat lives at offset 20
+    compressed(20) = 85 // MP3-in-WAV
+    intercept[IllegalArgumentException] { MediaCodec.parseWav(compressed) }
+  }
+
+  test("encode -> parse container pipeline round-trips every fixture blob " +
+      "and reads structure from the container bytes") {
+    import spark.implicits._
+    val parsed = Multimodal.parseContainers(Multimodal.encodeContainers(media))
+    // payload == original blob (+ PPM zero-pad), structure from the bytes
+    val joined = parsed.as("p")
+      .join(media.as("m"), col("p.media_id") === col("m.media_id"))
+      .select(col("p.media_id"), col("p.kind"),
+        col("p.blob").as("payload"), col("m.blob").as("orig"),
+        col("p.width"), col("p.sample_rate"))
+      .collect()
+    assert(joined.length === 500)
+    joined.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val orig = r.getAs[Array[Byte]]("orig")
+      if (r.getString(1) == "audio") {
+        assert(payload.toSeq === orig.toSeq)
+        assert(r.getAs[Int]("sample_rate") === 16000)
+      } else {
+        val pad = (3 - orig.length % 3) % 3
+        assert(payload.toSeq === (orig ++ new Array[Byte](pad)).toSeq)
+        assert(r.getAs[Int]("width") === (orig.length + 2) / 3)
+      }
+    }
+  }
 }

@@ -32,6 +32,24 @@ class OpsEdgeSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0))
   }
 
+  test("q203 stutter fold: NULL tokens break runs (oracle lag(g)=g parity)") {
+    import spark.implicits._
+    // "a a NULL a a a b" — null-safe equality would see a 5-run across the
+    // NULL bridge twice over; the oracle's lag(g) = g (and this fold's
+    // plain =) breaks at the NULL, so the longest run is the 3 trailing a's
+    val df = Seq(Tuple1(Seq(Some("a"), Some("a"), None, Some("a"), Some("a"),
+        Some("a"), Some("b")))).toDF("toks")
+    val got = df.select(graft.queries.TextQueries.maxStutterRun.as("r"))
+      .as[Long].head()
+    assert(got === 3L)
+    // and two NULLs in a row are NOT a stutter run
+    val nn = Seq(Tuple1(Seq[Option[String]](None, None, None)))
+      .toDF("toks")
+      .select(graft.queries.TextQueries.maxStutterRun.as("r"))
+      .as[Long].head()
+    assert(nn === 1L)
+  }
+
   test("q139 releases every cache entry it creates (withPersisted contract)") {
     spark.catalog.clearCache()
     val df = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
