@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd expansion of a ≤63-bit presence MASK into its
+  * diagonal-inclusive set-bit pairs, each packed as `ia * 64 + ib`
+  * (ia ≤ ib, ascending) in one `array<int>`.
+  *
+  * This is q204's pair-expansion step: the gram → source-set matrix
+  * collapses each gram's sources to one `bit_or` long, and every
+  * unordered source pair sharing the gram (diagonal included — it
+  * carries the per-source set sizes) must then be counted. The
+  * higher-order-function form (`filter(sequence(0,62), …)` to extract
+  * set bits, nested `transform` to pair them) runs ~63 interpreted
+  * lambda evaluations per DISTINCT GRAM — measured at the 1000× rung
+  * as +2,000 cpu-s over the collect_set baseline (211.7 s / 6,473
+  * cpu-s vs 164.7 / 4,490), wiping out the mask's shuffle win
+  * (6.87 → 4.64 GB). This expression does the same expansion in one
+  * compiled loop over the long's bits: popcount-sized primitive int
+  * array, no closures, no per-element boxing.
+  *
+  * Contract: input is a non-negative long using bits 0..62 (bit 63
+  * clear — the caller's source index is capped at 63 sources). Output
+  * pairs are emitted in (ia asc, ib asc) order; `p DIV 64` and
+  * `p % 64` recover the indices. NULL mask -> NULL. */
+case class MaskBitPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mask_bit_pairs requires BIGINT, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "mask_bit_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = input.asInstanceOf[Long]
+    val k = java.lang.Long.bitCount(m)
+    val out = new Array[Int](k * (k + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < 63) {
+      if (((m >> i) & 1L) == 1L) {
+        var j = i
+        while (j < 63) {
+          if (((m >> j) & 1L) == 1L) { out(idx) = i * 64 + j; idx += 1 }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, m => {
+      val k = ctx.freshName("k"); val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+         |int $k = java.lang.Long.bitCount($m);
+         |int[] $out = new int[$k * ($k + 1) / 2];
+         |int $idx = 0;
+         |for (int $i = 0; $i < 63; $i++) {
+         |  if ((($m >> $i) & 1L) == 1L) {
+         |    for (int $j = $i; $j < 63; $j++) {
+         |      if ((($m >> $j) & 1L) == 1L) { $out[$idx++] = $i * 64 + $j; }
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaskBitPairs =
+    copy(child = newChild)
+}

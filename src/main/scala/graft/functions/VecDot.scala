@@ -120,6 +120,13 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     shim.column(SortedIntersectSize(shim.expression(a), shim.expression(b)))
 
+  /** `mask_bit_pairs(m)` as a Column — a ≤63-bit presence mask expanded to
+    * its diagonal-inclusive set-bit pairs packed as `ia * 64 + ib` ints
+    * (see [[MaskBitPairs]] for the contract and the measured HOF cost it
+    * replaces). */
+  def maskBitPairs(m: Column): Column =
+    shim.column(MaskBitPairs(shim.expression(m)))
+
   /** `long_vec_dot(a, b)` as a Column — exact integer dot product of two
     * `array<long>` columns (see [[LongVecDot]] for the overflow contract). */
   def longVecDot(a: Column, b: Column): Column =
@@ -172,6 +179,9 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (FunctionIdentifier("mask_bit_pairs"),
+      new ExpressionInfo(classOf[MaskBitPairs].getName, "mask_bit_pairs"),
+      (args: Seq[Expression]) => MaskBitPairs(args.head)),
     (FunctionIdentifier("long_vec_dot"),
       new ExpressionInfo(classOf[LongVecDot].getName, "long_vec_dot"),
       (args: Seq[Expression]) => {

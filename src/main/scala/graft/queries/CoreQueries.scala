@@ -487,13 +487,23 @@ object CoreQueries {
     val fLi = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
     // a qualifying order has EXACTLY ONE returned supplier, so the same
     // aggregate that proves it also names them — no join back onto
-    // lineitem, ONE fact scan total (PlanSpec-asserted)
-    fLi.groupBy(col("l_orderkey"))
+    // lineitem, ONE fact scan total (PlanSpec-asserted).
+    // Staged as dedup-then-count, NOT two countDistincts in one agg: the
+    // multi-distinct form plans an Expand that replicates every
+    // post-join row ×3 (one replica per distinct group + one for the
+    // plain agg) and keeps a distinct-set buffer per order — at the
+    // 1000× rung (300M F-order rows) that Expand was the query's cost
+    // (225 s, the r7 tail). The (orderkey, suppkey) pre-aggregate needs
+    // NO new exchange (hash partitioning on l_orderkey from the join
+    // satisfies both groupings), collapses to association cardinality,
+    // and the distinct counts become plain count/sum over it.
+    fLi.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+      .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("ret")).as("n_ret_supp"),
+        max(when(col("ret") === 1L, col("l_suppkey"))).as("ret_supp"))
       .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
       .groupBy(col("ret_supp")).agg(count(lit(1)).as("numwait"))
       // supplier scales with SF: no broadcast HINT — stats/AQE broadcast

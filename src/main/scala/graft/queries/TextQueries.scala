@@ -177,16 +177,25 @@ object TextQueries {
     * band keys, so they never enter `pairs`, and the inner join drops
     * their frame rows. `pairs` must be persisted by the caller — it
     * drives three subplans (two semi-join key sets and the join spine). */
-  private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame): DataFrame =
+  private def pairOverlapCounts(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // join strategy left to the planner (SMJ under AQE), MEASURED against
     // the shuffle_hash alternative at the 1000× rung and kept: hinting
     // both digest sides to SHJ avoided the fan-out sort and won the
     // cold-JVM first run 3× (241 → 82 s), but its hash-relation build
     // (millions of array-payload rows per partition, rebuilt per query)
     // priced steady state at 2190 cpu-s vs SMJ's 859 (q20 second-in-JVM:
-    // 51.4 s vs 88.4 s) and wrote 9.1 GB vs 4.3 GB on one of the two
-    // queries — and mid-suite (the only committed regime) every run is
-    // warm. Numbers in BASELINE.md next to the digestHex=16 rejection.
+    // 51.4 s vs 88.4 s) — and mid-suite (the only committed regime) every
+    // run is warm. Numbers in BASELINE.md next to the digestHex=16
+    // rejection.
+    //
+    // Eager spine materialization: the verify reads `pairs` through
+    // THREE subplans (two semi-join key sets + the join spine). Filled
+    // lazily, whichever subplan the scheduler runs first races the cache
+    // fill and can re-run the banding self-join from scratch — measured
+    // at the 1000× rung as q197 writing 9.35 GB where q20's identical
+    // machinery wrote 4.20 GB. One count() fills the cache before any
+    // reader plans against it; the spine is two longs per row.
+    pairs.count()
     pairs
       .join(digestSide(docs, pairs, "doc1", "a1"), Seq("doc1"))
       .join(digestSide(docs, pairs, "doc2", "a2"), Seq("doc2"))
@@ -196,6 +205,7 @@ object TextQueries {
         size(col("a1")).cast("long").as("n1"),
         size(col("a2")).cast("long").as("n2"))
       .where(col("inter") > 0)
+  }
 
   /** BPE-ish subword token counting: a GPT-style pre-tokenizer regex
     * (letter runs | digit runs | single non-alnum) counted per class —
@@ -2669,36 +2679,38 @@ object TextQueries {
     // pressure behind the measured 1000×-rung spill regime (164.7 s wall,
     // ~1.2× above linear; the digestHex=16 alternative was measured and
     // rejected in BASELINE.md — this is the structural cut instead). The
-    // gram-keyed exchange now carries (g, 8-byte mask) partials. Pairs of
-    // set bits expand by the same diagonal-inclusive nested transform as
-    // before, over INT bit indices instead of strings; >63 sources falls
-    // back to the collect_set form (the mask is the common case — a
-    // curated corpus has tens of sources, and ScaleUp holds the source
-    // domain fixed across copies).
+    // gram-keyed exchange now carries (g, 8-byte mask) partials; set-bit
+    // pairs expand via the native [[graft.functions.MaskBitPairs]] (the
+    // first cut's HOF expansion was measured 28% SLOWER than collect_set
+    // at 1000× despite the shuffle win — interpreted lambdas per gram);
+    // >63 sources falls back to the collect_set form (the mask is the
+    // common case — a curated corpus has tens of sources, and ScaleUp
+    // holds the source domain fixed across copies).
     val matrix0 =
       if (srcList.nonEmpty && srcList.length <= 63) {
-        val idxFrame = broadcast(
-          srcList.zipWithIndex.toDF("source", "src_idx"))
-        grams.join(idxFrame, Seq("source"))
-          .groupBy(col("g"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), src_idx))").as("m"))
-          // bits materialized ONCE per gram (63 lambda evals), then the
-          // expansion runs over the |bits|-sized actual set — the nested
-          // filter-in-transform form would re-scan all 63 slots per set
-          // bit per gram, and HOFs evaluate interpreted
-          .select(expr("filter(sequence(0, 62), i -> (m >> i) & 1 = 1)")
-            .as("bits"))
-          .select(expr(
-            """flatten(transform(bits, (a, i) ->
-              |  transform(slice(bits, i + 1, size(bits) - i),
-              |    b -> named_struct('ia', a, 'ib', b))))""".stripMargin)
-            .as("ps"))
-          .select(explode(col("ps")).as("p"))
-          .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+        // source → bit via a codegen'd when-chain (≤63 comparisons, no
+        // per-gram join probe), pair expansion via the NATIVE
+        // mask_bit_pairs (one compiled loop per distinct gram; the
+        // higher-order-function expansion it replaced ran ~63
+        // interpreted lambdas per gram — measured +2,000 cpu-s at the
+        // 1000× rung, see MaskBitPairs), matrix counted on the PACKED
+        // int pair key and unpacked once on the ≤|sources|² result
+        val bitOf = srcList.zipWithIndex.foldRight(lit(0L)) {
+          case ((s, i), acc) =>
+            when(col("source") === s, lit(1L << i)).otherwise(acc)
+        }
+        grams
+          .select(col("g"), bitOf.as("b"))
+          .groupBy(col("g")).agg(expr("bit_or(b)").as("m"))
+          .select(explode(
+            graft.functions.GraftFunctions.maskBitPairs(col("m"))).as("p"))
+          .groupBy(col("p"))
           .agg(count(lit(1)).as("n_common"))
           .select(
-            element_at(array(srcList.map(lit): _*), col("ia") + 1).as("src_a"),
-            element_at(array(srcList.map(lit): _*), col("ib") + 1).as("src_b"),
+            element_at(array(srcList.map(lit): _*),
+              expr("p DIV 64").cast("int") + 1).as("src_a"),
+            element_at(array(srcList.map(lit): _*),
+              expr("p % 64").cast("int") + 1).as("src_b"),
             col("n_common"))
       } else {
         val srcSets = grams.groupBy(col("g"))

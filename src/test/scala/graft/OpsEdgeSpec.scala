@@ -50,6 +50,28 @@ class OpsEdgeSpec extends SparkSpec {
     assert(nn === 1L)
   }
 
+  test("q139 sampling conf: deterministic sub-corpus, fraction in schema") {
+    spark.catalog.clearCache()
+    val full = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
+      .collect().head
+    assert(full.getAs[Long]("sample_denom") === 1L)
+    spark.conf.set("spark.graft.audit.sampleDenom", "5")
+    try {
+      spark.catalog.clearCache()
+      val s = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
+        .collect().head
+      assert(s.getAs[Long]("sample_denom") === 5L)
+      // the 1/5 doc sample must shrink BOTH algorithms' pair spaces
+      assert(s.getAs[Long]("n_exact") < full.getAs[Long]("n_exact"))
+      assert(s.getAs[Long]("n_lsh") < full.getAs[Long]("n_lsh"))
+      // deterministic: same conf, same sample, same row
+      spark.catalog.clearCache()
+      val s2 = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
+        .collect().head
+      assert(s2 === s)
+    } finally spark.conf.unset("spark.graft.audit.sampleDenom")
+  }
+
   test("q139 releases every cache entry it creates (withPersisted contract)") {
     spark.catalog.clearCache()
     val df = graft.queries.TextQueries.q139LshRecall(spark, sfDir)
