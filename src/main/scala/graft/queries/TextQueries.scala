@@ -74,9 +74,24 @@ object TextQueries {
     * but minhash is CPU-bound, so we spread rows across all cores first
     * (at 100 TB the table has thousands of splits and the repartition is
     * unnecessary but harmless: it's narrow-per-row compute either way). */
+  /** documents with worker-spread GUARANTEED but not forced: the sf0.1
+    * fixture is ONE parquet file, so the CPU-bound per-row pipelines
+    * (minhash, simhash, window digests) must fan it across cores; at
+    * rung/production scale the scan already has ≥ cores splits and an
+    * unconditional repartition is a pure-cost exchange of the full text
+    * column — measured at the 1000× rung as the in-suite q197-vs-q20
+    * shuffle delta (9.33 vs 4.30 GB: the exchange is RE-PAID per job
+    * when the eager spine fill splits the query, since exchange reuse
+    * never crosses job boundaries). Conditional on the actual file
+    * count, both regimes get the right plan. */
+  private def spreadDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    if (base.inputFiles.length >= spark.sparkContext.defaultParallelism) base
+    else base.repartition(spark.sparkContext.defaultParallelism)
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadDocs(spark, dir)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.shingles3(col("toks")).as("sh"))
 
@@ -610,8 +625,7 @@ object TextQueries {
         length(col("norm_text")).cast("long").as("norm_len"))
 
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadDocs(spark, dir)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       // native SimHash, not the HOF `Dedup.simhash16FromHashes` builder:
       // the HOF form re-aggregates the md5-hex array once PER BIT with a
@@ -1094,8 +1108,7 @@ object TextQueries {
     * integers, oracle-exact. */
   def q98SigUnion(spark: SparkSession, dir: String): DataFrame = {
     val sigMin = udaf(graft.functions.ElementwiseMinLong)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadDocs(spark, dir)
       .select(col("source"), Dedup.shingles3(TA.tokens(col("text"))).as("sh"))
       .select(col("source"), Dedup.minhashSignature(col("sh")).as("sig"))
       .groupBy(col("source"))
@@ -1905,6 +1918,11 @@ object TextQueries {
 
   def q178DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
+    // unconditional spread KEPT here (unlike the verify family's
+    // spreadDocs): removing it at the 1000× rung cut shuffle 16% but the
+    // sibling q182 measured +51% cpu / +53% wall on the same change —
+    // the window-digest explode wants the round-robin balance more than
+    // it wants the exchange back (measured rejection, r8)
     val wins = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
@@ -1968,6 +1986,10 @@ object TextQueries {
     * the per-doc cut-array join, both fixed-width. */
   def q182DedupRewrite(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
+    // unconditional spread KEPT (q178's rationale): the conditional form
+    // measured 435 s / 13,025 cpu-s at the 1000× rung vs the suite
+    // record's 284 s / 8,613 — the rewrite's grouped re-read leans on
+    // the balanced layout (measured rejection, r8)
     val toks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
