@@ -14,6 +14,30 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same ladder hook as Bench (local identity checks under rung confs,
+    // e.g. digestHex=16), restricted to spark.graft.* keys
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        require(k.startsWith("spark.graft."),
+          s"SPARK_GRAFT_CONF only sets spark.graft.* keys, got $k")
+        spark.conf.set(k, v)
+      })
+    // fail fast on confs whose non-default settings change RESULT VALUES:
+    // the oracle SQL is built for the defaults, so running the compare
+    // with e.g. sampleDenom=10 produces a guaranteed hash mismatch that
+    // would read as a correctness failure instead of a config conflict.
+    // (Confs with spec-pinned OUTPUT IDENTITY — dedup.digestHex,
+    // approx.percentile at fixture scale — are deliberately allowed:
+    // a green compare under them is evidence, not noise.)
+    Seq("spark.graft.audit.sampleDenom" -> "1",
+        "spark.graft.ann.nProbe" -> "2").foreach { case (k, dflt) =>
+      spark.conf.getOption(k).filter(_ != dflt).foreach { v =>
+        sys.error(s"$k=$v is a Bench-ladder knob: the DuckDB oracle is " +
+          s"built for $k=$dflt, so an oracle compare under this setting " +
+          "hash-mismatches by construction. Unset it for Verify runs.")
+      }
+    }
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (same env contract as Bench); the driver sets
     // nothing, so its run always dumps the full inventory

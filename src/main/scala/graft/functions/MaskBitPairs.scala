@@ -24,9 +24,15 @@ import org.apache.spark.sql.types._
   * array, no closures, no per-element boxing.
   *
   * Contract: input is a non-negative long using bits 0..62 (bit 63
-  * clear — the caller's source index is capped at 63 sources). Output
-  * pairs are emitted in (ia asc, ib asc) order; `p DIV 64` and
-  * `p % 64` recover the indices. NULL mask -> NULL. */
+  * clear — the caller's source index is capped at 63 sources). A
+  * NEGATIVE mask (bit 63 set) fails loudly in both eval and codegen:
+  * the pair loop scans bits 0..62 only, so accepting bit 63 would
+  * size the output by bitCount over all 64 bits and silently emit
+  * zero-filled tail slots that decode as spurious (0,0) pairs —
+  * mask_bit_pairs is a registered SQL function, so arbitrary input
+  * must error, not corrupt. Output pairs are emitted in (ia asc,
+  * ib asc) order; `p DIV 64` and `p % 64` recover the indices.
+  * NULL mask -> NULL. */
 case class MaskBitPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -41,6 +47,8 @@ case class MaskBitPairs(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val m = input.asInstanceOf[Long]
+    if (m < 0L) throw new IllegalArgumentException(
+      s"mask_bit_pairs: mask must be non-negative (bits 0..62), got $m")
     val k = java.lang.Long.bitCount(m)
     val out = new Array[Int](k * (k + 1) / 2)
     var idx = 0
@@ -64,6 +72,10 @@ case class MaskBitPairs(child: Expression) extends UnaryExpression {
       val idx = ctx.freshName("idx")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       s"""
+         |if ($m < 0L) {
+         |  throw new IllegalArgumentException(
+         |    "mask_bit_pairs: mask must be non-negative (bits 0..62), got " + $m);
+         |}
          |int $k = java.lang.Long.bitCount($m);
          |int[] $out = new int[$k * ($k + 1) / 2];
          |int $idx = 0;

@@ -132,7 +132,10 @@ object MediaCodec {
     while (pos + 8 <= blob.length && (samples == null || rate < 0)) {
       val id = tag(pos)
       val size = readLe32(blob, pos + 4)
-      require(size >= 0 && pos + 8 + size <= blob.length,
+      // compare in LONG space: a corrupt size field near 2^31 would wrap
+      // `pos + 8 + size` negative in int arithmetic, pass the check, and
+      // surface as ArrayIndexOutOfBounds instead of this message
+      require(size >= 0 && pos.toLong + 8L + size.toLong <= blob.length.toLong,
         s"chunk '$id' at $pos declares $size bytes past end of blob")
       id match {
         case "fmt " =>

@@ -51,6 +51,27 @@ class MaskBitPairsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("negative mask (bit 63) fails loudly on both execution paths") {
+    // a bit-63 mask would otherwise size the output by all 64 bits while
+    // the pair loop scans 0..62 — zero-filled tail slots decoding as
+    // spurious (0,0) pairs; as a registered SQL function this must error
+    def run(): Unit = spark.range(1)
+      .select(GraftFunctions.maskBitPairs(lit(-1L))).collect()
+    val e1 = intercept[Exception](run())
+    assert(e1.getMessage.contains("mask_bit_pairs") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mask_bit_pairs")))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val e2 = intercept[Exception](run())
+      assert(e2.getMessage.contains("mask_bit_pairs") ||
+        Option(e2.getCause).exists(_.getMessage.contains("mask_bit_pairs")))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("sorted_intersect_size on array<long>: agrees with " +
       "size(array_intersect), both execution paths, edges") {
     import spark.implicits._

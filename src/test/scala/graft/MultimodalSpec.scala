@@ -134,6 +134,14 @@ class MultimodalSpec extends SparkSpec {
     val compressed = good.clone() // fmt audioFormat lives at offset 20
     compressed(20) = 85 // MP3-in-WAV
     intercept[IllegalArgumentException] { MediaCodec.parseWav(compressed) }
+    // corrupt size near 2^31: int arithmetic would wrap pos+8+size
+    // negative and pass the bounds check, surfacing as an array error —
+    // the long-space compare must fail with the intended message
+    val big = Array.concat("RIFF".getBytes, Array[Byte](12, 0, 0, 0),
+      "WAVE".getBytes, "data".getBytes,
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f)) // 2^31-8
+    val e = intercept[IllegalArgumentException] { MediaCodec.parseWav(big) }
+    assert(e.getMessage.contains("past end of blob"))
   }
 
   test("encode -> parse container pipeline round-trips every fixture blob " +
