@@ -22,6 +22,11 @@ case class ParsedMedia(media_id: Long, kind: String, container_bytes: Long,
                        width: Int, height: Int, sample_rate: Int,
                        blob: Array[Byte])
 
+/** Output of the perceptual transform ([[Multimodal.decodeDctFeatures]]):
+  * the low-frequency integer DCT coefficients of the parsed payload. */
+case class MediaDct(media_id: Long, kind: String, n_bytes: Long,
+                    coefs: Array[Long])
+
 /** Multimodal (image/audio/video) columns for a training-data pipeline.
   *
   * Media is modeled the way a 100 TB lakehouse stores it: an opaque `binary`
@@ -162,6 +167,24 @@ object Multimodal {
       }(enc)
       .toDF()
   }
+
+  /** REAL perceptual transform — the pHash recipe over the parsed
+    * payload: positional downscale to [[MediaDsp.Grid]] exact-integer
+    * cell means, then the fixed-point integer DCT-II, keeping the
+    * [[MediaDsp.Coeffs]] low-frequency coefficients ([[MediaDsp]] for
+    * the portability + mel-rejection notes). Same mapPartitions
+    * execution contract as [[decodeFeatures]]; input is the PARSED
+    * container frame ([[parseContainers]]' output — blob = payload). */
+  def decodeDctFeatures(parsed: DataFrame): DataFrame =
+    parsed.select(col("media_id"), col("kind"), col("blob"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          MediaDct(r.media_id, r.kind, r.blob.length.toLong,
+            MediaDsp.dctFingerprint(r.blob))
+        }
+      }(Encoders.product[MediaDct])
+      .toDF()
 
   /** STUB positional downscale — the aHash grid shape: the blob split
     * into `segments` equal-width spans, per-span byte SUM and COUNT as

@@ -71,22 +71,21 @@ object MediaQueries {
   /** q200: media perceptual-hash near-dup — the image/audio dedup layer a
     * multimodal pipeline runs after exact content-hash dedup (q24's
     * sha256 catches byte-identical blobs; this catches re-encodes and
-    * small edits). A 60-bit perceptual fingerprint is built from the
-    * POSITIONAL downscale stub ([[Multimodal.decodeSegments]] — the aHash
-    * pixel-grid shape: 15 equal spans × 4 mean-relative threshold levels;
-    * production swaps the span means for downscaled-DCT coefficients and
-    * keeps everything downstream unchanged), then banded with the same
-    * lossless Manku block-permutation tables as q44 (radius-3 pigeonhole,
-    * corpus-adaptive block count) and verified with exact Hamming ≤ 3 —
-    * candidates only ever meet inside a shared band bucket, never via a
-    * corpus self-scan. Feature choice is measured, not aesthetic: the
-    * byte-HISTOGRAM features are degenerate on ASCII text (3 live bins of
-    * 16 — measured: every same-kind fixture pair lands within Hamming 3
-    * under any threshold scheme), while positional spans at ±1–3%-of-mean
-    * thresholds separate the fixture to ~1 natural pair in 125k. Every
-    * bit is an exact integer cross-multiplication (span_sum·bytes·100 >
-    * total·span_count·level, decimal(38,0)/HUGEINT) so the fingerprint is
-    * engine-portable bit for bit. Output is per EXACT-fingerprint group
+    * small edits). A 60-bit perceptual fingerprint is built by the REAL
+    * pHash recipe over the PARSED payload ([[graft.ops.MediaDsp]]):
+    * positional downscale to 32 exact-integer cell means, fixed-point
+    * integer DCT-II, the 15 low-frequency AC coefficients binarized at 4
+    * magnitude-relative thresholds each (bit(k,t) = 60·c_k > θ_t·Σ|c|,
+    * θ ∈ {-3,-1,1,3} — a 5-level quantizer per coefficient, all long
+    * arithmetic). The DCT drops the mean (k ≥ 1), so brightness/offset
+    * re-encodes collide — the perceptual point — while the oracle gets
+    * the IDENTICAL cosine table as interpolated literals, keeping the
+    * fingerprint engine-portable bit for bit. Fingerprints are then
+    * banded with the same lossless Manku block-permutation tables as q44
+    * (radius-3 pigeonhole, corpus-adaptive block count) and verified
+    * with exact Hamming ≤ 3 — candidates only ever meet inside a shared
+    * band bucket, never via a corpus self-scan.
+    * Output is per EXACT-fingerprint group
     * (rep id + member count + near-group count + nearest near-rep), never
     * per pair: re-encode cliques collapse to one representative BEFORE
     * any pairwise work, so output and join cost are linear in distinct
@@ -111,30 +110,29 @@ object MediaQueries {
           .withColumn("text", expr("replace(text, 'the', 'thf')")))
       .withColumn("media_id", col("media_id") + lit(1000000000L))
     val all = media(spark, dir).unionByName(twins)
-    // 60-bit fingerprint: 15 positional spans x 4 mean-relative threshold
-    // levels (x{0.97, 0.99, 1.01, 1.03}) — every bit an exact integer
-    // cross-multiplication over the decode stub's integer span sums
-    // container roundtrip first (q26's posture): fingerprints are built
-    // from PARSED pixels/samples — PPM pad zeros join the last span's
-    // counts, modeled by the oracle's padded-length arithmetic
-    val segs = Multimodal.decodeSegments(
+    // container roundtrip first (q26's posture): the fingerprint is built
+    // from PARSED pixels/samples — PPM pad zeros join the last cells,
+    // modeled by the oracle's padded-length arithmetic. The perceptual
+    // transform itself runs at the partition-wise decode boundary
+    // (MediaDsp.dctFingerprint); the binarization is Catalyst expressions
+    // over its exact integer coefficients.
+    val dct = Multimodal.decodeDctFeatures(
         Multimodal.parseContainers(Multimodal.encodeContainers(all)))
       .filter(col("n_bytes") > 0)
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        expr("aggregate(seg_sums, CAST(0 AS BIGINT), (a, x) -> a + x)")
-          .as("s_all"),
-        posexplode(arrays_zip(col("seg_sums"), col("seg_counts")))
-          .as(Seq("seg", "z")))
       .select(col("media_id"), col("kind"),
-        (0 until 4).map(t =>
-          // decimal(38,0) cross products (oracle: HUGEINT): sum x bytes x
-          // 100 overflows a long exactly on GB-sized blobs
-          when(col("z.seg_sums").cast("decimal(38,0)") * col("n_bytes") * 100
-              > col("s_all").cast("decimal(38,0)") * col("z.seg_counts")
-                * (97 + 2 * t),
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(seg * 4 + $t AS INT))"))
-            .otherwise(0L)).reduce(_ + _).as("bit"))
-    val ph = segs.groupBy(col("media_id"), col("kind"))
+        expr("aggregate(coefs, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+          .as("amag"),
+        posexplode(col("coefs")).as(Seq("k0", "c")))
+      .select(col("media_id"), col("kind"),
+        (0 until 4).map { t =>
+          // bit(k,t): 60·c_k > θ_t·Σ|c|, θ_t = 2t−3 ∈ {-3,-1,1,3} — i.e.
+          // c_k vs ±¼/±¾ of the mean |coefficient|; all long-safe
+          // (|c| ≤ 3.4e13, see MediaDsp's range proof)
+          when(col("c") * 60 > lit(2 * t - 3) * col("amag"),
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(k0 * 4 + $t AS INT))"))
+            .otherwise(0L)
+        }.reduce(_ + _).as("bit"))
+    val ph = dct.groupBy(col("media_id"), col("kind"))
       .agg(sum(col("bit")).as("phash"))
     // exact-fingerprint groups FIRST, banding over group REPRESENTATIVES
     // only. This is both the production shape (re-encodes collapse before
@@ -281,8 +279,13 @@ object MediaQueries {
     // 60-bit fingerprint — the q44 losslessness gate for the Manku
     // banding. The container roundtrip is modeled as arithmetic (q26's
     // rule): WAV payload == text; PPM zero-pads to whole RGB triples, so
-    // positions past the raw length carry byte value 0 and the span
-    // assignment runs over the PADDED length.
+    // positions past the raw length carry byte value 0 and the cell
+    // assignment runs over the PADDED length. The perceptual transform
+    // is replayed from its definition: 32 positional cells, fixed-point
+    // cell means (ss*256 // ns — floor over non-negatives on both
+    // engines), and the DCT as a join against THE SAME fixed-point
+    // cosine table MediaDsp computed (interpolated literals, so the
+    // compare never depends on either engine's libm).
     "q200_media_phash" ->
       s"""WITH md0 AS (
          |  SELECT doc_id AS media_id,
@@ -300,23 +303,26 @@ object MediaQueries {
          |       ELSE ((raw_bytes + 2) // 3) * 3 END AS BIGINT) AS n_bytes
          |  FROM md0),
          |chars AS (SELECT media_id, n_bytes,
-         |  (u.i - 1) * 15 // n_bytes AS seg,
+         |  (u.i - 1) * ${graft.ops.MediaDsp.Grid} // n_bytes AS cell,
          |  CAST(CASE WHEN u.i <= raw_bytes
          |    THEN ascii(substr(text, CAST(u.i AS INT), 1))
          |    ELSE 0 END AS BIGINT) AS bv
          |  FROM md CROSS JOIN LATERAL
          |    (SELECT unnest(generate_series(1, CAST(n_bytes AS INT))) AS i) u),
-         |segs AS (SELECT media_id, n_bytes, seg,
-         |  CAST(SUM(bv) AS BIGINT) AS ss, CAST(COUNT(*) AS BIGINT) AS ns
-         |  FROM chars GROUP BY 1, 2, 3),
-         |tot AS (SELECT media_id, CAST(SUM(ss) AS BIGINT) AS s_all
-         |  FROM segs GROUP BY 1),
-         |ph AS (SELECT s.media_id, m.kind,
-         |  CAST(SUM(CASE WHEN s.ss::HUGEINT * s.n_bytes * 100
-         |      > t2.s_all::HUGEINT * s.ns * (97 + 2 * u.t)
-         |    THEN (2 ** (s.seg * 4 + u.t))::BIGINT ELSE 0 END) AS BIGINT)
-         |    AS phash
-         |  FROM segs s JOIN tot t2 USING (media_id)
+         |cells AS (SELECT media_id, cell,
+         |  CAST(SUM(bv) AS BIGINT) * 256 // CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM chars GROUP BY 1, 2),
+         |ct(k, j, c) AS (VALUES ${graft.ops.MediaDsp.cosTableSqlValues}),
+         |coef AS (SELECT cl.media_id, ct.k,
+         |  CAST(SUM(cl.v * ct.c) AS BIGINT) AS ck
+         |  FROM cells cl JOIN ct ON ct.j = cl.cell GROUP BY 1, 2),
+         |amag AS (SELECT media_id, CAST(SUM(ABS(ck)) AS BIGINT) AS amag
+         |  FROM coef GROUP BY 1),
+         |ph AS (SELECT c2.media_id, m.kind,
+         |  CAST(SUM(CASE WHEN c2.ck * 60 > (2 * u.t - 3) * a.amag
+         |    THEN (2 ** ((c2.k - 1) * 4 + u.t))::BIGINT ELSE 0 END)
+         |    AS BIGINT) AS phash
+         |  FROM coef c2 JOIN amag a USING (media_id)
          |  JOIN md m USING (media_id)
          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t) u
          |  GROUP BY 1, 2),

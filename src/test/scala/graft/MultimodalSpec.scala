@@ -144,6 +144,83 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("past end of blob"))
   }
 
+  test("MediaDsp: fixed-point cosine table pinned on hand-computed entries; " +
+      "row sums exactly zero") {
+    import graft.ops.MediaDsp
+    // hand-computed: round(cos(pi*(2j+1)*k/64) * 2^14)
+    assert(MediaDsp.cosTable(0)(0) === 16364L)   // cos(pi/64)
+    assert(MediaDsp.cosTable(0)(31) === -16364L) // cos(63pi/64) = -cos(pi/64)
+    assert(MediaDsp.cosTable(7)(0) === 15137L)   // cos(pi/8) = 0.92388
+    assert(MediaDsp.cosTable(14)(16) === 11003L) // cos(495pi/64)
+    assert(MediaDsp.cosTable(3)(3) === 3196L)    // cos(28pi/64) = 0.19509
+    // analytic row sums are 0 for every AC row; the rounding preserves it
+    // (j <-> Grid-1-j antisymmetry), so a CONSTANT signal fingerprints as
+    // all-zero coefficients — spectral flatness, the pHash contract
+    MediaDsp.cosTable.zipWithIndex.foreach { case (row, k0) =>
+      assert(row.sum === 0L, s"row ${k0 + 1} sum")
+    }
+    assert(MediaDsp.dctOfCells(Array.fill(MediaDsp.Grid)(1234L)).forall(_ == 0L))
+  }
+
+  test("MediaDsp: DCT is linear and a delta cell reproduces its table column") {
+    import graft.ops.MediaDsp
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(MediaDsp.Grid)(rnd.nextInt(65280).toLong)
+    val b = Array.fill(MediaDsp.Grid)(rnd.nextInt(65280).toLong)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val sum = MediaDsp.dctOfCells(a).zip(MediaDsp.dctOfCells(b))
+      .map { case (x, y) => x + y }
+    assert(MediaDsp.dctOfCells(ab).toSeq === sum.toSeq) // exact integers
+    // delta at cell j scaled by 1: coefficients == column j of the table
+    (0 until MediaDsp.Grid by 7).foreach { j =>
+      val delta = Array.fill(MediaDsp.Grid)(0L); delta(j) = 1L
+      assert(MediaDsp.dctOfCells(delta).toSeq ===
+        MediaDsp.cosTable.map(_(j)).toSeq, s"delta at $j")
+    }
+  }
+
+  test("MediaDsp: dctFingerprint == cells-then-transform composition; " +
+      "floor cell means; empty-tail cells are zero") {
+    import graft.ops.MediaDsp
+    val payload = Array.tabulate(101)(i => ((i * 37) % 251).toByte)
+    val n = payload.length
+    val sums = new Array[Long](MediaDsp.Grid)
+    val counts = new Array[Long](MediaDsp.Grid)
+    payload.zipWithIndex.foreach { case (b, i) =>
+      val s = (i.toLong * MediaDsp.Grid / n).toInt
+      sums(s) += (b & 0xff); counts(s) += 1
+    }
+    val composed = MediaDsp.dctOfCells(MediaDsp.cellMeans(sums, counts))
+    assert(MediaDsp.dctFingerprint(payload).toSeq === composed.toSeq)
+    // payload shorter than the grid: trailing cells empty -> mean 0, and
+    // the fingerprint is still defined (no division by zero)
+    val short = MediaDsp.dctFingerprint(Array[Byte](10, 20))
+    assert(short.length === MediaDsp.Coeffs)
+    // floor semantics: 1 byte of value 255 in a cell of count 2 with a
+    // zero byte -> (255*256)/2 = 32640 exactly; spot-check via cellMeans
+    val s2 = new Array[Long](MediaDsp.Grid); val c2 = new Array[Long](MediaDsp.Grid)
+    s2(0) = 255; c2(0) = 2
+    assert(MediaDsp.cellMeans(s2, c2)(0) === 32640L)
+    s2(1) = 100; c2(1) = 3 // 25600/3 = 8533.33 -> floor 8533
+    assert(MediaDsp.cellMeans(s2, c2)(1) === 8533L)
+  }
+
+  test("decodeDctFeatures runs the transform at the partition boundary " +
+      "and matches MediaDsp on the parsed payload") {
+    import spark.implicits._
+    val parsed = Multimodal.parseContainers(Multimodal.encodeContainers(media))
+    val viaSpark = Multimodal.decodeDctFeatures(parsed)
+      .select(col("media_id"), col("coefs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = parsed.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(viaSpark.size === direct.size)
+    direct.foreach { case (id, payload) =>
+      assert(viaSpark(id) === graft.ops.MediaDsp.dctFingerprint(payload).toSeq,
+        s"media $id")
+    }
+  }
+
   test("encode -> parse container pipeline round-trips every fixture blob " +
       "and reads structure from the container bytes") {
     import spark.implicits._

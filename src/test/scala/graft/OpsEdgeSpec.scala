@@ -1185,21 +1185,31 @@ class OpsEdgeSpec extends SparkSpec {
 
   test("q200 phash groups: full independent recomputation agrees; every planted twin collapses into its original's group") {
     import spark.implicits._
-    // independent reimplementation of the whole fingerprint path
-    // (positional spans, exact cross-multiplied threshold bits)
-    def phashOf(text: String): Long = {
-      val b = text.getBytes("UTF-8"); val n = b.length
-      val sums = new Array[Long](15); val counts = new Array[Long](15)
+    // independent reimplementation of the whole fingerprint path — the
+    // pHash recipe in BigInt (the cosine table is the shared contract,
+    // pinned against hand literals in MultimodalSpec): container pad
+    // (PPM zero-pads non-audio payloads to whole RGB triples), 32
+    // positional cells, floor cell means, DCT, magnitude-relative bits
+    def phashOf(text: String, kind: String): Long = {
+      val raw = text.getBytes("UTF-8")
+      val pad = if (kind == "audio") 0 else (3 - raw.length % 3) % 3
+      val b = raw ++ new Array[Byte](pad)
+      val n = b.length
+      val G = graft.ops.MediaDsp.Grid
+      val sums = new Array[Long](G); val counts = new Array[Long](G)
       var i = 0
       while (i < n) {
-        val s = (i.toLong * 15 / n).toInt
+        val s = (i.toLong * G / n).toInt
         sums(s) += (b(i) & 0xff); counts(s) += 1; i += 1
       }
-      val sAll = sums.sum
+      val v = (0 until G).map(j =>
+        if (counts(j) > 0) BigInt(sums(j)) * 256 / counts(j) else BigInt(0))
+      val cs = (0 until graft.ops.MediaDsp.Coeffs).map(k0 =>
+        (0 until G).map(j => v(j) * graft.ops.MediaDsp.cosTable(k0)(j)).sum)
+      val amag = cs.map(_.abs).sum
       var h = 0L
-      for (s <- 0 until 15; t <- 0 until 4)
-        if (BigInt(sums(s)) * n * 100 > BigInt(sAll) * counts(s) * (97 + 2 * t))
-          h |= 1L << (s * 4 + t)
+      for (k0 <- cs.indices; t <- 0 until 4)
+        if (cs(k0) * 60 > amag * (2 * t - 3)) h |= 1L << (k0 * 4 + t)
       h
     }
     val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -1212,12 +1222,13 @@ class OpsEdgeSpec extends SparkSpec {
             (id + 1000000000L, kindOf(id), t.replace("the", "thf")) }
     // planted twins land within the detection radius of their original:
     // most collapse to the identical fingerprint (same group), a doc
-    // whose span mean sits on a threshold edge flips a bit or two and
+    // whose coefficient sits on a threshold edge flips a bit or two and
     // surfaces as a near-group pair instead — either way detected
     for ((id, t) <- docs if id % 25 == 0)
       assert(java.lang.Long.bitCount(
-        phashOf(t) ^ phashOf(t.replace("the", "thf"))) <= 3, s"twin of $id")
-    val groups = mediaRows.map { case (id, k, t) => (k, phashOf(t), id) }
+        phashOf(t, kindOf(id)) ^ phashOf(t.replace("the", "thf"), kindOf(id))) <= 3,
+        s"twin of $id")
+    val groups = mediaRows.map { case (id, k, t) => (k, phashOf(t, k), id) }
       .groupBy(r => (r._1, r._2))
       .map { case ((k, p), rs) => (k, p, rs.map(_._3).min, rs.size.toLong) }
       .toSeq
