@@ -115,4 +115,27 @@ object VectorLake {
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_buckets"))
       .select(col("s").as("bucket_size"), col("n_buckets"))
+
+  /** The rebuild trigger as one number: mean live-bucket occupancy ×1000
+    * (exact integer). Compare against [[graft.ops.Similarity
+    * .adaptivePlanes]]' targetBucket — appends degrade occupancy
+    * linearly under the frozen pn; when the mean has drifted well past
+    * the target, [[rebuild]]. */
+  def meanOccupancyPermille(spark: SparkSession, path: String): Long = {
+    val r = bucketStats(spark, path)
+      .agg(sum(col("bucket_size") * col("n_buckets")).as("rows"),
+        sum(col("n_buckets")).as("buckets")).head()
+    r.getAs[Long]("rows") * 1000L / r.getAs[Long]("buckets")
+  }
+
+  /** REBUILD: a new index GENERATION at `newPath`, re-banked from the
+    * lake's own payload under a freshly-derived adaptive layout — the
+    * response when [[meanOccupancyPermille]] drifts past the build
+    * target. Written to a new path, never in place: the old generation
+    * stays fully queryable until the caller swaps its pointer, and a
+    * lazy Spark read of `oldPath/vectors` must not race an overwrite of
+    * the same files. */
+  def rebuild(spark: SparkSession, oldPath: String, newPath: String,
+              tables: Int = DefaultTables): Layout =
+    build(spark, spark.read.parquet(s"$oldPath/vectors"), newPath, tables)
 }

@@ -243,21 +243,46 @@ object SimilarityQueries {
     * replays the identical integer recurrence so the composition stays
     * hash-exact.) */
   def q29AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    // trained coarse quantizer: q142 round-3 centroids, exact integer
-    // c_units -> the SAME double (c_units / 1e6) the oracle computes
+    // conf'd probe width (`spark.graft.ann.nProbe`, default 2): the
+    // recall/cost dial — probing n nearest coarse cells reuses the SAME
+    // broadcast centroid frame and adds no exchange, only candidate
+    // volume. The oracle is built for the default; Verify fails fast on
+    // a non-default setting (a Bench-ladder knob), and q188's audit
+    // carries the measured recall at nProbe ∈ {1, 2, 4} so the dial is
+    // turned on evidence, not hope.
+    val np = spark.conf.getOption("spark.graft.ann.nProbe")
+      .map(_.toInt).getOrElse(nProbe)
+    require(np >= 1 && np <= kCentroids,
+      s"spark.graft.ann.nProbe must be in [1, $kCentroids], got $np")
+    ivfTopK(spark, dir, ivfCentroids(spark, dir), np)
+  }
+
+  /** The trained coarse quantizer: q142 round-3 centroids, exact integer
+    * c_units -> the SAME double (c_units / 1e6) the oracle computes.
+    * Collected driver-side — an IVF centroid table is k·d values by
+    * design. */
+  private[graft] def ivfCentroids(spark: SparkSession,
+                                  dir: String): Array[(Int, Array[Double])] = {
     val (kmeansFrame, releaseKmeans) = kmeansItersWithRelease(spark, dir)
     val rows =
       try kmeansFrame.select(col("cluster"), col("dim"), col("c_units")).collect()
       finally releaseKmeans() // collected eagerly; the pinned state is spent
-    val centroids: Array[(Int, Array[Double])] = rows
+    rows
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>
         (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2) / 1e6).toArray)
       }
       .toArray
       .sortBy(_._1)
+  }
 
+  /** IVF cell-probe top-3 against a given centroid table at a given probe
+    * width — q29's engine, parameterized so q188 can audit several probe
+    * widths over ONE training pass. */
+  private[graft] def ivfTopK(spark: SparkSession, dir: String,
+                             centroids: Array[(Int, Array[Double])],
+                             np: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
     def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
     // per-row scored cells: array of struct(cs, cid), ranked by (cs desc,
     // cid asc) via lexicographic sort on struct(-cs, cid)
@@ -270,7 +295,7 @@ object SimilarityQueries {
       element_at(rankedCells(col("embedding")), 1).getField("cid").as("cell"))
     val qprobe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(rankedCells(col("embedding")), 1, nProbe)).as("pc"))
+        explode(slice(rankedCells(col("embedding")), 1, np)).as("pc"))
       .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
     val cos = Similarity.cosine(col("qe"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
@@ -328,17 +353,27 @@ object SimilarityQueries {
       df.filter(col("rn") <= 3).select(col("qid"), col("neighbor_id"))
         .join(exact, Seq("qid", "neighbor_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    // ONE training pass feeds all three IVF probe widths — the audit
+    // prices the nProbe dial (candidates scale with probed cells; the
+    // centroid frame and plan shape are identical)
+    val cents = ivfCentroids(spark, dir)
     exact.select(col("qid")).distinct()
       .join(hits(q23AnnSrp(spark, dir), "srp_hits"), Seq("qid"), "left")
       .join(hits(q185MultiprobeAnn(spark, dir), "mp_hits"), Seq("qid"), "left")
-      .join(hits(q29AnnIvf(spark, dir), "ivf_hits"), Seq("qid"), "left")
+      .join(hits(ivfTopK(spark, dir, cents, 1), "ivf_np1_hits"), Seq("qid"), "left")
+      .join(hits(ivfTopK(spark, dir, cents, nProbe), "ivf_hits"), Seq("qid"), "left")
+      .join(hits(ivfTopK(spark, dir, cents, 4), "ivf_np4_hits"), Seq("qid"), "left")
       .select(col("qid"), lit(3L).as("k"),
         coalesce(col("srp_hits"), lit(0L)).as("srp_hits"),
         coalesce(col("mp_hits"), lit(0L)).as("mp_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+        coalesce(col("ivf_np1_hits"), lit(0L)).as("ivf_np1_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("ivf_np4_hits"), lit(0L)).as("ivf_np4_hits"))
       .withColumn("srp_recall_ppm", expr("srp_hits * 1000000 DIV 3"))
       .withColumn("mp_recall_ppm", expr("mp_hits * 1000000 DIV 3"))
+      .withColumn("ivf_np1_recall_ppm", expr("ivf_np1_hits * 1000000 DIV 3"))
       .withColumn("ivf_recall_ppm", expr("ivf_hits * 1000000 DIV 3"))
+      .withColumn("ivf_np4_recall_ppm", expr("ivf_np4_hits * 1000000 DIV 3"))
   }
 
   /** Candidate-pool width for q202's MMR rerank. */
@@ -1559,7 +1594,11 @@ object SimilarityQueries {
        |SELECT r.qid, nc.n_cand, r.neighbor_id, ROUND(r.cs, 6) AS cos, r.rn
        |FROM r JOIN nc ON nc.qid = r.qid WHERE r.rn <= 3""".stripMargin
 
-  private lazy val q29IvfSql: String =
+  private lazy val q29IvfSql: String = q29IvfSqlAt(nProbe)
+
+  /** The IVF oracle at an explicit probe width — q188's three arms replay
+    * it at np ∈ {1, 2, 4} over the same kmeans CTE chain. */
+  private def q29IvfSqlAt(np: Int): String =
     s"""WITH $kmeansCtes,
        |cent AS (SELECT cluster AS cid,
        |  list(CAST(cq - 1000000 AS DOUBLE) / 1e6 ORDER BY dim) AS ce
@@ -1572,7 +1611,7 @@ object SimilarityQueries {
        |  FROM scored),
        |assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
        |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM ranked
-       |  WHERE vec_id < $nQueries AND rn <= $nProbe),
+       |  WHERE vec_id < $nQueries AND rn <= $np),
        |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
        |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
        |  WHERE a.vec_id <> q.qid),
@@ -1881,25 +1920,37 @@ object SimilarityQueries {
       s"""WITH ex AS (SELECT qid, neighbor_id FROM ($q22Sql) WHERE rn <= 3),
          |srp AS (SELECT qid, neighbor_id FROM ($q23Sql)),
          |mp AS (SELECT qid, neighbor_id FROM ($q185Sql)),
+         |ivf1 AS (SELECT qid, neighbor_id FROM (${q29IvfSqlAt(1)})),
          |ivf AS (SELECT qid, neighbor_id FROM ($q29IvfSql)),
+         |ivf4 AS (SELECT qid, neighbor_id FROM (${q29IvfSqlAt(4)})),
          |hs AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS srp_hits
          |  FROM ex JOIN srp USING (qid, neighbor_id) GROUP BY 1),
          |hm AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS mp_hits
          |  FROM ex JOIN mp USING (qid, neighbor_id) GROUP BY 1),
+         |hi1 AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS ivf_np1_hits
+         |  FROM ex JOIN ivf1 USING (qid, neighbor_id) GROUP BY 1),
          |hi AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS ivf_hits
          |  FROM ex JOIN ivf USING (qid, neighbor_id) GROUP BY 1),
+         |hi4 AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS ivf_np4_hits
+         |  FROM ex JOIN ivf4 USING (qid, neighbor_id) GROUP BY 1),
          |qs AS (SELECT DISTINCT qid FROM ex)
          |SELECT qs.qid, CAST(3 AS BIGINT) AS k,
          |  COALESCE(hs.srp_hits, 0) AS srp_hits,
          |  COALESCE(hm.mp_hits, 0) AS mp_hits,
+         |  COALESCE(hi1.ivf_np1_hits, 0) AS ivf_np1_hits,
          |  COALESCE(hi.ivf_hits, 0) AS ivf_hits,
+         |  COALESCE(hi4.ivf_np4_hits, 0) AS ivf_np4_hits,
          |  COALESCE(hs.srp_hits, 0) * 1000000 // 3 AS srp_recall_ppm,
          |  COALESCE(hm.mp_hits, 0) * 1000000 // 3 AS mp_recall_ppm,
-         |  COALESCE(hi.ivf_hits, 0) * 1000000 // 3 AS ivf_recall_ppm
+         |  COALESCE(hi1.ivf_np1_hits, 0) * 1000000 // 3 AS ivf_np1_recall_ppm,
+         |  COALESCE(hi.ivf_hits, 0) * 1000000 // 3 AS ivf_recall_ppm,
+         |  COALESCE(hi4.ivf_np4_hits, 0) * 1000000 // 3 AS ivf_np4_recall_ppm
          |FROM qs
          |LEFT JOIN hs ON hs.qid = qs.qid
          |LEFT JOIN hm ON hm.qid = qs.qid
-         |LEFT JOIN hi ON hi.qid = qs.qid""".stripMargin,
+         |LEFT JOIN hi1 ON hi1.qid = qs.qid
+         |LEFT JOIN hi ON hi.qid = qs.qid
+         |LEFT JOIN hi4 ON hi4.qid = qs.qid""".stripMargin,
 
     // lexical arm = the shared bm25 CTE chain (TextQueries); semantic arm
     // mirrors q23's SRP banding with se-prefixed CTE names; fusion is

@@ -707,9 +707,25 @@ object TextQueries {
     // LogicalRDDs before returning, so unlike lazy q44 this query has no
     // cache excuse — release the signature frame on the way out (the
     // ContractSpec cache-lifetime sweep enforces exactly this).
+    //
+    // `spark.graft.components.algo` = jump (default) | star picks the
+    // iteration scheme — pointer-jumping label propagation vs the
+    // published large-star/small-star edge contraction
+    // ([[graft.ops.Components]]). Both are spec-pinned to the union-find
+    // oracle and produce IDENTICAL labels, so the conf is a pure ladder
+    // knob (output-identity class, like digestHex); BASELINE.md records
+    // the 10M-doc comparison that chose the default.
+    val cc: DataFrame => DataFrame =
+      spark.conf.getOption("spark.graft.components.algo")
+        .getOrElse("jump") match {
+        case "jump" => graft.ops.Components.connectedComponents(_)
+        case "star" => graft.ops.Components.connectedComponentsStar(_)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.components.algo must be jump|star, got $other")
+      }
     val sims = simhashSims(spark, dir)
-    try graft.ops.Components.connectedComponents(
-      simhashPairsFrom(sims, mankuBlocks(spark, dir)).select("doc1", "doc2"))
+    try cc(simhashPairsFrom(sims, mankuBlocks(spark, dir))
+      .select("doc1", "doc2"))
     finally sims.unpersist(blocking = true)
   }
 

@@ -18,8 +18,13 @@ class QualitySpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "en"), (2L, null), (3L, "fr"), (4L, null))
       .toDF("doc_id", "lang")
-    // baseline: how many Spark jobs a plain count() costs (AQE splits it)
-    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // baseline: how many Spark jobs a plain count() costs (AQE splits it).
+    // Count via the MAX job id, not the id-list length: the status
+    // tracker retains a bounded window of jobs, so late in a long suite
+    // the list SHRINKS while new jobs run and length deltas go negative;
+    // ids themselves are monotone and eviction-proof.
+    def jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).maxOption.getOrElse(-1)
     val j0 = jobs
     df.count()
     val baseline = jobs - j0

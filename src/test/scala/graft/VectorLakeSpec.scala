@@ -86,6 +86,62 @@ class VectorLakeSpec extends SparkSpec {
     assert(returned.subsetOf(legal))
   }
 
+  test("rebuild path: appends drift occupancy past the build target, the " +
+      "rebuild migrates the layout, and queries stay correct across the swap") {
+    import spark.implicits._
+    val gen1 = freshPath()
+    val gen2 = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    // build small (100 vectors), then grow the corpus 5x by appends
+    val l0 = VectorLake.build(spark, emb.filter(col("vec_id") < 100), gen1)
+    VectorLake.append(spark, emb.filter(col("vec_id") >= 100), gen1)
+    // drift: mean occupancy under the frozen pn is now well past the
+    // adaptive target (32/bucket) — the measured trigger fires
+    val drifted = VectorLake.meanOccupancyPermille(spark, gen1)
+    assert(drifted > 32000L * 3 / 2,
+      s"occupancy $drifted permille did not drift past 1.5x the target")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val beforeTop1 = VectorLake.topK(spark, queries, gen1, k = 3)
+      .filter(col("rk") === 1).select("qid", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    // REBUILD into a new generation from the lake's own payload
+    val l1 = VectorLake.rebuild(spark, gen1, gen2)
+    // the new layout's pn reflects the GROWN corpus, not the build-time one
+    assert(l1.pn === Similarity.adaptivePlanes(500))
+    assert(l1.pn > l0.pn, s"pn did not grow: ${l0.pn} -> ${l1.pn}")
+    // occupancy restored to the target's neighborhood
+    val rebuilt = VectorLake.meanOccupancyPermille(spark, gen2)
+    assert(rebuilt <= drifted / 2,
+      s"rebuild did not restore occupancy: $drifted -> $rebuilt permille")
+    // old generation untouched and still answers identically (swap-safety)
+    assert(VectorLake.layoutOf(spark, gen1) === l0)
+    val oldAgain = VectorLake.topK(spark, queries, gen1, k = 3)
+      .filter(col("rk") === 1).select("qid", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(oldAgain === beforeTop1)
+    // new generation: every banked vector present exactly tables times,
+    // queries still rank themselves first, and every result comes from a
+    // banked bucket of the NEW index
+    assert(spark.read.parquet(s"$gen2/buckets").count() === 500L * l1.tables)
+    val got = VectorLake.topK(spark, queries, gen2, k = 3)
+    val top1 = got.filter(col("rk") === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(top1 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val signs = Similarity.hyperplaneSigns(
+      l1.tables * Similarity.MaxPlanesPerTable, l1.dims)
+    val qb = queries
+      .select(col("qid"), posexplode(Similarity.srpBucketsComposed(
+        col("qe"), signs, l1.tables, l1.pn)))
+      .select(col("qid"), col("pos").as("tbl"), col("col").as("bucket"))
+    val legal = spark.read.parquet(s"$gen2/buckets")
+      .join(qb, Seq("tbl", "bucket"))
+      .select(col("qid"), col("vec_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      .subsetOf(legal))
+  }
+
   test("bucketStats: occupancy histogram accounts for every banked (vector, table) row") {
     import spark.implicits._
     val path = freshPath()
