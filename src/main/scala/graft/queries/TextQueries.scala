@@ -3012,6 +3012,158 @@ object TextQueries {
           .as("fill_bp"))
   }
 
+  // ---- q211/q212: model-based quality filter (batch perceptron) ----------
+
+  /** Training rounds for the q211/q212 linear filter. Fixed (not a conf):
+    * the oracle unrolls exactly this many CTE pairs, and batch perceptron
+    * error stops improving on the fixture well inside this horizon. */
+  private[graft] val perceptronRounds = 6
+
+  /** Feature width: the corpus top-K vocabulary (q133's cut — ties broken
+    * count-desc-then-token so the selection is a total order). */
+  private[graft] val clfVocabK = 16
+
+  /** Batch-perceptron trainer over (doc_id, y ∈ {+1,−1}, toks) rows:
+    * features are exact integer counts of the corpus top-[[clfVocabK]]
+    * tokens plus a constant bias slot, and each round adds Σ y·x over the
+    * currently misclassified docs (y·(w·x) ≤ 0) to the weight vector — the
+    * classic batch update, commutative integer sums only, so the result is
+    * row-order-independent and bit-exact across engines.
+    *
+    * Shape (q71's driver-loop posture): rounds are inherently sequential,
+    * so each is ONE narrow pass over the persisted feature frame — the
+    * margin is a per-row `long_vec_dot` against the current weights
+    * INLINED as a literal (the bounded-collect class: one (K+1)-long row
+    * per round, exactly q71's one-row-per-merge-step loop), and the update
+    * is a single `long_vec_sum` aggregate collapsing map-side to K+1
+    * longs per partition. At 100 TB: R linear passes, a K+1-long
+    * driver round-trip per round, nothing else. The literal-weights form
+    * replaced a lazy per-round broadcast-join chain: measured at sf0.1 the
+    * chain cost 15.1 s unpersisted (each round's 1-row frame is referenced
+    * twice downstream → 2^R re-evaluations) and 3.5 s with per-round
+    * persists (2 jobs/round of fixed overhead); this form runs the same
+    * passes in R+1 jobs and leaves NOTHING pinned — no cache contract.
+    * Overflow headroom: |x| ≤ doc token count and |w| grows by at most
+    * Σ|x| per round, so products stay far inside int64 for any corpus
+    * readable by one engine.
+    *
+    * Returns (vocab in rank order, w of length |vocab|+1, w(0) = bias;
+    * |vocab| < K on tiny corpora). PRECONDITION (q126's contract): `docs`
+    * must be persisted by the caller — the vocab pass and every round
+    * re-read it. */
+  private[graft] def perceptronFromDocs(docs: DataFrame)
+      : (Seq[String], Seq[Long]) = {
+    require(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "perceptronFromDocs requires a persisted docs frame (each training " +
+        "round re-reads it; unpersisted input would re-tokenize R times)")
+    // top-K vocab; the K-row collect is bounded by construction and the
+    // driver re-sort pins the count-desc-then-token total order (q133's
+    // cut) independent of collect's partition arrival order
+    val vocab: Seq[String] = docs.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(clfVocabK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.map(_._1).toSeq
+    val xq = concat(array(lit(1L)),
+      transform(typedLit(vocab), t =>
+        size(filter(col("toks"), tk => tk === t)).cast("long")))
+    val pts = docs.select(col("y"), xq.as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = new Array[Long](vocab.size + 1)
+    for (_ <- 1 to perceptronRounds) {
+      // Σ y·x over misclassified docs; long_vec_sum yields NULL when the
+      // round has none (converged) — then w stays as-is
+      val d = pts.filter(col("y") * graft.functions.GraftFunctions.longVecDot(
+          col("xq"), typedLit(w.toSeq)) <= 0)
+        .agg(graft.functions.GraftFunctions.longVecSum(
+          expr("transform(xq, v -> v * y)")).as("d"))
+        .head()
+      if (!d.isNullAt(0)) {
+        val delta = d.getSeq[Long](0)
+        for (j <- w.indices) w(j) += delta(j)
+      }
+    }
+    pts.unpersist()
+    (vocab, w.toSeq)
+  }
+
+  /** Label + token frame for the fixture's filter target: the pipeline's
+    * target language ('en', the corpus majority) is the positive class —
+    * the CCNet/fastText posture of "keep what looks like the curated
+    * target distribution", trained here from the lang column as weak
+    * supervision. */
+  private def clfDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        TA.tokens(col("text")).as("toks"))
+
+  /** q211: model-based quality-filter TRAINING — the linear classifier
+    * every published web-corpus pipeline runs before pretraining (CCNet's
+    * fastText filter, GPT-3's LR-over-hashed-features WebText filter),
+    * trained IN-ENGINE as a batch perceptron on exact integer token-count
+    * features (see [[perceptronFromDocs]] for the update rule, the scale
+    * shape, and the measured lazy-chain rejection). Output: the trained
+    * weight table, one row per feature (rank 0 = '<bias>', ranks 1..K =
+    * the vocab tokens) — integer weights, bit-exact vs the oracle's
+    * unrolled-round replay. Eager by design (q71's class): training runs
+    * at call time; the returned frame is the driver-built weight table
+    * and nothing stays pinned.
+    *
+    * Fixture signal, measured (sf0.01, 500 docs, 31-token vocabulary):
+    * the lang classes differ only in token-mixture proportions, so the
+    * linear ceiling is low — full-vocab Naive Bayes reaches 61.6% train
+    * accuracy; this model lands at 58.8% vs the 56.4% majority baseline,
+    * with the en-heavy tokens (order/table/hash/window) taking the large
+    * positive weights. Damped steps (w += Σy·x ÷ round) and K=31 were
+    * both tested and land in the same 56–60% band — the ceiling is the
+    * fixture's, not the optimizer's, so the simple undamped batch rule
+    * stays (it is also the variant whose oracle replay is cheapest). */
+  def q211PerceptronTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = clfDocs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocab, w) = perceptronFromDocs(docs)
+    docs.unpersist()
+    import spark.implicits._
+    ("<bias>" +: vocab).zip(w).zipWithIndex
+      .map { case ((f, wj), j) => (j.toLong, f, wj) }
+      .toDF("feat_rank", "feature", "weight")
+  }
+
+  /** q212: the trained filter APPLIED — per-lang classification report
+    * (predicted-target counts, accuracy in the suite's half-up basis
+    * points, exact integer margin mass). This is the operator a corpus
+    * intake actually runs: one narrow scoring pass (features + dot against
+    * the literal weights, no shuffle) followed by a 5-row report agg; at
+    * 100 TB the scoring pass is the whole cost and it is embarrassingly
+    * parallel. Prediction convention: margin > 0 is the target class
+    * (ties negative, matching training's y·m ≤ 0 rule). margin_sum is
+    * reported as the exact integer total — a MEAN would need negative
+    * floor division, where Spark's DIV (truncate) and DuckDB's // (floor)
+    * disagree. */
+  def q212ClassifierReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = clfDocs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocab, w) = perceptronFromDocs(docs)
+    docs.unpersist() // scoring below is one narrow pass; lazy re-tokenize
+    val xq = concat(array(lit(1L)),
+      transform(typedLit(vocab), t =>
+        size(filter(col("toks"), tk => tk === t)).cast("long")))
+    clfDocs(spark, dir)
+      .select(col("lang"), col("y"),
+        graft.functions.GraftFunctions.longVecDot(xq, typedLit(w))
+          .as("margin"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_pred_target"),
+        sum(when((col("margin") > 0) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("margin")).as("margin_sum"))
+      .select(col("lang"), col("n_docs"), col("n_pred_target"), col("n_correct"),
+        expr("(2 * n_correct * 10000 + n_docs) DIV (2 * n_docs)").as("acc_bp"),
+        col("margin_sum"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
@@ -3267,7 +3419,62 @@ object TextQueries {
         .cast("long").as("n_ips"))
   }
 
+  /** q211/q212's training replay: the identical integer recurrence
+    * unrolled as one (margin, weight) CTE pair per round — w0 is all
+    * zeros, round k adds Σ y·x over docs with y·margin ≤ 0 (LEFT JOIN +
+    * COALESCE keeps untouched weights when a round converges). Features
+    * are long-format (doc_id, j, x) with j=0 the bias; the sparse sum
+    * equals Spark's dense K+1 dot because absent features are zero. */
+  private lazy val perceptronCtes: String = {
+    val steps = (1 to perceptronRounds).map { k =>
+      s"""m$k AS (SELECT f.doc_id, SUM(f.x * w.w) AS margin
+         |  FROM f JOIN w${k - 1} w USING (j) GROUP BY 1),
+         |w$k AS (SELECT w.j, w.w + COALESCE(d.d, 0) AS w FROM w${k - 1} w
+         |  LEFT JOIN (SELECT f.j, SUM(yy.y * f.x) AS d
+         |    FROM f JOIN yy USING (doc_id) JOIN m$k m ON m.doc_id = f.doc_id
+         |    WHERE yy.y * m.margin <= 0 GROUP BY 1) d USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, lang,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, $toksSql AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |v AS (SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS j
+       |  FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+       |        ORDER BY n DESC, token LIMIT $clfVocabK)),
+       |f AS (SELECT doc_id, CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS x
+       |    FROM t
+       |  UNION ALL
+       |  SELECT tok.doc_id, v.j, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM tok JOIN v USING (token) GROUP BY 1, 2),
+       |yy AS (SELECT doc_id, y FROM t),
+       |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM
+       |  (SELECT CAST(0 AS BIGINT) AS j UNION ALL SELECT j FROM v))""".stripMargin +
+      ",\n" + steps
+  }
+
   val oracles: Map[String, String] = Map(
+    "q211_perceptron_train" ->
+      s"""WITH $perceptronCtes
+         |SELECT CAST(w.j AS BIGINT) AS feat_rank,
+         |  COALESCE(v.token, '<bias>') AS feature, CAST(w.w AS BIGINT) AS weight
+         |FROM w$perceptronRounds w LEFT JOIN v USING (j)""".stripMargin,
+
+    "q212_classifier_report" ->
+      s"""WITH $perceptronCtes,
+         |lm AS (SELECT f.doc_id, SUM(f.x * w.w) AS margin
+         |  FROM f JOIN w$perceptronRounds w USING (j) GROUP BY 1),
+         |s AS (SELECT t.lang, t.y, lm.margin FROM t
+         |  JOIN lm ON lm.doc_id = t.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_target,
+         |  CAST(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST((2 * SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS acc_bp,
+         |  CAST(SUM(margin) AS BIGINT) AS margin_sum
+         |FROM s GROUP BY 1""".stripMargin,
+
     // same 256-bucket md5 feature hash, Laplace(+1, +256) models, and the
     // one fixed double shape per bucket log-ratio (quantized per BUCKET,
     // then the per-doc weight is an exact integer dot product)
