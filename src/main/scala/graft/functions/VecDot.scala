@@ -132,6 +132,12 @@ object GraftFunctions {
   def longVecDot(a: Column, b: Column): Column =
     shim.column(LongVecDot(shim.expression(a), shim.expression(b)))
 
+  /** `vocab_counts(toks, vocab)` as a Column — per-needle occurrence counts
+    * over a token array in one hashed pass (see [[VocabCounts]] for the
+    * contract and the interpreted-HOF cost it replaces). */
+  def vocabCounts(toks: Column, vocab: Seq[String]): Column =
+    shim.column(VocabCounts(shim.expression(toks), vocab))
+
   /** `prune_sorted_positions(toks, cuts)` as a Column — drop the elements of
     * a string array at the given sorted distinct 0-based positions via an
     * O(n+m) merge walk (see [[PruneSortedPositions]] for the contract). */
@@ -208,6 +214,25 @@ object GraftFunctions {
     (FunctionIdentifier("token_class_counts"),
       new ExpressionInfo(classOf[TokenClassCounts].getName, "token_class_counts"),
       (args: Seq[Expression]) => TokenClassCounts(args.head)),
+    (FunctionIdentifier("vocab_counts"),
+      new ExpressionInfo(classOf[VocabCounts].getName, "vocab_counts"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"vocab_counts(toks, vocab) takes 2 arguments, got ${args.length}")
+        val v = args(1)
+        // the vocabulary is the model: a fixed plan literal, bound once as
+        // a hash map — not a per-row column (minhash_signature's pattern)
+        val okType = v.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }
+        if (!v.foldable || !okType) throw new IllegalArgumentException(
+          "vocab_counts vocab must be a foldable array<string> literal")
+        val arr = v.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val vocab = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        VocabCounts(args(0), vocab)
+      }),
     (FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) =>

@@ -1625,7 +1625,84 @@ object SimilarityQueries {
        |  FROM c)
        |SELECT qid, neighbor_id, ROUND(cs, 6) AS cos, rn FROM r WHERE rn <= 3""".stripMargin
 
+  /** q213: SQ8 scalar-quantization retrieval audit — the FAISS-style
+    * 8-bit scalar quantizer (symmetric, one global scale) that cuts
+    * vector bytes 4x at rest and in flight at 100 TB, priced for
+    * retrieval quality against the exact float arm. One 1-row max|x|
+    * aggregate fixes the scale (exact: abs/cast/max do no rounding, so
+    * the collected double and the oracle's CTE-computed double are the
+    * same value); one narrow pass quantizes q_i = floor(x_i * 127 /
+    * max|x|) into [-127, 127]; scoring is the EXACT integer dot
+    * (long_vec_dot - 64 dims * 127^2 is far inside int64, and integer
+    * scores make the top-k ordering bit-stable in a way the float arm's
+    * double cosines can never be across engines). Output: the sq8 top-5
+    * per probe with each neighbor flagged in/out of the exact float
+    * top-5 - the recall evidence, per rank, in-schema.
+    *
+    * Scale posture: the brute-force broadcast arm is the audit's
+    * ground-truth posture (q22's); in production the quantized vectors
+    * drop into the SAME IVF bucketing as q29 - the quantizer composes
+    * with the candidate-bounding layer, it does not replace it. The
+    * storage win lands when the lake materializes qv as bytes
+    * (VectorLake's layout seam); in-plan the win this query demonstrates
+    * is integer scoring + the measured recall price of 8 bits. */
+  def q213Sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxabs = emb.agg(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))")))
+      .head().getDouble(0)
+    require(maxabs > 0.0, "sq8 scale: all-zero embedding corpus")
+    val qvCol = transform(col("embedding"), v =>
+      floor(v.cast("double") * lit(127.0) / lit(maxabs)).cast("long"))
+    val qemb = emb.select(col("vec_id"), qvCol.as("qv"))
+    val q = qemb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val sq8 = qemb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.longVecDot(col("qq"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    val exact = q22CosineTopK(spark, dir)
+      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+    sq8.join(exact, Seq("qid", "neighbor_id"), "left")
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("neighbor_id"),
+        col("score").as("score_int"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q213_sq8_recall" ->
+      s"""WITH ma AS (SELECT MAX(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+         |    (a, b) -> greatest(a, b))) AS m FROM embeddings),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)) AS qv
+         |  FROM embeddings, ma),
+         |q AS (SELECT vec_id AS qid, qv AS qq FROM qe WHERE vec_id < $nQueries),
+         |s AS (SELECT q.qid, e.vec_id AS neighbor_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(generate_series(1, len(q.qq)), i -> q.qq[i] * e.qv[i])),
+         |    (x, y) -> x + y) AS score
+         |  FROM q CROSS JOIN qe e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, neighbor_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rn FROM s),
+         |ex AS (SELECT qid, neighbor_id, 1 AS hit FROM (
+         |  SELECT q2.qid, e2.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q2.qid
+         |      ORDER BY ${cosSql("q2.qe", "e2.embedding")} DESC, e2.vec_id ASC)
+         |      AS INT) AS rn2
+         |  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |        WHERE vec_id < $nQueries) q2
+         |  CROSS JOIN embeddings e2 WHERE e2.vec_id <> q2.qid) t WHERE rn2 <= 5)
+         |SELECT r.qid, r.rn, r.neighbor_id, r.score AS score_int,
+         |  CAST(COALESCE(ex.hit, 0) AS BIGINT) AS in_exact_top5
+         |FROM r LEFT JOIN ex ON ex.qid = r.qid AND ex.neighbor_id = r.neighbor_id
+         |WHERE r.rn <= 5""".stripMargin,
+
     // q205's per-label sums, paired by a plain inequality self-join
     "q207_centroid_matrix" ->
       """WITH q AS (SELECT label, list_transform(embedding,
