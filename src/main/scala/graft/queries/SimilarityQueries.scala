@@ -279,23 +279,30 @@ object SimilarityQueries {
   /** IVF cell-probe top-3 against a given centroid table at a given probe
     * width — q29's engine, parameterized so q188 can audit several probe
     * widths over ONE training pass. */
+  /** Per-row scored IVF cells: array of struct(-cs, cid), ranked by
+    * (cs desc, cid asc) via lexicographic sort — element 1 is the
+    * assignment cell, the first `np` are the probe list. Shared by
+    * [[ivfTopK]] (float scoring) and [[q214IvfSq8]] (sq8 scoring over
+    * the same coarse quantizer). */
+  private def rankedCells(centroids: Array[(Int, Array[Double])])
+                         (vec: Column): Column = {
+    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
+    array_sort(array(centroids.toIndexedSeq.map { case (cid, ce) =>
+      struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
+    }: _*))
+  }
+
   private[graft] def ivfTopK(spark: SparkSession, dir: String,
                              centroids: Array[(Int, Array[Double])],
                              np: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
-    // per-row scored cells: array of struct(cs, cid), ranked by (cs desc,
-    // cid asc) via lexicographic sort on struct(-cs, cid)
-    def rankedCells(vec: Column) = array_sort(array(centroids.toIndexedSeq.map {
-      case (cid, ce) =>
-        struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
-    }: _*))
+    def rankedCellsV(vec: Column) = rankedCells(centroids)(vec)
 
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      element_at(rankedCells(col("embedding")), 1).getField("cid").as("cell"))
+      element_at(rankedCellsV(col("embedding")), 1).getField("cid").as("cell"))
     val qprobe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(rankedCells(col("embedding")), 1, np)).as("pc"))
+        explode(slice(rankedCellsV(col("embedding")), 1, np)).as("pc"))
       .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
     val cos = Similarity.cosine(col("qe"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
@@ -1646,15 +1653,29 @@ object SimilarityQueries {
     * storage win lands when the lake materializes qv as bytes
     * (VectorLake's layout seam); in-plan the win this query demonstrates
     * is integer scoring + the measured recall price of 8 bits. */
-  def q213Sq8Recall(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** SQ8 quantizer column over `embedding`: one 1-row max|x| aggregate
+    * (the bounded-collect class; exact — abs/cast/max do no rounding)
+    * fixes the global symmetric scale, then q_i = floor(x_i * 127 /
+    * max|x|) in [-127, 127]. Shared by q213 (brute-force audit) and
+    * q214 (IVF-bounded scoring). */
+  private def sq8QvCol(emb: DataFrame): Column = {
     val maxabs = emb.agg(max(expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))")))
       .head().getDouble(0)
     require(maxabs > 0.0, "sq8 scale: all-zero embedding corpus")
-    val qvCol = transform(col("embedding"), v =>
+    transform(col("embedding"), v =>
       floor(v.cast("double") * lit(127.0) / lit(maxabs)).cast("long"))
-    val qemb = emb.select(col("vec_id"), qvCol.as("qv"))
+  }
+
+  /** The exact float top-5 as (qid, neighbor_id, hit=1) — the ground
+    * truth both sq8 audits flag against. */
+  private def exactTop5Flags(spark: SparkSession, dir: String): DataFrame =
+    q22CosineTopK(spark, dir)
+      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+
+  def q213Sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qemb = emb.select(col("vec_id"), sq8QvCol(emb).as("qv"))
     val q = qemb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
     val w = Window.partitionBy(col("qid"))
@@ -1665,9 +1686,47 @@ object SimilarityQueries {
         graft.functions.GraftFunctions.longVecDot(col("qq"), col("qv")).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-    val exact = q22CosineTopK(spark, dir)
-      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
-    sq8.join(exact, Seq("qid", "neighbor_id"), "left")
+    sq8.join(exactTop5Flags(spark, dir), Seq("qid", "neighbor_id"), "left")
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("neighbor_id"),
+        col("score").as("score_int"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
+  }
+
+  /** q214: the production ANN shape — IVF candidate bounding COMPOSED
+    * with SQ8 integer scoring (FAISS's IVF-SQ recipe). The coarse
+    * quantizer is q29's trained k-means centroid table operating on the
+    * FLOAT vectors (the index structure); inside the probed cells the
+    * stored/scored format is q213's quantized vectors with the exact
+    * integer dot. This is the plan a 100 TB vector corpus actually runs:
+    * the cell equi-join bounds candidates (never a global self-join),
+    * the scan side carries 8-bit payloads (4x less IO), and the scoring
+    * kernel is integer SIMD-class work. Output mirrors q213 (sq8-ranked
+    * top-5 per probe, flagged vs the exact float top-5) so the two
+    * audits read side by side: q213 prices the quantizer alone,
+    * q214 prices quantizer + candidate bounding. Probe width = the q29
+    * default ([[nProbe]]); candidate dedup across overlapping probes
+    * keeps the ranking well-defined. */
+  def q214IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    def rankedCellsV(vec: Column) = rankedCells(cents)(vec)
+    val qv = sq8QvCol(emb)
+    val assigned = emb.select(col("vec_id"), qv.as("qv"),
+      element_at(rankedCellsV(col("embedding")), 1).getField("cid").as("cell"))
+    val qprobe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), qv.as("qq"),
+        explode(slice(rankedCellsV(col("embedding")), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qq"), col("pc.cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val sq8 = assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.longVecDot(col("qq"), col("qv")).as("score"))
+      .dropDuplicates("qid", "neighbor_id") // probed cells can overlap
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    sq8.join(exactTop5Flags(spark, dir), Seq("qid", "neighbor_id"), "left")
       .select(col("qid"), col("rn").cast("long").as("rn"), col("neighbor_id"),
         col("score").as("score_int"),
         coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
@@ -1702,6 +1761,55 @@ object SimilarityQueries {
          |  CAST(COALESCE(ex.hit, 0) AS BIGINT) AS in_exact_top5
          |FROM r LEFT JOIN ex ON ex.qid = r.qid AND ex.neighbor_id = r.neighbor_id
          |WHERE r.rn <= 5""".stripMargin,
+
+    // q214 = q29's coarse-quantizer replay (kmeansCtes -> cell assignment
+    // and probe list on the FLOAT vectors) + q213's sq8 replay (scale,
+    // quantized vectors, integer dot) inside the probed cells
+    "q214_ivf_sq8" ->
+      s"""WITH $kmeansCtes,
+         |cent AS (SELECT cluster AS cid,
+         |  list(CAST(cq - 1000000 AS DOUBLE) / 1e6 ORDER BY dim) AS ce
+         |  FROM c$kmeansRounds GROUP BY cluster),
+         |cscored AS (SELECT e.vec_id, cc.cid,
+         |  ${cosSql("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cent cc),
+         |cranked AS (SELECT vec_id, cid, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS crn
+         |  FROM cscored),
+         |assigned AS (SELECT vec_id, cid AS cell FROM cranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM cranked
+         |  WHERE vec_id < $nQueries AND crn <= $nProbe),
+         |ma AS (SELECT MAX(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+         |    (a, b) -> greatest(a, b))) AS m FROM embeddings),
+         |sqv AS (SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)) AS qv
+         |  FROM embeddings, ma),
+         |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.qid),
+         |s2 AS (SELECT cand.qid, cand.neighbor_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(generate_series(1, len(eq.qv)), i -> eq.qv[i] * en.qv[i])),
+         |    (x, y) -> x + y) AS score
+         |  FROM cand
+         |  JOIN sqv eq ON eq.vec_id = cand.qid
+         |  JOIN sqv en ON en.vec_id = cand.neighbor_id),
+         |r2 AS (SELECT qid, neighbor_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rn FROM s2),
+         |ex2 AS (SELECT qid, neighbor_id, 1 AS hit FROM (
+         |  SELECT q2.qid, e2.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q2.qid
+         |      ORDER BY ${cosSql("q2.qe", "e2.embedding")} DESC, e2.vec_id ASC)
+         |      AS INT) AS rn2
+         |  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |        WHERE vec_id < $nQueries) q2
+         |  CROSS JOIN embeddings e2 WHERE e2.vec_id <> q2.qid) t WHERE rn2 <= 5)
+         |SELECT r2.qid, r2.rn, r2.neighbor_id, r2.score AS score_int,
+         |  CAST(COALESCE(ex2.hit, 0) AS BIGINT) AS in_exact_top5
+         |FROM r2 LEFT JOIN ex2 ON ex2.qid = r2.qid AND ex2.neighbor_id = r2.neighbor_id
+         |WHERE r2.rn <= 5""".stripMargin,
 
     // q205's per-label sums, paired by a plain inequality self-join
     "q207_centroid_matrix" ->

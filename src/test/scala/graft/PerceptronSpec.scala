@@ -78,6 +78,7 @@ class PerceptronSpec extends SparkSpec {
   }
 
   test("q211 weights equal the reference replay on the sf0.001 fixture") {
+    spark.sharedState.cacheManager.clearCache()
     val fixture = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
@@ -101,6 +102,7 @@ class PerceptronSpec extends SparkSpec {
   }
 
   test("q212 report is internally consistent and scored by the q211 weights") {
+    spark.sharedState.cacheManager.clearCache()
     val rep = TextQueries.q212ClassifierReport(spark, sfDir)
       .orderBy("lang").collect()
     val total = rep.map(_.getLong(1)).sum

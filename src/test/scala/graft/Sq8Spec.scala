@@ -23,6 +23,9 @@ class Sq8Spec extends SparkSpec {
   }
 
   test("q213 output: 5 ranks per probe, integer scores in the dot bound, flags consistent") {
+    // the emptiness assert below is about THIS query's pins, not whatever
+    // an earlier suite left in the shared session
+    spark.sharedState.cacheManager.clearCache()
     val rows = SimilarityQueries.q213Sq8Recall(spark, sfDir).collect()
     val byQid = rows.groupBy(_.getLong(0))
     assert(byQid.nonEmpty)
@@ -43,5 +46,29 @@ class Sq8Spec extends SparkSpec {
     val hits = rows.map(_.getLong(4)).sum
     assert(hits * 2 >= rows.length, s"sq8 recall collapsed: $hits/${rows.length}")
     assert(spark.sharedState.cacheManager.isEmpty, "q213 left cache pinned")
+  }
+
+  test("q214 (IVF-bounded sq8) candidates are a subset regime: recall <= q213's, shape identical") {
+    spark.sharedState.cacheManager.clearCache()
+    def byQid(rows: Array[org.apache.spark.sql.Row]) = rows.groupBy(_.getLong(0))
+    val brute = SimilarityQueries.q213Sq8Recall(spark, sfDir).collect()
+    val ivf = SimilarityQueries.q214IvfSq8(spark, sfDir).collect()
+    assert(byQid(ivf).keySet == byQid(brute).keySet)
+    byQid(ivf).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length),
+        s"qid $qid ranks not contiguous")
+      assert(rs.length <= 5)
+    }
+    // same quantizer on both arms: any (qid, neighbor) pair both arms
+    // rank must carry the IDENTICAL integer score (candidate bounding
+    // changes the candidate SET, never a score)
+    val bruteScore = brute.map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    ivf.foreach { r =>
+      bruteScore.get((r.getLong(0), r.getLong(2))).foreach { sc =>
+        assert(sc == r.getLong(3),
+          s"score mismatch for (${r.getLong(0)}, ${r.getLong(2)})")
+      }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty, "q214 left cache pinned")
   }
 }
