@@ -637,4 +637,18 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+  test("q213/q214: quantized scoring broadcasts probes; no corpus self-shuffle") {
+    // q213: brute-force audit arm — the 8 probe vectors broadcast, the
+    // corpus scan is never exchanged before scoring
+    val p213 = planString(graft.queries.SimilarityQueries.q213Sq8Recall(spark, sfDir))
+    assert(p213.contains("BroadcastNestedLoopJoin") || p213.contains("BroadcastHashJoin"),
+      p213.take(500))
+    assert(!p213.contains("CartesianProduct"))
+    // q214: the production shape — candidate bounding is a broadcast HASH
+    // join on the cell key (the probe list is tiny), never a sort-merge
+    // self-join of the corpus
+    val p214 = planString(graft.queries.SimilarityQueries.q214IvfSq8(spark, sfDir))
+    assert(p214.contains("BroadcastHashJoin"), p214.take(800))
+    assert(!p214.contains("CartesianProduct"))
+  }
 }
