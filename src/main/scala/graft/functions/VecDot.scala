@@ -138,6 +138,22 @@ object GraftFunctions {
   def vocabCounts(toks: Column, vocab: Seq[String]): Column =
     shim.column(VocabCounts(shim.expression(toks), vocab))
 
+  /** `hashed_token_counts(toks, B)` as a Column — per-bucket counts over
+    * the fixed B-bucket md5 feature hash (see [[HashedTokenCounts]] for
+    * the bucket rule and the open-vocabulary contract). */
+  def hashedTokenCounts(toks: Column, buckets: Int): Column =
+    shim.column(HashedTokenCounts(shim.expression(toks), buckets))
+
+  /** `sq8_pack(qv)` as a Column — SQ8 array<long> → 1-byte-per-dim binary
+    * payload (see [[Sq8Pack]] for the range contract). */
+  def sq8Pack(qv: Column): Column =
+    shim.column(Sq8Pack(shim.expression(qv)))
+
+  /** `sq8_dot(a, b)` as a Column — exact integer dot over two packed SQ8
+    * binary payloads (see [[Sq8Dot]]). */
+  def sq8Dot(a: Column, b: Column): Column =
+    shim.column(Sq8Dot(shim.expression(a), shim.expression(b)))
+
   /** `prune_sorted_positions(toks, cuts)` as a Column — drop the elements of
     * a string array at the given sorted distinct 0-based positions via an
     * O(n+m) merge walk (see [[PruneSortedPositions]] for the contract). */
@@ -229,10 +245,44 @@ object GraftFunctions {
         if (!v.foldable || !okType) throw new IllegalArgumentException(
           "vocab_counts vocab must be a foldable array<string> literal")
         val arr = v.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val vocab = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+        // the vocab IS the model: a NULL array, NULL elements, or duplicate
+        // needles all violate the contract (duplicates would silently
+        // diverge from the HOF form — putIfAbsent counts only the first
+        // slot) — raise the contract error, not an NPE downstream
+        if (arr == null) throw new IllegalArgumentException(
+          "vocab_counts vocab must be a non-null array<string> literal with no null elements")
+        val vocab = (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i)
+          if (s == null) throw new IllegalArgumentException(
+            "vocab_counts vocab must be a non-null array<string> literal with no null elements")
+          s.toString
+        }
+        if (vocab.distinct.length != vocab.length)
+          throw new IllegalArgumentException(
+            "vocab_counts vocab must not contain duplicate entries " +
+              "(duplicate slots would always count 0, diverging from the HOF form)")
         VocabCounts(args(0), vocab)
       }),
+    (FunctionIdentifier("hashed_token_counts"),
+      new ExpressionInfo(classOf[HashedTokenCounts].getName, "hashed_token_counts"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"hashed_token_counts(toks, buckets) takes 2 arguments, got ${args.length}")
+        val b = args(1)
+        val buckets = (if (b.foldable) Option(b.eval()) else None) match {
+          case Some(i: Int) => i
+          case Some(l: Long) => l.toInt
+          case _ => throw new IllegalArgumentException(
+            "hashed_token_counts buckets must be a foldable non-null integer literal")
+        }
+        HashedTokenCounts(args(0), buckets)
+      }),
+    (FunctionIdentifier("sq8_pack"),
+      new ExpressionInfo(classOf[Sq8Pack].getName, "sq8_pack"),
+      (args: Seq[Expression]) => Sq8Pack(args.head)),
+    (FunctionIdentifier("sq8_dot"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "sq8_dot"),
+      (args: Seq[Expression]) => Sq8Dot(args(0), args(1))),
     (FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (args: Seq[Expression]) =>

@@ -29,6 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class VocabCounts(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
+  // duplicate needles would make later duplicate slots always count 0,
+  // silently diverging from the HOF form this expression documents
+  // replacing — reject at construction (the SQL builder also rejects,
+  // with a friendlier message)
+  require(vocab.distinct.length == vocab.length,
+    "vocab_counts vocab must not contain duplicate entries")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -43,9 +50,9 @@ case class VocabCounts(child: Expression, vocab: Seq[String])
     * String decode. */
   @transient private lazy val needles: java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer](vocab.size * 2)
+    // distinctness is a constructor invariant, so plain put is exact
     vocab.zipWithIndex.foreach { case (t, j) =>
-      // first slot wins on duplicate needles (callers pass distinct vocab)
-      m.putIfAbsent(UTF8String.fromString(t), Integer.valueOf(j))
+      m.put(UTF8String.fromString(t), Integer.valueOf(j))
     }
     m
   }

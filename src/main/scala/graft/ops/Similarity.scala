@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -116,6 +116,44 @@ object Similarity {
   def srpBucketsAdaptive(vec: Column, signs: Seq[Seq[Int]], tables: Int,
                          pn: Int): Column =
     graft.functions.SrpBuckets(vec, signs, tables, pn, MaxPlanesPerTable)
+
+  /** Per-row scored IVF cells against a LITERAL centroid table (an IVF
+    * centroid table is k·d values by design — always driver-resident):
+    * array of struct(neg = -cos, cid) ranked by (cos desc, cid asc) via
+    * lexicographic array_sort. Element 1 is the assignment cell; the
+    * first nProbe elements are a query's probe list. A pure narrow map —
+    * cell assignment never shuffles, at any corpus size. */
+  def rankedIvfCells(centroids: Array[(Int, Array[Double])])(vec: Column): Column = {
+    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
+    array_sort(array(centroids.toIndexedSeq.map { case (cid, ce) =>
+      struct((-cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** SQ8 global symmetric scale: max|x| over every embedding component —
+    * one 1-row aggregate (the bounded-collect class). EXACT: abs/cast/max
+    * do no rounding, so the collected double equals the oracle's
+    * CTE-computed double bit for bit. Shared by q213/q214/q215 (in-plan
+    * quantization) and [[graft.pipeline.VectorLake]] (where the scale is
+    * banked with the index and FROZEN on append). */
+  def sq8MaxAbs(vecs: DataFrame, vecCol: String = "embedding"): Double = {
+    val m = vecs.agg(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))")))
+      .head().getDouble(0)
+    require(m > 0.0, "sq8 scale: all-zero embedding corpus")
+    m
+  }
+
+  /** SQ8 quantizer column: q_i = floor(x_i * 127 / maxabs), CLAMPED to
+    * [-127, 127]. The clamp covers two cases with one expression: (a) the
+    * double-rounding edge where fl(fl(127·max)/max) lands just past ±127
+    * on a same-corpus scale, and (b) SATURATION under a FROZEN scale —
+    * a VectorLake append whose new vectors exceed the build-time max|x|
+    * must clip (the standard SQ posture), never silently rescale the
+    * banked index. */
+  def sq8Quantize(vec: Column, maxabs: Double): Column =
+    transform(vec, v => greatest(lit(-127L), least(lit(127L),
+      floor(v.cast("double") * lit(127.0) / lit(maxabs)).cast("long"))))
 
   /** The composable Column form of [[srpBucketsAdaptive]] — kept as the
     * semantic reference the native expression must match (see

@@ -34,16 +34,36 @@ object CorpusPipeline {
     md5(graft.functions.NormalizeText(text))
 
   /** Curate one batch: score → gate → dedup within the batch → split.
-    * Pure DataFrame => DataFrame; no writes. */
-  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    * Pure DataFrame => DataFrame; no writes.
+    *
+    * `classifier` puts the q211/q212 MODEL-BASED filter in the funnel —
+    * the production posture (CCNet's fastText gate, RefinedWeb's quality
+    * classifier run as an intake stage, not a side audit): a trained
+    * (vocab, weights) pair whose margin is computed IN THE SAME narrow
+    * pass that already tokenizes for the heuristic score (one more
+    * codegen'd `vocab_counts` + integer dot — zero extra scans, zero
+    * extra shuffles), gating on margin > 0 alongside the quality
+    * threshold. The trained margin rides along as `clf_margin` so intake
+    * reports can aggregate retained margin mass. Training stays OUTSIDE
+    * curate (q211's eager driver loop) — curate is a pure plan builder
+    * and must not run jobs; callers train once per intake and pass the
+    * frozen model, exactly like the inlined IVF centroid posture. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+             classifier: Option[(Seq[String], Seq[Long])] = None): DataFrame = {
     val toks = col("toks")
     val n = TA.tokenCount(toks).cast("double")
     val d = TA.distinctTokenCount(toks)
     val s = TA.stopwordCount(toks, stopwords)
+    val clfCols = classifier.toSeq.map { case (vocab, w) =>
+      graft.functions.GraftFunctions.longVecDot(
+        concat(array(lit(1L)),
+          graft.functions.GraftFunctions.vocabCounts(toks, vocab)),
+        typedLit(w)).as("clf_margin")
+    }
     val scored = docs
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
         TA.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+      .select(Seq(col("doc_id"), col("text"), col("source"), col("n_chars"),
         round(lit(0.3) * (d.cast("double") / n)
           + lit(0.3) * (lit(1.0) - s.cast("double") / n)
           + lit(0.4) * least(lit(1.0), n / lit(100.0)), 4).as("quality_score"),
@@ -51,12 +71,15 @@ object CorpusPipeline {
         // the MATERIALIZED near-dup signature: stored in the lake so later
         // increments band-join against it instead of re-digesting the corpus
         graft.functions.SimHash(Dedup.shingles3(col("toks")), Dedup.SimhashBits)
-          .as("simhash"))
+          .as("simhash")) ++ clfCols: _*)
       .filter(col("quality_score") >= minQuality)
+    val gated =
+      if (classifier.isDefined) scored.filter(col("clf_margin") > 0)
+      else scored
     // exact dedup within the batch: keep the lowest doc_id per canonical key
-    val keepers = scored.groupBy(col("canonical_key"))
+    val keepers = gated.groupBy(col("canonical_key"))
       .agg(min(col("doc_id")).as("doc_id"))
-    scored.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+    gated.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("split", Sampling.split(col("doc_id")))
   }
 

@@ -27,14 +27,32 @@ import graft.ops.Similarity
   *
   * Layout on disk (all Spark-managed parquet):
   * {{{
-  *   path/_layout/   one row: (tables, pn, dims)
-  *   path/buckets/   (vec_id, tbl, bucket)   — the index
-  *   path/vectors/   (vec_id, embedding)     — fetch-back payload
+  *   path/_layout/     one row: (tables, pn, dims)
+  *   path/buckets/     (vec_id, tbl, bucket)   — the SRP index
+  *   path/vectors/     (vec_id, embedding)     — fetch-back payload
+  *   path/_quant/      one row: (maxabs, k)    — frozen SQ8 scale + cell count
+  *   path/_centroids/  (cid, ce)               — frozen IVF coarse quantizer
+  *   path/cells/       (vec_id, cell, qv)      — IVF assignment + packed SQ8
   * }}}
+  * The last three exist when [[build]] was given a trained centroid
+  * table: the QUANTIZED artifact — FAISS's IVF-SQ shape banked rather
+  * than recomputed. The failure class the frozen `_quant`/`_centroids`
+  * pins against is the same one the frozen pn already pins: an append
+  * that re-derived the global max|x| on a grown corpus would silently
+  * rescale every banked payload (scores across generations become
+  * incomparable with no error anywhere), and re-trained centroids would
+  * send new vectors into cells old vectors never hashed into. Appends
+  * quantize under the banked scale — out-of-range coordinates SATURATE
+  * at ±127 ([[graft.ops.Similarity.sq8Quantize]]'s clamp), the standard
+  * SQ posture — and assign under the banked centroids; both re-derive
+  * only at [[rebuild]], the explicit generation point.
   */
 object VectorLake {
 
   final case class Layout(tables: Int, pn: Int, dims: Int)
+
+  /** The frozen quantization contract: SQ8 scale + coarse-quantizer size. */
+  final case class Quant(maxabs: Double, k: Int)
 
   private val DefaultTables = 4
 
@@ -46,11 +64,38 @@ object VectorLake {
       col("embedding"), signsFor(l), l.tables, l.pn)))
     .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
 
+  /** The quantize-and-assign projection of the IVF-SQ artifact: one
+    * narrow pass — cell from the literal centroid table, payload packed
+    * to one byte per dim under the given scale (clamped: appends whose
+    * coordinates exceed a FROZEN scale saturate, never rescale). */
+  private def quantCells(vecs: DataFrame, maxabs: Double,
+                         centroids: Array[(Int, Array[Double])]): DataFrame =
+    vecs.select(col("vec_id"),
+      element_at(Similarity.rankedIvfCells(centroids)(col("embedding")), 1)
+        .getField("cid").as("cell"),
+      graft.functions.GraftFunctions.sq8Pack(
+        Similarity.sq8Quantize(col("embedding"), maxabs)).as("qv"))
+
+  private def writeCentroids(spark: SparkSession, path: String,
+                             centroids: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, ce) => (cid, ce.toSeq) }
+      .toDF("cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
   /** Bank the index: freeze the layout from the CURRENT corpus size,
     * write buckets + payload. Overwrite — a rebuild replaces the index
-    * (the generation point where a new adaptive pn takes effect). */
+    * (the generation point where a new adaptive pn takes effect).
+    *
+    * With `centroids` (a TRAINED coarse quantizer — k·d values, the
+    * caller's training pass, e.g. the q142 k-means recurrence), also
+    * banks the QUANTIZED artifact: the SQ8 scale derived once from this
+    * corpus, the centroid table, and the (cell, packed-payload) table
+    * [[topKSq8]] answers from. Both are FROZEN until rebuild. */
   def build(spark: SparkSession, vecs: DataFrame, path: String,
-            tables: Int = DefaultTables): Layout = {
+            tables: Int = DefaultTables,
+            centroids: Option[Array[(Int, Array[Double])]] = None): Layout = {
     val n = vecs.count()
     val dims = vecs.select(size(col("embedding"))).head().getInt(0)
     val l = Layout(tables, Similarity.adaptivePlanes(n), dims)
@@ -60,6 +105,14 @@ object VectorLake {
     banded(vecs, l).write.mode("overwrite").parquet(s"$path/buckets")
     vecs.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$path/vectors")
+    centroids.foreach { cents =>
+      val maxabs = Similarity.sq8MaxAbs(vecs)
+      Seq((maxabs, cents.length)).toDF("maxabs", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_quant")
+      writeCentroids(spark, path, cents)
+      quantCells(vecs, maxabs, cents)
+        .write.mode("overwrite").parquet(s"$path/cells")
+    }
     l
   }
 
@@ -68,15 +121,42 @@ object VectorLake {
     Layout(r.getAs[Int]("tables"), r.getAs[Int]("pn"), r.getAs[Int]("dims"))
   }
 
+  private def hasQuant(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_quant")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The FROZEN quantization contract of a banked quantized index. */
+  def quantOf(spark: SparkSession, path: String): Quant = {
+    val r = spark.read.parquet(s"$path/_quant").head()
+    Quant(r.getAs[Double]("maxabs"), r.getAs[Int]("k"))
+  }
+
+  /** The FROZEN coarse quantizer, read back driver-side (k·d values). */
+  def centroidsOf(spark: SparkSession, path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   /** Incremental append: bucket ONLY the new vectors, under the frozen
     * layout. Existing index files are untouched (spec-asserted) — the
     * 100 TB contract is precisely that an increment's cost is the
-    * increment's size. */
+    * increment's size. When the lake carries a quantized artifact, the
+    * increment is also quantized and cell-assigned — under the BANKED
+    * scale and centroids, never re-derived (out-of-range coordinates
+    * saturate at ±127; see the object doc for why re-deriving is the
+    * failure class, not an optimization). */
   def append(spark: SparkSession, newVecs: DataFrame, path: String): Layout = {
     val l = layoutOf(spark, path)
     banded(newVecs, l).write.mode("append").parquet(s"$path/buckets")
     newVecs.select("vec_id", "embedding")
       .write.mode("append").parquet(s"$path/vectors")
+    if (hasQuant(spark, path)) {
+      val q = quantOf(spark, path)
+      quantCells(newVecs, q.maxabs, centroidsOf(spark, path))
+        .write.mode("append").parquet(s"$path/cells")
+    }
     l
   }
 
@@ -107,6 +187,42 @@ object VectorLake {
       .select(col("qid"), col("rk"), col("vec_id"), round(col("cs"), 6).as("cos"))
   }
 
+  /** IVF-SQ top-k from the BANKED artifact — q214's production shape with
+    * ZERO training jobs at query time: the scale and centroid table are
+    * two tiny metadata reads (one row; k·d values), query vectors are
+    * quantized and probe-listed per-row under them (narrow map), the cell
+    * equi-join against `cells/` bounds candidates (the corpus never
+    * self-joins and never re-quantizes), and scoring is [[graft.functions
+    * .Sq8Dot]] over the 1-byte-per-dim payloads — bytes at rest, bytes in
+    * flight, integer kernel. Query cost is a function of the query batch
+    * and probed-cell occupancy, INDEPENDENT of build cost (the ladder
+    * measures this). Output: (qid, rk, vec_id, score_int), ranked
+    * (score desc, vec_id asc) — bit-stable integer ordering. */
+  def topKSq8(spark: SparkSession, queries: DataFrame, path: String,
+              k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val q = quantOf(spark, path)
+    val cents = centroidsOf(spark, path)
+    require(nProbe >= 1 && nProbe <= q.k,
+      s"nProbe must be in [1, ${q.k}], got $nProbe")
+    val qprobe = queries
+      .select(col("qid"),
+        graft.functions.GraftFunctions.sq8Pack(
+          Similarity.sq8Quantize(col("qe"), q.maxabs)).as("qq"),
+        explode(slice(Similarity.rankedIvfCells(cents)(col("qe")),
+          1, nProbe)).as("pc"))
+      .select(col("qid"), col("qq"), col("pc.cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    spark.read.parquet(s"$path/cells")
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.GraftFunctions.sq8Dot(col("qq"), col("qv")).as("score"))
+      .dropDuplicates("qid", "vec_id") // probed cells can overlap
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("score").as("score_int"))
+  }
+
   /** Bucket-occupancy histogram over the banked index (q198's vector
     * analog): the rebuild trigger. Mean occupancy drifting far above the
     * build-time target means the frozen pn has been outgrown. */
@@ -134,8 +250,17 @@ object VectorLake {
     * target. Written to a new path, never in place: the old generation
     * stays fully queryable until the caller swaps its pointer, and a
     * lazy Spark read of `oldPath/vectors` must not race an overwrite of
-    * the same files. */
+    * the same files.
+    *
+    * Rebuild is also where the QUANT contract may legitimately change:
+    * `centroids` re-banks the quantized artifact with a freshly-derived
+    * scale over the grown payload (pass `centroidsOf(oldPath)` to keep
+    * the old coarse quantizer, or a re-trained table for a new one);
+    * None drops it — quantization is part of the generation, never
+    * carried implicitly with a stale scale. */
   def rebuild(spark: SparkSession, oldPath: String, newPath: String,
-              tables: Int = DefaultTables): Layout =
-    build(spark, spark.read.parquet(s"$oldPath/vectors"), newPath, tables)
+              tables: Int = DefaultTables,
+              centroids: Option[Array[(Int, Array[Double])]] = None): Layout =
+    build(spark, spark.read.parquet(s"$oldPath/vectors"), newPath, tables,
+      centroids)
 }

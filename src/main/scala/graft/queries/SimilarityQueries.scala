@@ -285,12 +285,8 @@ object SimilarityQueries {
     * [[ivfTopK]] (float scoring) and [[q214IvfSq8]] (sq8 scoring over
     * the same coarse quantizer). */
   private def rankedCells(centroids: Array[(Int, Array[Double])])
-                         (vec: Column): Column = {
-    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
-    array_sort(array(centroids.toIndexedSeq.map { case (cid, ce) =>
-      struct((-Similarity.cosine(vec, centLit(ce))).as("neg"), lit(cid).as("cid"))
-    }: _*))
-  }
+                         (vec: Column): Column =
+    Similarity.rankedIvfCells(centroids)(vec)
 
   private[graft] def ivfTopK(spark: SparkSession, dir: String,
                              centroids: Array[(Int, Array[Double])],
@@ -1658,14 +1654,8 @@ object SimilarityQueries {
     * fixes the global symmetric scale, then q_i = floor(x_i * 127 /
     * max|x|) in [-127, 127]. Shared by q213 (brute-force audit) and
     * q214 (IVF-bounded scoring). */
-  private def sq8QvCol(emb: DataFrame): Column = {
-    val maxabs = emb.agg(max(expr(
-      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))")))
-      .head().getDouble(0)
-    require(maxabs > 0.0, "sq8 scale: all-zero embedding corpus")
-    transform(col("embedding"), v =>
-      floor(v.cast("double") * lit(127.0) / lit(maxabs)).cast("long"))
-  }
+  private def sq8QvCol(emb: DataFrame): Column =
+    Similarity.sq8Quantize(col("embedding"), Similarity.sq8MaxAbs(emb))
 
   /** The exact float top-5 as (qid, neighbor_id, hit=1) — the ground
     * truth both sq8 audits flag against. */
@@ -1732,13 +1722,61 @@ object SimilarityQueries {
         coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
   }
 
+  /** q215: the two production ANN dials priced JOINTLY — IVF-SQ (q214's
+    * composition: trained coarse quantizer bounding candidates, SQ8
+    * integer scoring inside the probed cells) audited at nProbe ∈
+    * {1, 2, 4} in ONE oracle-checked table. q188 prices the nProbe dial
+    * on float scoring and q213/q214 price the quantizer at one fixed
+    * probe width; the tuning decision a 100 TB deployment actually makes
+    * is the CROSS — how much recall each probed cell buys back once the
+    * payloads are 8-bit. Per (np, qid) row: the candidate count (the
+    * dial's cost — rows scored per query) and the sq8 top-5's overlap
+    * with the exact float top-5 (the dial's value). ONE training pass
+    * and ONE quantization pass feed all three arms: the probe lists at
+    * every width come from the same per-row ranked-cell array (width-1
+    * probes ⊆ width-2 ⊆ width-4 by construction), so the three arms add
+    * candidate volume, never plan shape. */
+  def q215IvfSqNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    def rankedCellsV(vec: Column) = rankedCells(cents)(vec)
+    val qv = sq8QvCol(emb)
+    val assigned = emb.select(col("vec_id"), qv.as("qv"),
+      element_at(rankedCellsV(col("embedding")), 1).getField("cid").as("cell"))
+    val qprobe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), qv.as("qq"),
+        rankedCellsV(col("embedding")).as("cells"))
+      .select(col("qid"), col("qq"),
+        explode(typedLit(Seq(1, 2, 4))).as("np"), col("cells"))
+      .select(col("np"), col("qid"), col("qq"),
+        explode(slice(col("cells"), lit(1), col("np"))).as("pc"))
+      .select(col("np"), col("qid"), col("qq"), col("pc.cid").as("cell"))
+    val cand = assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("np"), col("qid"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.longVecDot(col("qq"), col("qv")).as("score"))
+      .dropDuplicates("np", "qid", "neighbor_id") // probed cells can overlap
+    val w = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val hits = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .join(exactTop5Flags(spark, dir), Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("np"), col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("sq_hits5"))
+    val nc = cand.groupBy(col("np"), col("qid"))
+      .agg(count(lit(1)).as("n_cand"))
+    hits.join(nc, Seq("np", "qid"))
+      .select(col("np").cast("long").as("np"), col("qid"),
+        col("n_cand"), col("sq_hits5"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q213_sq8_recall" ->
       s"""WITH ma AS (SELECT MAX(list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
          |    (a, b) -> greatest(a, b))) AS m FROM embeddings),
          |qe AS (SELECT vec_id, list_transform(embedding,
-         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)) AS qv
+         |    v -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+         |      CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)))) AS qv
          |  FROM embeddings, ma),
          |q AS (SELECT vec_id AS qid, qv AS qq FROM qe WHERE vec_id < $nQueries),
          |s AS (SELECT q.qid, e.vec_id AS neighbor_id,
@@ -1783,7 +1821,8 @@ object SimilarityQueries {
          |    list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
          |    (a, b) -> greatest(a, b))) AS m FROM embeddings),
          |sqv AS (SELECT vec_id, list_transform(embedding,
-         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)) AS qv
+         |    v -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+         |      CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)))) AS qv
          |  FROM embeddings, ma),
          |cand AS (SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
          |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
@@ -1810,6 +1849,63 @@ object SimilarityQueries {
          |  CAST(COALESCE(ex2.hit, 0) AS BIGINT) AS in_exact_top5
          |FROM r2 LEFT JOIN ex2 ON ex2.qid = r2.qid AND ex2.neighbor_id = r2.neighbor_id
          |WHERE r2.rn <= 5""".stripMargin,
+
+    // q214's replay with the probe width lifted into a probes CTE: the
+    // same kmeans chain, cell ranking, sq8 scale and integer dot — each
+    // (np, qid) arm is the crn <= np slice of ONE ranked-cell table
+    "q215_ivfsq_nprobe" ->
+      s"""WITH $kmeansCtes,
+         |cent AS (SELECT cluster AS cid,
+         |  list(CAST(cq - 1000000 AS DOUBLE) / 1e6 ORDER BY dim) AS ce
+         |  FROM c$kmeansRounds GROUP BY cluster),
+         |cscored AS (SELECT e.vec_id, cc.cid,
+         |  ${cosSql("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cent cc),
+         |cranked AS (SELECT vec_id, cid, cs,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS crn
+         |  FROM cscored),
+         |assigned AS (SELECT vec_id, cid AS cell FROM cranked WHERE crn = 1),
+         |probes AS (SELECT unnest([1, 2, 4]) AS np),
+         |qprobe AS (SELECT p.np, c.vec_id AS qid, c.cid AS cell
+         |  FROM cranked c CROSS JOIN probes p
+         |  WHERE c.vec_id < $nQueries AND c.crn <= p.np),
+         |ma AS (SELECT MAX(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+         |    (a, b) -> greatest(a, b))) AS m FROM embeddings),
+         |sqv AS (SELECT vec_id, list_transform(embedding,
+         |    v -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+         |      CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma.m) AS BIGINT)))) AS qv
+         |  FROM embeddings, ma),
+         |cand AS (SELECT DISTINCT q.np, q.qid, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.qid),
+         |s2 AS (SELECT cand.np, cand.qid, cand.neighbor_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(generate_series(1, len(eq.qv)), i -> eq.qv[i] * en.qv[i])),
+         |    (x, y) -> x + y) AS score
+         |  FROM cand
+         |  JOIN sqv eq ON eq.vec_id = cand.qid
+         |  JOIN sqv en ON en.vec_id = cand.neighbor_id),
+         |r2 AS (SELECT np, qid, neighbor_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY np, qid
+         |    ORDER BY score DESC, neighbor_id ASC) AS rn FROM s2),
+         |ex2 AS (SELECT qid, neighbor_id, 1 AS hit FROM (
+         |  SELECT q2.qid, e2.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q2.qid
+         |      ORDER BY ${cosSql("q2.qe", "e2.embedding")} DESC, e2.vec_id ASC)
+         |      AS INT) AS rn2
+         |  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |        WHERE vec_id < $nQueries) q2
+         |  CROSS JOIN embeddings e2 WHERE e2.vec_id <> q2.qid) t WHERE rn2 <= 5),
+         |h AS (SELECT r2.np, r2.qid,
+         |  CAST(SUM(COALESCE(ex2.hit, 0)) AS BIGINT) AS sq_hits5
+         |  FROM r2 LEFT JOIN ex2
+         |    ON ex2.qid = r2.qid AND ex2.neighbor_id = r2.neighbor_id
+         |  WHERE r2.rn <= 5 GROUP BY 1, 2),
+         |nc AS (SELECT np, qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT CAST(h.np AS BIGINT) AS np, h.qid, nc.n_cand, h.sq_hits5
+         |FROM h JOIN nc ON nc.np = h.np AND nc.qid = h.qid""".stripMargin,
 
     // q205's per-label sums, paired by a plain inequality self-join
     "q207_centroid_matrix" ->

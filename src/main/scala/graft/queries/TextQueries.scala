@@ -3069,9 +3069,18 @@ object TextQueries {
     // ~890 us/doc at the 5M-doc rung before the swap)
     val xq = concat(array(lit(1L)),
       graft.functions.GraftFunctions.vocabCounts(col("toks"), vocab))
-    val pts = docs.select(col("y"), xq.as("xq"))
+    (vocab, perceptronRun(docs.select(col("y"), xq.as("xq")), vocab.size + 1))
+  }
+
+  /** The batch-perceptron round loop over a prepared (y, xq) point frame —
+    * the feature-map-agnostic core shared by the exact-vocab
+    * ([[perceptronFromDocs]]) and hashed-feature
+    * ([[hashedPerceptronFromDocs]]) trainers. Persists the point frame
+    * for the R passes and leaves nothing pinned. */
+  private def perceptronRun(points: DataFrame, width: Int): Seq[Long] = {
+    val pts = points
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = new Array[Long](vocab.size + 1)
+    val w = new Array[Long](width)
     for (_ <- 1 to perceptronRounds) {
       // Σ y·x over misclassified docs; long_vec_sum yields NULL when the
       // round has none (converged) — then w stays as-is
@@ -3086,7 +3095,33 @@ object TextQueries {
       }
     }
     pts.unpersist()
-    (vocab, w.toSeq)
+    w.toSeq
+  }
+
+  /** Feature-hash bucket count for the q217 open-vocabulary variant.
+    * 32 ≈ 2×(K+bias) of the exact model — comparable capacity, zero
+    * vocabulary dependence. */
+  private[graft] val clfHashBuckets = 32
+
+  /** The OPEN-VOCABULARY twin of [[perceptronFromDocs]]: features are
+    * md5-bucket counts ([[graft.functions.HashedTokenCounts]], q183's
+    * hash) instead of exact top-K vocab counts — NO corpus vocabulary
+    * pass, NO driver vocab round-trip, and the feature map is a constant
+    * independent of the training corpus (the property that matters when
+    * the corpus grows between nightly trainings: the exact model's top-K
+    * cut can drift across increments, silently re-indexing features; the
+    * hash cannot). Scale shape strictly dominates the exact model's:
+    * R linear passes over the persisted points and ONE (B+1)-long driver
+    * round-trip per round — the vocab pass (a corpus-wide wordcount
+    * shuffle) disappears entirely. The price is hash-collision noise,
+    * which q217 prices against q212 on the same report schema. */
+  private[graft] def hashedPerceptronFromDocs(docs: DataFrame): Seq[Long] = {
+    require(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "hashedPerceptronFromDocs requires a persisted docs frame (each " +
+        "training round re-reads it; unpersisted input would re-tokenize R times)")
+    val xq = concat(array(lit(1L)), graft.functions.GraftFunctions
+      .hashedTokenCounts(col("toks"), clfHashBuckets))
+    perceptronRun(docs.select(col("y"), xq.as("xq")), clfHashBuckets + 1)
   }
 
   /** Label + token frame for the fixture's filter target: the pipeline's
@@ -3165,10 +3200,75 @@ object TextQueries {
         col("margin_sum"))
   }
 
+  /** q216: the model-based filter IN THE INTAKE FUNNEL — the q212
+    * classifier as a [[graft.pipeline.CorpusPipeline.curate]] gate, the
+    * production posture (CCNet/RefinedWeb put the classifier in the
+    * funnel, not beside it). Train on the persisted label frame (q211's
+    * trainer), inline the weights as literals, then run the FULL curation
+    * chain — quality gate AND classifier gate in the same narrow scoring
+    * pass, exact dedup among the survivors, split assignment — and report
+    * the landed corpus per (split, source) with the retained margin mass.
+    * Scale shape: training is q211's (R linear passes + a (K+1)-long
+    * driver round-trip per round); the gated curation adds ZERO cost over
+    * ungated curate — the margin is one more codegen'd expression in the
+    * pass that already tokenizes, and Catalyst fuses both gates into the
+    * scan filter. */
+  def q216ClassifiedIntake(spark: SparkSession, dir: String): DataFrame = {
+    val docs = clfDocs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = perceptronFromDocs(docs)
+    docs.unpersist()
+    graft.pipeline.CorpusPipeline
+      .curate(Tables.documents(spark, dir), classifier = Some(model))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("clf_margin")).as("margin_sum"))
+  }
+
+  /** q217: the open-vocabulary classifier — q212's report on HASHED
+    * features ([[hashedPerceptronFromDocs]]: md5-bucket counts, zero
+    * vocabulary dependence) so the two feature maps read side by side on
+    * the same schema. The exact model needs a corpus vocabulary pass
+    * whose top-K cut can drift as the corpus grows (a nightly re-train
+    * silently re-indexes features); the hashed map is a corpus-
+    * independent constant — the GPT-3 WebText-filter form — at the price
+    * of collision noise. This query IS the measured comparison the
+    * keep-or-reject decision reads: same corpus, same trainer, same
+    * report columns as q212. */
+  def q217HashedClfReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = clfDocs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = hashedPerceptronFromDocs(docs)
+    docs.unpersist() // scoring below is one narrow pass; lazy re-tokenize
+    val xq = concat(array(lit(1L)), graft.functions.GraftFunctions
+      .hashedTokenCounts(col("toks"), clfHashBuckets))
+    clfDocs(spark, dir)
+      .select(col("lang"), col("y"),
+        graft.functions.GraftFunctions.longVecDot(xq, typedLit(w))
+          .as("margin"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_pred_target"),
+        sum(when((col("margin") > 0) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("margin")).as("margin_sum"))
+      .select(col("lang"), col("n_docs"), col("n_pred_target"), col("n_correct"),
+        expr("(2 * n_correct * 10000 + n_docs) DIV (2 * n_docs)").as("acc_bp"),
+        col("margin_sum"))
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   private val toksSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+
+  /** CorpusPipeline.canonicalKey's replay: md5 of the q66 C4
+    * normalization (plain string — the regex backslashes must reach
+    * DuckDB literally, so this fragment stays out of s-interpolation). */
+  private val normKeySql: String =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   /** q40's deterministic split rule as SQL over an id column. */
   private def splitCaseSql(c: String) =
@@ -3426,8 +3526,8 @@ object TextQueries {
     * COALESCE keeps untouched weights when a round converges). Features
     * are long-format (doc_id, j, x) with j=0 the bias; the sparse sum
     * equals Spark's dense K+1 dot because absent features are zero. */
-  private lazy val perceptronCtes: String = {
-    val steps = (1 to perceptronRounds).map { k =>
+  private lazy val perceptronStepCtes: String =
+    (1 to perceptronRounds).map { k =>
       s"""m$k AS (SELECT f.doc_id, SUM(f.x * w.w) AS margin
          |  FROM f JOIN w${k - 1} w USING (j) GROUP BY 1),
          |w$k AS (SELECT w.j, w.w + COALESCE(d.d, 0) AS w FROM w${k - 1} w
@@ -3435,6 +3535,8 @@ object TextQueries {
          |    FROM f JOIN yy USING (doc_id) JOIN m$k m ON m.doc_id = f.doc_id
          |    WHERE yy.y * m.margin <= 0 GROUP BY 1) d USING (j))""".stripMargin
     }.mkString(",\n")
+
+  private lazy val perceptronCtes: String =
     s"""t AS (SELECT doc_id, lang,
        |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, $toksSql AS toks
        |  FROM documents),
@@ -3450,8 +3552,28 @@ object TextQueries {
        |yy AS (SELECT doc_id, y FROM t),
        |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM
        |  (SELECT CAST(0 AS BIGINT) AS j UNION ALL SELECT j FROM v))""".stripMargin +
-      ",\n" + steps
-  }
+      ",\n" + perceptronStepCtes
+
+  /** q217's training replay: the SAME unrolled round CTEs over a hashed
+    * feature table — j = 1 + (first md5 byte % B), bias j = 0; no vocab
+    * CTE at all (the open-vocabulary point). */
+  private lazy val hashedPerceptronCtes: String =
+    s"""t AS (SELECT doc_id, lang,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, $toksSql AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |f AS (SELECT doc_id, CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS x
+       |    FROM t
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    1 + (CAST(('0x' || substr(md5(token), 1, 2)) AS BIGINT)
+       |         % $clfHashBuckets) AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM tok GROUP BY 1, 2),
+       |yy AS (SELECT doc_id, y FROM t),
+       |w0 AS (SELECT CAST(unnest(generate_series(0, $clfHashBuckets)) AS BIGINT)
+       |  AS j, CAST(0 AS BIGINT) AS w)""".stripMargin +
+      ",\n" + perceptronStepCtes
 
   val oracles: Map[String, String] = Map(
     "q211_perceptron_train" ->
@@ -3462,6 +3584,54 @@ object TextQueries {
 
     "q212_classifier_report" ->
       s"""WITH $perceptronCtes,
+         |lm AS (SELECT f.doc_id, SUM(f.x * w.w) AS margin
+         |  FROM f JOIN w$perceptronRounds w USING (j) GROUP BY 1),
+         |s AS (SELECT t.lang, t.y, lm.margin FROM t
+         |  JOIN lm ON lm.doc_id = t.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_target,
+         |  CAST(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST((2 * SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS acc_bp,
+         |  CAST(SUM(margin) AS BIGINT) AS margin_sum
+         |FROM s GROUP BY 1""".stripMargin,
+
+    // the q211 training replay feeding the q50-class curation chain:
+    // quality gate AND classifier gate before dedup, curate's canonical
+    // key (md5 of the q66 normalization), q40's split rule
+    "q216_classified_intake" ->
+      s"""WITH $perceptronCtes,
+         |lm AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS margin
+         |  FROM f JOIN w$perceptronRounds w USING (j) GROUP BY 1),
+         |d0 AS (SELECT doc_id, text, source, n_chars, $toksSql AS toks
+         |  FROM documents),
+         |m0 AS (SELECT doc_id, text, source, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         |  FROM d0),
+         |sc AS (SELECT m0.doc_id, m0.source, m0.n_chars, lm.margin,
+         |  ROUND(0.3::DOUBLE * (CAST(n_distinct AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - CAST(n_stop AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0))
+         |    + 0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE), 4) AS quality_score,
+         |  $normKeySql AS ck
+         |  FROM m0 JOIN lm ON lm.doc_id = m0.doc_id),
+         |g AS (SELECT * FROM sc WHERE quality_score >= 0.5 AND margin > 0),
+         |keepers AS (SELECT ck, MIN(doc_id) AS doc_id FROM g GROUP BY 1),
+         |ded AS (SELECT * FROM g WHERE doc_id IN (SELECT doc_id FROM keepers)),
+         |fin AS (SELECT doc_id, source, n_chars, margin,
+         |  ${splitCaseSql("doc_id")} AS split FROM ded)
+         |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(margin) AS BIGINT) AS margin_sum
+         |FROM fin GROUP BY 1, 2""".stripMargin,
+
+    // same round CTEs over the hashed feature table; report identical to
+    // q212's so the two feature maps compare row-for-row
+    "q217_hashed_clf_report" ->
+      s"""WITH $hashedPerceptronCtes,
          |lm AS (SELECT f.doc_id, SUM(f.x * w.w) AS margin
          |  FROM f JOIN w$perceptronRounds w USING (j) GROUP BY 1),
          |s AS (SELECT t.lang, t.y, lm.margin FROM t

@@ -39,7 +39,16 @@ object VectorLakeProbe {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (_, buildS) = timed(VectorLake.build(spark, emb.filter(!isAppend), path))
+    // quantized-artifact costs separate the same way: TRAIN (the coarse
+    // quantizer, once per corpus) vs BUILD (bank buckets + payloads +
+    // SQ8 cells) vs APPEND (increment only) vs QUERY (topKSq8 — reads
+    // two tiny metadata tables and the probed cells; its wall must be
+    // independent of train/build cost, which this probe demonstrates by
+    // timing them apart)
+    val (cents, trainS) = timed(
+      graft.queries.SimilarityQueries.ivfCentroids(spark, sfDir))
+    val (_, buildS) = timed(VectorLake.build(spark, emb.filter(!isAppend),
+      path, centroids = Some(cents)))
     val (_, appendS) = timed(VectorLake.append(spark, emb.filter(isAppend), path))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -47,8 +56,15 @@ object VectorLakeProbe {
       val r = VectorLake.topK(spark, queries, path).count()
       (r, spark.read.parquet(s"$path/buckets").count())
     }
-    println(s"""{"metric":"veclake","sf":"$sfDir","build_s":${f(buildS)},""" +
+    val ((sqRows, cellRows), topkSqS) = timed {
+      val r = VectorLake.topKSq8(spark, queries, path).count()
+      (r, spark.read.parquet(s"$path/cells").count())
+    }
+    println(s"""{"metric":"veclake","sf":"$sfDir","train_s":${f(trainS)},""" +
+      s""""build_s":${f(buildS)},""" +
       s""""append_s":${f(appendS)},"topk_s":${f(topkS)},""" +
+      s""""topk_sq8_s":${f(topkSqS)},"cell_rows":$cellRows,""" +
+      s""""sq8_rows":$sqRows,""" +
       s""""banked_rows":$banked,"topk_rows":$rows,"append_denom":$appendDenom}""")
     spark.stop()
   }

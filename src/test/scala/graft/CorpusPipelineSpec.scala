@@ -92,4 +92,59 @@ class CorpusPipelineSpec extends SparkSpec {
     val total = r.stats.agg(sum("n_docs")).head.getLong(0)
     assert(total === spark.read.parquet(lake).count())
   }
+
+  test("classifier gate in the funnel: margin <= 0 docs drop BEFORE dedup, " +
+      "margin rides along, and the gate composes with the quality gate") {
+    import spark.implicits._
+    // toy intake with a separable marker signal (the sf0.001 fixture's
+    // linear ceiling leaves the trained model all-negative, which would
+    // make every assertion here vacuous): en docs carry 'goodmark', de
+    // docs 'badmark'; doc 4 fails the QUALITY gate regardless of margin;
+    // doc 5 is an exact dup of doc 0 (same text → same canonical key)
+    val docs = Seq(
+      (0L, "goodmark alpha alpha", "en", "src0"),
+      (1L, "goodmark beta", "en", "src0"),
+      (2L, "badmark alpha", "de", "src1"),
+      (3L, "badmark beta beta", "de", "src1"),
+      (4L, "the the the the the", "en", "src0"),
+      (5L, "goodmark alpha alpha", "en", "src1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // train the q211 model exactly as the intake does (weak supervision
+    // from the lang column), then run curate with the frozen weights
+    val labeled = docs.select(col("doc_id"), col("lang"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .persist()
+    val model @ (vocab, w) = graft.queries.TextQueries.perceptronFromDocs(labeled)
+    labeled.unpersist()
+    val gated = CorpusPipeline.curate(docs, classifier = Some(model))
+    val ungated = CorpusPipeline.curate(docs)
+    // every kept row passed both gates, and the margin column is the
+    // trained model's margin (recomputed independently per doc)
+    val margins = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.longVecDot(
+        concat(array(lit(1L)), graft.functions.GraftFunctions.vocabCounts(
+          graft.ops.TextAnalysis.tokens(col("text")), vocab)),
+        typedLit(w)).as("m")).as[(Long, Long)].collect().toMap
+    val keptRows = gated.select("doc_id", "clf_margin", "quality_score")
+      .as[(Long, Long, Double)].collect()
+    keptRows.foreach { case (id, m, qs) =>
+      assert(m === margins(id), s"doc $id margin mismatch")
+      assert(m > 0L && qs >= 0.5)
+    }
+    // the separable toy trains to zero error, so the gate keeps exactly
+    // the quality-passing en docs, deduped by min doc_id: {0, 1}
+    assert(keptRows.map(_._1).toSet === Set(0L, 1L))
+    // gate BEFORE dedup: the de docs (quality-passing, margin-negative)
+    // are classifier drops, doc 4 is a quality drop, doc 5 a dedup drop
+    assert(ungated.select("doc_id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L, 3L))
+    // gated keys ⊆ ungated keys (gating only removes key candidates)
+    val gatedKeys = gated.select("canonical_key").as[String].collect().toSet
+    val ungatedKeys = ungated.select("canonical_key").as[String].collect().toSet
+    assert(gatedKeys.subsetOf(ungatedKeys))
+    // ungated output has no margin column — the gate is opt-in
+    assert(!ungated.columns.contains("clf_margin"))
+  }
 }

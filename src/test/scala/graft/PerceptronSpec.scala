@@ -118,4 +118,66 @@ class PerceptronSpec extends SparkSpec {
     }
     assert(spark.sharedState.cacheManager.isEmpty, "q212 left cache pinned")
   }
+
+  /** Sequential replay of the HASHED-feature recurrence (q217): the same
+    * batch update over md5-bucket counts — x = [1, bucket counts...],
+    * bucket(t) = first md5 byte (unsigned) % B. */
+  private def hashedReference(docs: Seq[(Long, Seq[String])], b: Int,
+                              rounds: Int): Array[Long] = {
+    def bucket(t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (h(0) & 0xff) % b
+    }
+    val feats = docs.map { case (y, toks) =>
+      val x = new Array[Long](b + 1)
+      x(0) = 1L
+      toks.foreach(t => x(1 + bucket(t)) += 1L)
+      (y, x)
+    }
+    val w = new Array[Long](b + 1)
+    for (_ <- 1 to rounds) {
+      val delta = new Array[Long](w.length)
+      feats.foreach { case (y, x) =>
+        val m = w.indices.map(j => w(j) * x(j)).sum
+        if (y * m <= 0) for (j <- w.indices) delta(j) += y * x(j)
+      }
+      for (j <- w.indices) w(j) += delta(j)
+    }
+    w
+  }
+
+  test("hashedPerceptronFromDocs matches the sequential hashed replay on the fixture") {
+    val fixture = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        expr("filter(split(text, '\\\\s+'), t -> length(t) > 0)").as("toks"))
+    val docs = fixture.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gotW = TextQueries.hashedPerceptronFromDocs(docs)
+      assert(gotW.length == TextQueries.clfHashBuckets + 1)
+      val rows = docs.collect().map(r => (r.getLong(1), r.getSeq[String](2))).toSeq
+      val refW = hashedReference(rows, TextQueries.clfHashBuckets,
+        TextQueries.perceptronRounds)
+      assert(gotW == refW.toSeq)
+      // the hashed model is non-trivial on the fixture (learned something)
+      assert(gotW.exists(_ != 0L))
+    } finally docs.unpersist()
+  }
+
+  test("q217 report consistency mirrors q212's on the hashed feature map") {
+    spark.sharedState.cacheManager.clearCache()
+    val rep = TextQueries.q217HashedClfReport(spark, sfDir)
+      .orderBy("lang").collect()
+    assert(rep.map(_.getLong(1)).sum > 0)
+    rep.foreach { r =>
+      val (n, pred, corr, accBp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pred <= n && corr <= n)
+      assert(accBp == (2 * corr * 10000 + n) / (2 * n))
+      if (r.getString(0) == "en") assert(corr == pred)
+      else assert(corr == n - pred)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty, "q217 left cache pinned")
+  }
 }

@@ -151,4 +151,103 @@ class VectorLakeSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(stats.map { case (s, n) => s * n }.sum === 500L * l.tables)
   }
+
+  // ---- the banked quantized artifact (IVF-SQ) ----------------------------
+
+  test("topKSq8 answers q214's IVF-SQ shape from the BANKED artifact — " +
+      "same ranks, neighbors, and integer scores, zero training at query time") {
+    import spark.implicits._
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sfDir)
+    VectorLake.build(spark, emb, path, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = VectorLake.topKSq8(spark, queries, path, k = 5, nProbe = 2)
+      .select("qid", "rk", "vec_id", "score_int")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // q214 re-derives scale + quantization + training every run; the lake
+    // arm must reproduce its ranking exactly from the banked tables
+    val expect = graft.queries.SimilarityQueries.q214IvfSq8(spark, sfDir)
+      .select(col("qid"), col("rn").cast("int"), col("neighbor_id"),
+        col("score_int"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("append FREEZES the quantization contract: banked scale and centroids " +
+      "unchanged, existing cell files untouched, out-of-range appends saturate") {
+    import spark.implicits._
+    val path = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sfDir)
+    VectorLake.build(spark, half1, path, centroids = Some(cents))
+    val q0 = VectorLake.quantOf(spark, path)
+    val c0 = VectorLake.centroidsOf(spark, path).map {
+      case (cid, ce) => (cid, ce.toSeq) }.toSeq
+    val cellFiles0 = new java.io.File(s"$path/cells")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // the append's vectors EXCEED the frozen scale (x3) — a re-derived
+    // scale would differ, so the freeze below is load-bearing, and some
+    // coordinates MUST clamp
+    val scaled = half2.select(col("vec_id"),
+      transform(col("embedding"), v => v * lit(3.0f)).as("embedding"))
+    assert(Similarity.sq8MaxAbs(scaled) > q0.maxabs)
+    VectorLake.append(spark, scaled, path)
+    // contract unchanged
+    assert(VectorLake.quantOf(spark, path) === q0)
+    assert(VectorLake.centroidsOf(spark, path).map {
+      case (cid, ce) => (cid, ce.toSeq) }.toSeq === c0)
+    val cellFiles1 = new java.io.File(s"$path/cells")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(cellFiles0.subsetOf(cellFiles1), "append rewrote existing cell files")
+    assert(cellFiles1.size > cellFiles0.size)
+    // appended payloads equal an independent quantize-under-frozen-scale
+    // (saturating), byte for byte
+    val gotQv = spark.read.parquet(s"$path/cells")
+      .join(scaled.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("qv")).as[(Long, Array[Byte])]
+      .collect().toMap
+    val expectQv = scaled.select(col("vec_id"),
+      graft.functions.GraftFunctions.sq8Pack(
+        Similarity.sq8Quantize(col("embedding"), q0.maxabs)).as("qv"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(gotQv.keySet === expectQv.keySet)
+    gotQv.foreach { case (id, b) =>
+      assert(b.toSeq === expectQv(id).toSeq, s"payload mismatch for vec $id") }
+    // saturation actually happened (the clamp is exercised, not vacuous)
+    assert(gotQv.values.exists(_.exists(b => b == 127 || b == -127)),
+      "no appended coordinate saturated — the x3 scale-out did not test the clamp")
+    // and the lake still answers from the mixed-generation cells
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    assert(VectorLake.topKSq8(spark, queries, path).count() > 0)
+  }
+
+  test("rebuild with centroids re-banks the quantized artifact at the new generation's scale") {
+    val gen1 = freshPath()
+    val gen2 = freshPath()
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(spark, sfDir)
+    VectorLake.build(spark, emb.filter(col("vec_id") < 250), gen1,
+      centroids = Some(cents))
+    val q0 = VectorLake.quantOf(spark, gen1)
+    val scaled = emb.filter(col("vec_id") >= 250).select(col("vec_id"),
+      transform(col("embedding"), v => v * lit(3.0f)).as("embedding"))
+    VectorLake.append(spark, scaled, gen1)
+    // rebuild = the one legitimate rescale point: the new generation's
+    // scale reflects the grown payload the old generation clamped
+    VectorLake.rebuild(spark, gen1, gen2,
+      centroids = Some(VectorLake.centroidsOf(spark, gen1)))
+    val q1 = VectorLake.quantOf(spark, gen2)
+    assert(q1.maxabs > q0.maxabs)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    assert(VectorLake.topKSq8(spark, queries, gen2).count() > 0)
+    // old generation still frozen and queryable (swap safety)
+    assert(VectorLake.quantOf(spark, gen1) === q0)
+    assert(VectorLake.topKSq8(spark, queries, gen1).count() > 0)
+  }
 }

@@ -78,4 +78,30 @@ class VocabCountsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("foldable"))
   }
+
+  test("SQL registration rejects NULL vocab, NULL vocab elements, and duplicate needles with the contract error") {
+    GraftFunctions.register(spark)
+    // a foldable NULL array must raise the contract error, not NPE
+    val nullVocab = intercept[Exception] {
+      spark.sql("SELECT vocab_counts(array('x'), CAST(NULL AS ARRAY<STRING>))")
+        .collect()
+    }
+    assert(nullVocab.getMessage.contains("non-null array<string>"))
+    val nullElem = intercept[Exception] {
+      spark.sql("SELECT vocab_counts(array('x'), array('a', CAST(NULL AS STRING)))")
+        .collect()
+    }
+    assert(nullElem.getMessage.contains("non-null array<string>"))
+    // duplicate needles would silently count 0 in later slots — rejected
+    val dup = intercept[Exception] {
+      spark.sql("SELECT vocab_counts(array('x'), array('a', 'b', 'a'))")
+        .collect()
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // the Column API enforces the same constructor invariant
+    val dupCol = intercept[Exception] {
+      GraftFunctions.vocabCounts(col("x"), Seq("a", "a"))
+    }
+    assert(dupCol.getMessage.contains("duplicate"))
+  }
 }
