@@ -1026,61 +1026,100 @@ object SimilarityQueries {
     *
     * CACHE CONTRACT (q142's per-round convention): the centered frame c
     * is persisted across the `pcaRounds` scans, and each round persists
-    * its sr (one row per vector), w and v (64 rows each) — every one of
-    * those frames is referenced TWICE (by its max-abs normalizer and by
-    * the next stage), and without materialization the double references
-    * compound to ~4^rounds re-executions of the early rounds (measured:
-    * 123 cpu-s at sf0.1 unpersisted vs sub-second persisted). Bench and
-    * Verify clear the cache per query. Output: 64 (dim, loading) rows,
-    * loading in exact milli-units of the max-normalized eigenvector
-    * estimate. */
+    * its w and v frames (64 rows each) — each is referenced TWICE (by its
+    * max-abs normalizer and by the next stage), and without
+    * materialization the double references compound to ~4^rounds
+    * re-executions of the early rounds (measured: 123 cpu-s at sf0.1
+    * unpersisted vs sub-second persisted). Bench and Verify clear the
+    * cache per query. Output: 64 (dim, loading) rows, loading in exact
+    * milli-units of the max-normalized eigenvector estimate.
+    *
+    * r10 SHAPE: vectors stay ARRAYS end to end. The previous exploded
+    * (vec_id, dim, xq) form paid n·64 skinny rows through a repartition,
+    * a persist, and TWO hash joins per round (measured 15.6 cpu-s /
+    * 7.3 s wall at sf0.1, an 893-Exchange plan). Here every per-vector
+    * reduction is a native long_vec kernel over the row's own array
+    * (sr and sv are ROW-LOCAL — vec_id never even enters the plan), so
+    * the only rows that ever move are 1-row aggregates, per-partition
+    * partial-sum arrays, and 64-row dim frames. The integer arithmetic
+    * is unchanged expression by expression (same shifted DIVs, same
+    * decimal(38,0) widening for w — per-partition long partials are
+    * bounded by |sv·xc| ≤ ~4e9 × rows/partition, exact far past any
+    * feasible task size, then widen to decimal before the global sum,
+    * which is the same exact integer in a different associative order),
+    * so the oracle SQL is byte-identical. */
   def q180PcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("x").cast("double") * 1e6).cast("long").as("xq"))
-    val mu = pts.groupBy(col("dim"))
-      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
-      .select(col("dim"),
-        (expr("(s + 4000000 * n) DIV n") - lit(4000000L)).as("mu"))
-    // hash-partition the centered frame on vec_id BEFORE persisting: the
-    // per-round s aggregate then needs no exchange, sn inherits the
-    // partitioning through its narrow projections, and the round join
-    // co-locates both sides — measured 412 MB shuffled per full run at
-    // the 100× rung without this (the frame re-exchanged on vec_id twice
-    // per round), ~KBs with it (one up-front exchange, then only the
-    // 64-row dim aggregates move)
-    val c = pts.join(broadcast(mu), Seq("dim"))
-      .select(col("vec_id"), col("dim"), (col("xq") - col("mu")).as("xc"))
-      .repartition(col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v = mu.select(col("dim"), (lit(1000L) + col("dim")).as("v"))
+    import graft.functions.GraftFunctions.{longVecDot, longVecSum}
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val xq = Tables.embeddings(spark, dir).select(expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+      .as("xqa"))
+    // one map-side-combined pass: per-dim long sums + row count (the same
+    // overflow envelope as the previous per-dim SUM(long))
+    val muRow = xq.agg(longVecSum(col("xqa")).as("s"), count(lit(1)).as("n"))
+      .select(col("n"),
+        expr("transform(s, x -> (x + 4000000 * n) DIV n - 4000000)").as("mu"))
+    // centered rows: one broadcast of the 1-row mu frame — no join, no
+    // repartition; rows are independent from here on
+    val c = xq.crossJoin(broadcast(muRow.select(col("mu"))))
+      .select(expr("zip_with(xqa, mu, (x, m) -> x - m)").as("xca"))
+      .persist(mad)
+    // dim spine (64 rows iff the corpus is non-empty): keeps the
+    // degenerate all-identical-vectors case at 64 NULL-loading rows and
+    // the empty-corpus case at 0 rows — exactly the exploded form's edges
+    val spine = muRow.filter(col("n") > 0)
+      .select(explode(expr(s"sequence(0, ${dims - 1})")).as("dim"))
+    // v0 = 1000 + dim, a pure literal — no data pass
+    var vRow = spark.range(1).select(
+      expr(s"transform(sequence(0, ${dims - 1}), d -> CAST(1000 + d AS BIGINT))")
+        .as("varr"))
+    var vFrame: DataFrame = null
     for (_ <- 1 to pcaRounds) {
-      val sr = c.join(broadcast(v), Seq("dim"))
-        .groupBy(col("vec_id")).agg(sum(col("xc") * col("v")).as("sr"))
-        .persist(mad)
-      val sm = sr.agg(max(greatest(col("sr"), -col("sr"))).as("sm"))
-      val sn = sr.crossJoin(broadcast(sm))
-        .select(col("vec_id"),
-          (expr("(sr * 1000 + 2000 * sm) DIV nullif(sm, 0)") - lit(2000L)).as("sv"))
-      // SHUFFLE_HASH on the skinny per-vector side: both sides already
-      // share the vec_id hash partitioning, so the join needs no
-      // exchange, and the hash build avoids SortMergeJoin's per-round
-      // sort of the fat centered frame (measured +180 cpu-s at the
-      // 100× rung when SMJ was picked)
-      val w = c.join(sn.hint("SHUFFLE_HASH"), Seq("vec_id"))
-        .groupBy(col("dim"))
-        .agg(sum((col("sv") * col("xc")).cast("decimal(38,0)")).as("w"))
-        .persist(mad)
+      // sr is row-local: one cached scan feeds the sm normalizer, a second
+      // computes sv → per-dim partials. A uniformly-NULL v array
+      // (degenerate corpus: wm = 0 upstream) short-circuits the native dot
+      // — nullness is all-or-nothing because sm/wm are global aggregates.
+      val sr = when(element_at(col("varr"), 1).isNull, lit(null))
+        .otherwise(longVecDot(col("xca"), col("varr"))).as("sr")
+      val r = c.crossJoin(broadcast(vRow)).select(col("xca"), sr)
+      val sm = r.agg(max(greatest(col("sr"), -col("sr"))).as("sm"))
+      // w_d = Σᵢ svᵢ·xc_{i,d}: per-PARTITION long partial arrays, then the
+      // partials widen through decimal(38,0) for the global per-dim sum.
+      // A NULL sv nulls the row's whole product array so long_vec_sum
+      // skips the row, mirroring SUM over an all-NULL column.
+      val partials = r.crossJoin(broadcast(sm))
+        .select(when(col("sm").isNull, lit(null)).otherwise(
+          expr("(sr * 1000 + 2000 * sm) DIV nullif(sm, 0) - 2000")).as("sv"),
+          col("xca"))
+        .select(when(col("sv").isNull, lit(null))
+          .otherwise(expr("transform(xca, x -> x * sv)")).as("pa"))
+        .groupBy(spark_partition_id().as("p"))
+        .agg(longVecSum(col("pa")).as("ws"))
+      // localCheckpoint, not persist: the 64-row w/v frames are cheap to
+      // materialize but their LINEAGE is not cheap to carry — persisted
+      // frames keep the full nested logical plan, so by round 3 every
+      // re-plan (one per materialization under AQE) walks a plan with
+      // hundreds of operators; the measured wall was planning-bound
+      // (7.2 s wall vs 3.3 executor-cpu-s at sf0.1). Checkpointing cuts
+      // each round's plan to a LogicalRDD leaf; the computed VALUES are
+      // identical (same expressions, materialized eagerly either way).
+      val w = spine.join(
+        partials.select(posexplode(col("ws")).as(Seq("dim", "wp")))
+          .groupBy(col("dim"))
+          .agg(sum(col("wp").cast("decimal(38,0)")).as("w")),
+        Seq("dim"), "left")
+        .localCheckpoint()
       val wm = w.agg(max(greatest(col("w"), -col("w"))).as("wm"))
-      v = w.crossJoin(broadcast(wm))
+      vFrame = w.crossJoin(broadcast(wm))
         .select(col("dim"),
           (expr("(w * 1000 + 2000 * wm) DIV nullif(wm, 0)") - lit(2000L))
             .cast("long").as("v"))
-        .persist(mad)
+        .localCheckpoint()
+      vRow = vFrame.agg(expr(
+        "transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+        .as("varr"))
     }
-    v.select(col("dim"), col("v").as("loading_milli"),
+    vFrame.select(col("dim"), col("v").as("loading_milli"),
       round(col("v").cast("double") / 1e3, 3).as("loading"))
   }
 
