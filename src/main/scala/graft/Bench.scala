@@ -242,6 +242,57 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2f s  ${cpuSec}%7.1f cpu-s  ${shBytes / 1024}%9d KiB shuffled  $gcDelta%5d ms gc")
       name -> (sec, shBytes, gcDelta, cpuSec)
     }.toMap
+    val anchorsFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "bench_anchors.json"))
+    val anchorsText =
+      if (anchorsFile.isFile)
+        Some(new String(
+          java.nio.file.Files.readAllBytes(anchorsFile.toPath), "UTF-8"))
+      else None
+    val (detailLine, summaryLine) =
+      renderLines(results, runsPerQuery, failed, only.nonEmpty, sfDir, anchorsText)
+    println(detailLine)
+    // first-class repo artifact: the driver's tail parser has recorded
+    // "parsed": null every round, so the headline numbers must also live
+    // in a committed file — summary line first (the parse target), full
+    // per-query detail line second (JSONL).
+    // only a FULL-suite run at the default sf refreshes the committed
+    // summary — a subset or ladder run writes nowhere unless pointed
+    // somewhere explicitly, so it can't clobber the repo's perf record
+    // (a 5-query 2000x subset once replaced the 182-query summary).
+    val defaultOut =
+      if (only.isEmpty && sfDir == "/root/testdata/sf0.1") "bench_summary.json"
+      else ""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    if (outFile.nonEmpty) java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (summaryLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
+    println(summaryLine)
+    System.out.flush()
+    spark.stop()
+    if (summaryLine.contains("\"status\":\"fail\"") &&
+        sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("1")) {
+      System.err.println(s"[bench] GATE FAILED: $summaryLine")
+      sys.exit(2)
+    }
+  }
+
+  /** The bench's two output lines (detail JSONL + driver-parsed summary),
+    * as a pure function of the measured results — split from main so
+    * BenchOutputSpec can round-trip BOTH lines through a strict JSON
+    * parser. The r10 breakage was exactly here: a run with >=1 flagged
+    * host-adjusted regression emitted `"k":v` entries inside `[...]`,
+    * invalid JSON that nulled the driver's whole round comparison, and no
+    * test exercised the flagged path. No timing behavior lives in this
+    * function. results: name -> (wall sec | -1 for failed, shuffle bytes,
+    * gc ms, executor cpu sec). */
+  private[graft] def renderLines(
+      results: Map[String, (Double, Long, Long, Double)],
+      runsPerQuery: Int,
+      failed: List[String],
+      subsetRun: Boolean,
+      sfDir: String,
+      anchorsText: Option[String]): (String, String) = {
     // explicit ROOT locale: the f"" interpolator formats with the JVM
     // default locale, so a comma-decimal locale would emit unparseable JSON
     def f3(v: Double): String =
@@ -283,13 +334,10 @@ object Bench {
     // (exit 2) when SPARK_GRAFT_BENCH_GATE=1, so host-starvation noise
     // can't break the driver's per-round bench capture by default.
     val gateJson: String = {
-      val anchorsFile = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "bench_anchors.json"))
-      if (only.nonEmpty || !anchorsFile.isFile)
+      if (subsetRun || anchorsText.isEmpty)
         """{"status":"skipped","reason":"subset run or no anchors file"}"""
       else {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(anchorsFile.toPath), "UTF-8")
+        val txt = anchorsText.get
         def num(key: String): Option[Double] =
           ("\"" + key + "\"\\s*:\\s*([0-9.]+)").r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
@@ -329,14 +377,11 @@ object Bench {
     // observed flap band) queries go on the SUMMARY line; the full
     // adjusted map rides the detail line.
     val (adjJson, regressionsJson) = {
-      val anchorsFile = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "bench_anchors.json"))
       val runHost = "\"ratio_q01_q44\"\\s*:\\s*([0-9.]+)".r
         .findFirstMatchIn(gateJson).map(_.group(1).toDouble)
-      if (!anchorsFile.isFile || runHost.isEmpty) ("{}", "[]")
+      if (anchorsText.isEmpty || runHost.isEmpty) ("{}", "{}")
       else {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(anchorsFile.toPath), "UTF-8")
+        val txt = anchorsText.get
         val anchorHost = "\"queries_host_factor\"\\s*:\\s*([0-9.]+)".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
         val perQuery = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
@@ -353,19 +398,21 @@ object Bench {
             val adjStr = adj.toSeq.sortBy(_._1)
               .map { case (k, r) => "\"" + k + "\":" + f3(r) }
               .mkString("{", ",", "}")
+            // a JSON OBJECT, not an array: "k":v entries inside [...] are
+            // invalid JSON and made the driver's summary-line parse fail
+            // (r10 measurement-bug fix; the flagged set is unchanged)
             val regs = adj.toSeq
               .filter { case (k, r) => r >= 1.5 && results(k)._1 >= 1.0 }
               .sortBy(-_._2)
               .map { case (k, r) => "\"" + k + "\":" + f3(r) }
-              .mkString("[", ",", "]")
+              .mkString("{", ",", "}")
             (adjStr, regs)
-          case _ => ("{}", "[]")
+          case _ => ("{}", "{}")
         }
       }
     }
     val detailLine =
       s"""{"detail":"per_query","queries":$qs,"cpu_sec":$cpu,"shuffle_write_bytes":$sh,"gc_ms":$gc,"anchor_adj_ratio":$adjJson}"""
-    println(detailLine)
     // 2-decimal, trailing zeros trimmed: array density is what buys the
     // full 187-wall record its place inside the capture window
     def f2(v: Double): String = {
@@ -401,28 +448,6 @@ object Bench {
     val summaryLine =
       if (fullLine.length <= 1900) fullLine
       else summaryWith(topQs, "full array dropped: it would overflow the driver capture window; see detail line")
-    // first-class repo artifact: the driver's tail parser has recorded
-    // "parsed": null every round, so the headline numbers must also live
-    // in a committed file — summary line first (the parse target), full
-    // per-query detail line second (JSONL).
-    // only a FULL-suite run at the default sf refreshes the committed
-    // summary — a subset or ladder run writes nowhere unless pointed
-    // somewhere explicitly, so it can't clobber the repo's perf record
-    // (a 5-query 2000x subset once replaced the 182-query summary).
-    val defaultOut =
-      if (only.isEmpty && sfDir == "/root/testdata/sf0.1") "bench_summary.json"
-      else ""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    if (outFile.nonEmpty) java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      (summaryLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
-    println(summaryLine)
-    System.out.flush()
-    spark.stop()
-    if (gateJson.contains("\"fail\"") &&
-        sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("1")) {
-      System.err.println(s"[bench] GATE FAILED: $gateJson")
-      sys.exit(2)
-    }
+    (detailLine, summaryLine)
   }
 }

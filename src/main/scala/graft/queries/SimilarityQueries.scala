@@ -430,6 +430,14 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val byRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("cand_id").asc)
+    // localCheckpoint (r10): the pool is k-bounded (nQueries × 12 rows)
+    // but it is referenced by the similarity matrix (both sides), the
+    // bare relevance frame, and every greedy step — lazily that re-ran
+    // the corpus-scale relevance scan per reference, and the unrolled
+    // 3-step chain compounded the nested plan (measured 3.6 s wall /
+    // 0.7 executor-cpu-s at sf0.1: planning-bound, the q180 signature).
+    // Checkpointing the 96-row pool makes the corpus scan run ONCE and
+    // every downstream frame plan against a leaf.
     val pool = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
@@ -437,6 +445,7 @@ object SimilarityQueries {
         col("embedding"))
       .withColumn("rn", row_number().over(byRel))
       .filter(col("rn") <= mmrPoolK).drop("rn")
+      .localCheckpoint()
     // pairwise cosines within each query's pool: 12×11 rows per query,
     // both sides bounded → broadcast join, embeddings never re-shuffled
     val sims = pool.select(col("qid"), col("cand_id"), col("embedding"))
@@ -1821,17 +1830,26 @@ object SimilarityQueries {
       .select(col("np"), col("qid"), col("vec_id").as("neighbor_id"),
         graft.functions.GraftFunctions.longVecDot(col("qq"), col("qv")).as("score"))
       .dropDuplicates("np", "qid", "neighbor_id") // probed cells can overlap
-    val w = Window.partitionBy(col("np"), col("qid"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    val hits = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .join(exactTop5Flags(spark, dir), Seq("qid", "neighbor_id"), "left")
-      .groupBy(col("np"), col("qid"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("sq_hits5"))
-    val nc = cand.groupBy(col("np"), col("qid"))
-      .agg(count(lit(1)).as("n_cand"))
-    hits.join(nc, Seq("np", "qid"))
-      .select(col("np").cast("long").as("np"), col("qid"),
-        col("n_cand"), col("sq_hits5"))
+    // cand feeds BOTH the recall arm and the candidate-count arm — lazily
+    // each reference re-ran the corpus quantize + cell-rank + candidate
+    // join (measured 39.0 s / 845 cpu-s at the 100× rung). Persist it and
+    // evaluate the 24-row result eagerly (the q139/q188 composing-query
+    // posture) so the cache is released before return.
+    graft.ops.Caching.withPersisted(cand) {
+      val w = Window.partitionBy(col("np"), col("qid"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val hits = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .join(exactTop5Flags(spark, dir), Seq("qid", "neighbor_id"), "left")
+        .groupBy(col("np"), col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("sq_hits5"))
+      val nc = cand.groupBy(col("np"), col("qid"))
+        .agg(count(lit(1)).as("n_cand"))
+      val row = hits.join(nc, Seq("np", "qid"))
+        .select(col("np").cast("long").as("np"), col("qid"),
+          col("n_cand"), col("sq_hits5"))
+      val out = row.collect()
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), row.schema)
+    }
   }
 
   val oracles: Map[String, String] = Map(

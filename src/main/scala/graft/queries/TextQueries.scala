@@ -2097,8 +2097,23 @@ object TextQueries {
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingles3(col("toks"))).as("gram"))
+    // persisted (r10): corpusTf feeds FOUR branches (df, dl, totals, and
+    // the contribution join) — lazily each branch re-ran the tokenize →
+    // shingle → (doc, gram) count pipeline including its corpus-wide
+    // exchange (measured at the 100× rung: q179 112 s / 1,860 cpu-s /
+    // 2.0 GB shuffled; persisted: the gram exchange is paid once). Leaf-
+    // query cache contract like q126's shingle frame: Bench/Verify
+    // clearCache() is the release point (ContractSpec documents it).
+    // gram-partitioned BEFORE the persist: hashpartitioning(gram) satisfies
+    // the (doc_id, gram) group-by's clustered distribution, the df
+    // aggregate's, AND the contribution join's — so the cached frame is
+    // built with ONE exchange and the gram-keyed consumers add none.
+    // Skew bound: one partition holds ≤ max-df rows per gram, and the
+    // stop-phrase band caps useful df at 50 (hot grams above it are
+    // filtered after the cheap count).
     val corpusTf = grams.where(col("doc_id") % 100 =!= 0)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = corpusTf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .where(col("df") <= 50) // stop-phrase band: caps posting length
     val sizes = corpusTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

@@ -28,7 +28,9 @@ class ContractSpec extends SparkSpec {
     "q141_pagerank",        // sym/deg state read every iteration
     "q142_kmeans_iters",    // final round's assignment state stays pinned
     "q157_semdedup",        // clustered frame feeds both pair sides + output
-    "q180_pca_power",       // per-round sr/w/v double-referenced by their normalizers
+    "q179_bm25",            // (doc, gram, tf) frame feeds df/dl/totals/contribution branches
+    "q180_pca_power",       // centered array frame scanned twice per power round
+    "q181_hybrid_rrf",      // embeds q179's persisted (doc, gram, tf) frame in its lexical arm
     "q183_dsir_weights",    // (doc, bucket) count frame feeds model + scoring aggs
     "q189_fuzzy_decontam",  // candidate + verified-pair spines drive multiple subplans
     "q197_jacc_calibration", // candidate-pair spine drives 3 verify subplans (q20's contract)
