@@ -1174,8 +1174,18 @@ object TextQueries {
           + lit(0.3) * (lit(1.0) - s.cast("double") / n)
           + lit(0.4) * least(lit(1.0), n / lit(100.0))) * lit(1e4))
           .cast("long").as("q4"))
-    val keyCounts = base.groupBy(col("k")).agg(count(lit(1)).as("kc"))
-    val cells = base.join(keyCounts, Seq("k"))
+    // kc via a whole-partition window, not groupBy(k) + join-back (r11,
+    // guide §2.4 "two operations keyed the same way can share one
+    // exchange"): the join form computed `base` — the tokenize + normKey
+    // pass, the query's entire cpu — TWICE (agg side and probe side; the
+    // two exchanges' payloads differ, partial counts vs raw rows, so
+    // ReusedExchange can never fire: 0 reuses in the r11 before-plan) and
+    // exchanged the corpus on k twice. The window computes the same
+    // corpus-wide collision count with ONE base pass and ONE exchange
+    // (measured at the 100× rung: 43.7 s / 586 cpu-s → see after-plan;
+    // 16 → 10 Exchanges, 8 → 4 parquet scans).
+    val cells = base
+      .withColumn("kc", count(lit(1)).over(Window.partitionBy(col("k"))))
       .groupBy(col("source"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2112,6 +2122,7 @@ object TextQueries {
     // stop-phrase band caps useful df at 50 (hot grams above it are
     // filtered after the cheap count).
     val corpusTf = grams.where(col("doc_id") % 100 =!= 0)
+      .repartition(col("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = corpusTf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
