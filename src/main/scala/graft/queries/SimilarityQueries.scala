@@ -1248,6 +1248,20 @@ object SimilarityQueries {
     // is the native codegen'd LongVecDot — the zip_with/aggregate HOF
     // form was measured at 3x the total query cost (CodegenFallback:
     // boxed closure per element + intermediate array per pair).
+    // lazy localCheckpoint (r11, guide §1.2 step 1): this frame is
+    // referenced by every `nearest` stage below — 8 codebook-labeling
+    // branches, the 4-stage vector descent, and the pair-stage
+    // projection — and each branch re-ran the parquet scan + both
+    // quantization transforms + both norm dots (the r11 before-plan
+    // holds 124 scan references / 164 Exchanges for what is ONE n-row
+    // frame). Checkpointed it computes once and every branch reads the
+    // row cache (100× rung A/B: 21.7 → 12.1 s wall, 187 → 94 cpu-s;
+    // sf0.1 3.3 → 2.9 s). Row-level checkpoint, NOT .persist: the SQL
+    // columnar cache must encode/decode the two 64-long arrays per
+    // branch, which A/B'd WORSE than recomputing (sf0.1 cpu 1.9 → 4.0 s,
+    // rung wall flat) — the lazy RDD cache stores UnsafeRows as-is and
+    // also truncates the 164-Exchange lineage the planner re-analyzed
+    // per branch.
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -1256,6 +1270,7 @@ object SimilarityQueries {
           x => floor(x.cast("double") * 1e3).cast("long")).as("vq3"))
       .withColumn("n6", longVecDot(col("vq6"), col("vq6")))
       .withColumn("n2", longVecDot(col("vq3"), col("vq3")))
+      .localCheckpoint(false)
     // ADAPTIVE cluster count k = max(8, ceil(n/256)) — integer ceiling so
     // the oracle computes the identical k. SemDeDup's pairwise step costs
     // Σ cluster_size² ≈ n²/k: with k FIXED a 10× corpus is 100× pairs
