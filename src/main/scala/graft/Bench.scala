@@ -232,6 +232,16 @@ object Bench {
         // queries that persist() intermediates (q20/q44 signature frames)
         // must not leak cache into the next measurement or the next run
         spark.catalog.clearCache()
+        // RDD-level caches are NOT covered by clearCache: localCheckpoint
+        // frames (Components' rounds, q180/q188's round state, q157/q178's
+        // shared streams) mark their RDDs persisted and are normally only
+        // released when the driver GC notices the dead reference — which
+        // on a 64 GiB heap can be never. Between queries nothing live
+        // references them (each bench run re-invokes the query fn), so
+        // release them explicitly or they accumulate across the suite
+        // (r11; untimed, between measurements — methodology unchanged).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // second untimed gc AFTER the cache clear: unpersisted blocks and
         // the run's broadcast relations die here, not inside the NEXT
         // query's timed window — the r3 full-suite-vs-isolated gap (q139

@@ -51,7 +51,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // q20/q44 persist() intermediates
+      finally {
+        spark.catalog.clearCache() // q20/q44 persist() intermediates
+        // localCheckpoint RDD caches are outside clearCache's reach and
+        // otherwise live until a driver GC notices them (Bench has the
+        // same release; see its comment)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

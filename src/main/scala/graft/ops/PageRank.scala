@@ -35,7 +35,20 @@ object PageRank {
                src: String = "doc1", dst: String = "doc2"): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
-    val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize by EXPLODING both directions out of one row, not
+    // unionAll(e0, swap(e0)) (r11): the union's two branches each re-ran
+    // the whole edge-producing lineage (for q141 that is the LSH banding
+    // + verify pipeline — the query's entire cost, paid twice to fill
+    // this cache). One explode pass computes it once. The cache is
+    // hash-partitioned on the contribution join key so every round's
+    // edge⋈rank join, the degree aggregate, and the rank'⋈deg join all
+    // satisfy their distributions from the cached layout — the
+    // steady-state round runs with a single exchange (the Σ-by-dst).
+    val sym = e0.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1570,9 +1570,15 @@ object TextQueries {
     * full set sizes, so J is underestimated for pairs containing a
     * stop-shingle and the output is a subset of the exact answer —
     * recall trades against the Σ df² bound, never precision.
+    * `spark.graft.dfcap = auto` measures the trigger instead of trusting
+    * the operator to know the corpus: a ≤64-row log2 df histogram decides
+    * whether Σ df² exceeds `spark.graft.dfcap.autofactor` (default 64) ×
+    * N and, when it does, derives the widest power-of-2 cap that holds
+    * the pair stream inside that budget.
     * ApproxPathsSpec pins the contract (cap ≥ max df reproduces the exact
-    * output; any cap yields a subset with per-pair J ≤ exact). Exact
-    * stays the oracle-checked default.
+    * output; any cap yields a subset with per-pair J ≤ exact; auto is
+    * byte-identical on a non-skewed corpus and binds on a synthetic
+    * df-exploded one). Exact stays the oracle-checked default.
     *
     * Evaluated and REJECTED (r6): reinstating PPJoin prefix filtering on
     * TOP of the counting join (index only each doc's df-ascending prefix,
@@ -1590,7 +1596,7 @@ object TextQueries {
     * shuffle width, and an unpersisted frame would silently run the full
     * tokenize→shingle→sort materialization twice (guarded below so a
     * future composer fails fast instead). */
-  private def q126FromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def q126FromDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     require(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
       "q126FromDocs requires a persisted docs frame (the width-sizing " +
         "count() would otherwise recompute the shingle pipeline)")
@@ -1613,12 +1619,57 @@ object TextQueries {
       .repartition(width, col("g"))
     // optional Henzinger stop-shingle cap (see Scaladoc): the df agg and
     // the semi-join probe are both clustered by g already, so the filter
-    // costs one co-partitioned pass, no new exchange
-    val post = spark.conf.getOption("spark.graft.dfcap").map(_.toLong)
-      .fold(post0) { cap =>
-        val keep = post0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("g")
-        post0.join(keep, Seq("g"), "left_semi")
+    // costs one co-partitioned pass, no new exchange.
+    //
+    // `spark.graft.dfcap = auto` (r11, guide §2.5) is the MEASURED
+    // trigger the manual integer lacked: the pair stream is Σ df² rows,
+    // linear only while shingle df is bounded, and a boilerplate-heavy
+    // corpus breaks that silently. Auto mode measures the df
+    // distribution (one co-partitioned aggregate to a ≤64-row log2
+    // histogram — the VectorLake meanOccupancyPermille pattern: measure
+    // occupancy, compare to a target, then act) and engages the cap ONLY
+    // when Σ df² > F·N (F = spark.graft.dfcap.autofactor, default 64 —
+    // i.e. the mean per-posting join fan-out exceeds F). The engaged cap
+    // is the largest power-of-2 band boundary whose kept Σ df² stays
+    // within F·N, so the pair stream is bounded by construction; band 0
+    // (df = 1, Σ df² ≤ N) always fits, so the cap is never vacuous.
+    // Same subset-only contract as the manual cap (ApproxPathsSpec);
+    // exact stays the oracle-checked default — a fixture-shaped corpus
+    // measures far below the trigger and runs the byte-identical exact
+    // plan.
+    val post = spark.conf.getOption("spark.graft.dfcap")
+      .fold(post0) {
+        case "auto" =>
+          val dfF = post0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val bands = dfF
+            .groupBy(floor(log(2.0, col("df").cast("double"))).cast("int")
+              .as("band"))
+            .agg(sum(col("df")).as("n_b"),
+              sum(col("df") * col("df")).as("s2_b"))
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1)
+          val n = bands.map(_._2).sum
+          val s2 = bands.map(_._3).sum
+          val factor = spark.conf.getOption("spark.graft.dfcap.autofactor")
+            .map(_.toLong).getOrElse(64L)
+          require(factor >= 1, s"spark.graft.dfcap.autofactor must be >= 1")
+          if (s2 <= factor * n) { dfF.unpersist(); post0 }
+          else {
+            val budget = factor * n
+            val lastBand = bands.scanLeft((Int.MinValue, 0L)) {
+              case ((_, acc), (b, _, s2b)) => (b, acc + s2b)
+            }.tail.takeWhile(_._2 <= budget).map(_._1).lastOption
+              .getOrElse(0)
+            val cap = (1L << (lastBand + 1)) - 1L
+            val keep = dfF.filter(col("df") <= cap).select("g")
+            post0.join(keep, Seq("g"), "left_semi")
+          }
+        case capStr =>
+          val cap = capStr.toLong
+          val keep = post0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("g")
+          post0.join(keep, Seq("g"), "left_semi")
       }
     // SHUFFLE_HASH, not sort-merge: both sides are the same exploded
     // posting stream — hash-partitioning is unavoidable but SORTING 10s of
@@ -1928,18 +1979,29 @@ object TextQueries {
   private def gramKeyOpt(spark: SparkSession): Option[Column => Column] =
     spark.conf.getOption("spark.graft.dedup.digestHex").map { n =>
       val hexn = n.toInt
-      require(hexn >= 8 && hexn <= 32,
-        s"spark.graft.dedup.digestHex must be in [8, 32], got $n")
-      (g: Column) => substring(md5(g), 1, hexn)
+      require(hexn >= 8 && hexn <= 32 && hexn % 2 == 0,
+        s"spark.graft.dedup.digestHex must be even and in [8, 32], got $n")
+      // binary form for the same reason as winDigest: the digest is an
+      // internal key, unhex is a bijection, half the key bytes
+      (g: Column) => unhex(substring(md5(g), 1, hexn))
     }
 
   private def winDigest(spark: SparkSession, toks: Column, i: Column, w: Int): Column = {
     val hexn = spark.conf.getOption("spark.graft.dedup.digestHex")
       .map(_.toInt).getOrElse(32)
-    require(hexn >= 8 && hexn <= 32,
-      s"spark.graft.dedup.digestHex must be in [8, 32], got $hexn")
+    require(hexn >= 8 && hexn <= 32 && hexn % 2 == 0,
+      s"spark.graft.dedup.digestHex must be even and in [8, 32], got $hexn")
+    // BINARY digests (r11, guide §2.3 narrower types): the window key is
+    // internal — it feeds the dup aggregate and the match-back join and
+    // never reaches any output — and unhex is a bijection on hex strings,
+    // so 16-byte binary keys group/join IDENTICALLY to the 32-char hex
+    // form while halving every digest exchange's key bytes and comparing
+    // word-at-a-time instead of char-at-a-time. (Even-width contract: a
+    // binary digest truncates in whole bytes; the conf's hex widths were
+    // already documented in steps of hex pairs and every pinned value is
+    // even.)
     val full = md5(concat_ws(" ", slice(toks, i, lit(w))))
-    if (hexn == 32) full else substring(full, 1, hexn)
+    unhex(if (hexn == 32) full else substring(full, 1, hexn))
   }
 
   def q178DupSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -1949,6 +2011,15 @@ object TextQueries {
     // sibling q182 measured +51% cpu / +53% wall on the same change —
     // the window-digest explode wants the round-robin balance more than
     // it wants the exchange back (measured rejection, r8)
+    // Examined and REJECTED (r11): caching this stream (repartition(h) +
+    // lazy localCheckpoint, so the dup aggregate and the match-back semi
+    // join share one compute and one exchange) A/B'd between 17.8 s and
+    // 69.0 s across identical rung invocations — the corpus-scale row
+    // cache trades the second map-side-combined digest pass for
+    // serde/GC on ~10 GB of cached windows, and at 100 TB a
+    // corpus-proportional cache is infeasible outright. The shipped
+    // shape keeps the recompute (map-side partial agg prices the dup
+    // exchange) and narrows the digest itself instead (see winDigest).
     val wins = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
@@ -1959,7 +2030,14 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("pos"), col("h"))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("nh"))
       .where(col("nh") >= 2).select(col("h"))
-    val matched = wins.join(dup, Seq("h"), "left_semi")
+    // shuffle_hash PINNED (r11, guide §3): at the 100x rung the dup key
+    // set measures right at the 256 MB AQE broadcast ceiling, so
+    // identical runs flip-flopped between a co-partitioned join and a
+    // driver-built multi-GB broadcast hash relation (measured 22.4 s vs
+    // 69.0 s, cpu 527 vs 979 on the SAME code). Both sides are already
+    // h-exchanged; hashing the dup side is strictly cheaper than
+    // sorting 10^8 digests, and the pin removes the cliff.
+    val matched = wins.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = matched
       .withColumn("new_span",
@@ -2029,7 +2107,10 @@ object TextQueries {
         min(struct(col("doc_id"), col("pos"))).as("k"))
       .where(col("nh") >= 2)
       .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
-    val cuts = wins.join(keepers, Seq("h"))
+    // shuffle_hash PINNED: q178's rationale — the keeper table sits at
+    // the AQE broadcast ceiling at the rung (measured 30.5 s vs 96.9 s
+    // run flip on identical code, cpu 801 vs 2615).
+    val cuts = wins.join(keepers.hint("shuffle_hash"), Seq("h"))
       .where(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
       .distinct()

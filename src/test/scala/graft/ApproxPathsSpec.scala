@@ -194,6 +194,42 @@ class ApproxPathsSpec extends SparkSpec {
     }
   }
 
+  test("q126 auto df-cap: identical to exact when the corpus is not skewed") {
+    val exact = pairsOf(TextQueries.q126PrefixJoin(spark, sfDir))
+    spark.catalog.clearCache()
+    val auto = withConf("spark.graft.dfcap", "auto")(
+      pairsOf(TextQueries.q126PrefixJoin(spark, sfDir)))
+    spark.catalog.clearCache()
+    assert(auto === exact,
+      "the fixture measures far below the trigger; auto must run exact")
+  }
+
+  test("q126 auto df-cap: engages on a synthetic df-exploded corpus") {
+    import spark.implicits._
+    // 300 identical documents: every shingle's df = 300, so the pair
+    // stream is 3 * 300^2 rows from 900 postings — mean fan-out 300,
+    // far past the default factor-64 trigger
+    val docs = (1L to 300L).map(i => (i, Seq("h1", "h2", "h3")))
+      .toDF("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = pairsOf(TextQueries.q126FromDocs(spark, docs))
+      assert(exact.size === 300 * 299 / 2, "all pairs are exact duplicates")
+      val auto = withConf("spark.graft.dfcap", "auto")(
+        pairsOf(TextQueries.q126FromDocs(spark, docs)))
+      assert(auto.keySet.subsetOf(exact.keySet),
+        "the engaged cap must never ADD pairs")
+      assert(auto.size < exact.size,
+        "every shingle is a stop-shingle here; the cap must bind")
+      // a LOOSE factor must leave the same corpus exact: the trigger is
+      // measured, not unconditional
+      val loose = withConf("spark.graft.dfcap.autofactor", "1000000")(
+        withConf("spark.graft.dfcap", "auto")(
+          pairsOf(TextQueries.q126FromDocs(spark, docs))))
+      assert(loose === exact)
+    } finally { docs.unpersist(); spark.catalog.clearCache(); () }
+  }
+
   test("q126: a binding cap yields a subset with per-pair J <= exact") {
     val exact = pairsOf(TextQueries.q126PrefixJoin(spark, sfDir))
     spark.catalog.clearCache()
