@@ -160,6 +160,12 @@ object GraftFunctions {
   def pruneSortedPositions(toks: Column, cuts: Column): Column =
     shim.column(PruneSortedPositions(shim.expression(toks), shim.expression(cuts)))
 
+  /** `max_stutter_run(toks)` as a Column — longest consecutive-repeat run
+    * over a string token array (see [[MaxStutterRun]] for the pinned NULL
+    * semantics and the interpreted-HOF cost it replaces). */
+  def maxStutterRun(toks: Column): Column =
+    shim.column(MaxStutterRun(shim.expression(toks)))
+
   /** `arg_min_sqdist(x, cents)` as a Column — the centroid id minimizing
     * the exact integer squared distance, ties to the lowest id (see
     * [[ArgMinSqDist]] for the contract). */
@@ -215,6 +221,12 @@ object GraftFunctions {
         }
         LongVecDot(toLongArr(args(0)), toLongArr(args(1)))
       }),
+    (FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (args: Seq[Expression]) => SortedPairs(args.head)),
+    (FunctionIdentifier("max_stutter_run"),
+      new ExpressionInfo(classOf[MaxStutterRun].getName, "max_stutter_run"),
+      (args: Seq[Expression]) => MaxStutterRun(args.head)),
     (FunctionIdentifier("prune_sorted_positions"),
       new ExpressionInfo(classOf[PruneSortedPositions].getName, "prune_sorted_positions"),
       (args: Seq[Expression]) => PruneSortedPositions(args(0), args(1))),

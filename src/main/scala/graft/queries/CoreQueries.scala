@@ -681,14 +681,20 @@ object CoreQueries {
   /** q117: TPC-H Q16 shape — supplier diversity per part family with a
     * NOT-IN blacklist subquery. The NOT IN becomes a left_anti join (the
     * blacklist is a supplier SLICE, so it scales with SF — no broadcast
-    * hint; the planner broadcasts while it fits); the (part, supplier)
-    * association is deduplicated BEFORE the part join so the
-    * distinct-count shuffle carries association keys, not lineitem rows. */
+    * hint; the planner broadcasts while it fits). No pre-join
+    * `.distinct()` (r11): countDistinct dedups inside its own partial
+    * aggregate, so the association dedup added a SECOND full-stream
+    * exchange on (partkey, suppkey) for rows the distinct-count exchange
+    * deduplicates anyway — and onto a COARSER key: many parts share a
+    * (brand, type), so the partial (brand, type, suppkey) agg collapses
+    * below association cardinality before its exchange (rung A/B:
+    * shuffle 1.33 → 0.56 GB, wall 23.5 → 21.7 s, cpu 514 → 484 — the
+    * residual is the lineitem scan; plan 3 → 2 exchanges). */
   def q117PartSupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
     val blacklist = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))

@@ -561,9 +561,11 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_sort(array_distinct(TA.tokens(col("text")))).as("ts"))
-    val pairsArr = flatten(transform(col("ts"), (x, i) =>
-      transform(slice(col("ts"), i + 2, size(col("ts"))), y =>
-        struct(x.as("a"), y.as("b")))))
+    // native pair expansion (r11): the flatten(transform(..., transform(
+    // slice(...)))) nest paid two interpreted closures per output pair on
+    // a quadratic-in-distinct-tokens stream — 200 of q61's 200 cpu-s at
+    // the 100× rung (32 MB shuffled). See [[graft.functions.SortedPairs]].
+    val pairsArr = graft.functions.SortedPairs(col("ts"))
     val pairs = docs.select(explode(pairsArr).as("p"))
       .select(col("p.a").as("token_a"), col("p.b").as("token_b"))
       .groupBy("token_a", "token_b").agg(count(lit(1)).as("c_ab"))
@@ -1371,25 +1373,29 @@ object TextQueries {
     * quantized to integer micro-nats BEFORE the per-doc sum (q89's
     * engine-portability rule). 100 TB path: same as q89 — top-K bigram
     * table broadcast + OOV floor, or keep the shuffle join. */
-  /** CACHE CONTRACT: the partitioned pair stream stays persisted until
-    * clearCache (Bench/Verify call it per query) — the result is LAZY and
-    * reads it through three branches (bigram counts, prefix marginals, and
-    * the scoring join). */
   def q115BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // ONE wide exchange for the whole query: hash(w1) satisfies the
-    // clustering of BOTH aggregations (same-(w1,w2) rows share a w1) and
-    // co-partitions both count joins, so neither the 80 MB forced-uni
-    // broadcast nor the three independent tokenize+shuffle passes of the
-    // previous shape survive at scale (measured at the 100× rung: 594
-    // cpu-s / 475 MB shuffled → 156 cpu-s / 139 MB). Also measured and
-    // REJECTED (r6): pre-aggregating the spine to (doc, w1, w2, cnt)
-    // grain — exact (each occurrence contributes the same floored
-    // micro-nat) but 31.8 s → 147.9 s at the same rung: the three-string-
-    // key hash agg over the full pair stream costs far more than the
-    // repetition factor saves downstream. Skew note: the
-    // heaviest w1 partition carries the most frequent first-word; for
-    // natural corpora where one token opens ~5% of bigrams, salt w1 for
-    // the COUNT stages and keep this layout for the joins.
+    // UNCACHED, AQE-planned (r11): the previous shape repartitioned the
+    // full pair stream on w1 (data-proportional width), persisted it, and
+    // pinned shuffle_hash count joins — one wide exchange plus a
+    // corpus-scale columnar cache. Re-measured at the 100× rung that
+    // cache is the cost, not the saving: columnar-encoding ~2·10⁸ token
+    // structs and complete-mode (no map-side combine) aggregates over
+    // the cached layout ran 57.7 s / 1,253 cpu-s / 1.02 GB shuffled;
+    // this lean shape — recompute the narrow tokenize+explode per
+    // branch, let partial aggregation collapse the vocab-bounded count
+    // tables map-side, let AQE pick broadcast for them when they
+    // MEASURE small — runs 10.3 s / 232 cpu-s / 683 MB (sf0.1: 95 KB
+    // shuffled, both count joins broadcast). On a genuinely
+    // vocab-exploded corpus AQE degrades to shuffle joins and the
+    // gramKeyOpt digest conf keeps the keys fixed-width — the 100 TB
+    // posture q89 documents. Also measured and REJECTED (r6):
+    // pre-aggregating the spine to (doc, w1, w2, cnt) grain — exact
+    // (each occurrence contributes the same floored micro-nat) but
+    // 31.8 s → 147.9 s at the same rung: the three-string-key hash agg
+    // over the full pair stream costs far more than the repetition
+    // factor saves downstream. Skew note: the heaviest w1 partition
+    // carries the most frequent first-word; for natural corpora where
+    // one token opens ~5% of bigrams, salt w1 for the COUNT stages.
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2) // Spark sequence(1,0) counts DOWN
@@ -1402,22 +1408,10 @@ object TextQueries {
       .select(col("doc_id"),
         gramKeyOpt(spark).fold(col("p.w1"))(k => k(col("p.w1"))).as("w1"),
         gramKeyOpt(spark).fold(col("p.w2"))(k => k(col("p.w2"))).as("w2"))
-      // width is data-proportional, not the fixed session parallelism:
-      // the shuffle-hash build sides below are per-partition BIGRAM
-      // VOCABULARY counts, which grow with the corpus — a fixed width
-      // means per-task build memory grows linearly with scale (the exact
-      // cliff the 100× rung hit in q126's posting join). ~2000 docs of
-      // pairs per partition holds the build side constant at every rung.
-      .repartition(math.max(spark.sparkContext.defaultParallelism,
-        (Tables.documents(spark, dir).count() / 2000L).toInt), col("w1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    // shuffle-hash, not sort-merge: all sides share hash(w1), so the only
-    // join work left is the per-partition build — sorting the pair stream
-    // by token strings would be the dominant residual cost
-    pairs.join(bi.hint("shuffle_hash"), Seq("w1", "w2"))
-      .join(uni.hint("shuffle_hash"), Seq("w1"))
+    pairs.join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
       .select(col("doc_id"),
         floor(log(col("c2").cast("double") / col("c1").cast("double")) * lit(1e6))
           .cast("long").as("lp_q"))
@@ -2757,17 +2751,13 @@ object TextQueries {
   /** Longest same-token run over a `toks` array column — q203's fold,
     * factored for the NULL-semantics pin (OpsEdgeSpec): plain equality,
     * so a NULL element always breaks the run (matches the oracle's
-    * `lag(g) = g`). */
-  private[graft] def maxStutterRun: Column = expr(
-    """aggregate(
-      |  toks,
-      |  named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),
-      |  (a, x) -> named_struct(
-      |    'prev', x,
-      |    'cur',  CASE WHEN a.prev = x THEN a.cur + 1L ELSE 1L END,
-      |    'best', GREATEST(a.best,
-      |      CASE WHEN a.prev = x THEN a.cur + 1L ELSE 1L END)),
-      |  a -> a.best)""".stripMargin)
+    * `lag(g) = g`). Native codegen'd walk (r11): the previous
+    * `aggregate(...)` HOF paid an interpreted lambda + a 3-field struct
+    * allocation per token — 253 of q203's 253 cpu-s at the 100× rung
+    * (48 KB shuffled; the query WAS this expression). See
+    * [[graft.functions.MaxStutterRun]]. */
+  private[graft] def maxStutterRun: Column =
+    graft.functions.GraftFunctions.maxStutterRun(col("toks"))
 
   def q203StutterRuns(spark: SparkSession, dir: String): DataFrame = {
     val maxRun = maxStutterRun

@@ -23,7 +23,6 @@ class ContractSpec extends SparkSpec {
     "q44_simhash_neardup",  // signature table read 3x (bands + both verify probes)
     "q113_containment",     // candidate-pair spine drives 3 verify subplans
     "q71_bpe_merges",       // corpus frame re-read per merge step
-    "q115_bigram_logprob",  // partitioned pair stream feeds 3 branches
     "q126_prefix_join",     // shingle frame feeds prefix + verify stages
     "q141_pagerank",        // sym/deg state read every iteration
     "q142_kmeans_iters",    // final round's assignment state stays pinned

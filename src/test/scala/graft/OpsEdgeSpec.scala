@@ -32,6 +32,26 @@ class OpsEdgeSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0))
   }
 
+  test("q61 sorted_pairs: HOF-nest parity on edge shapes") {
+    import spark.implicits._
+    def viaNative(ts: Seq[Option[String]]) =
+      Seq(Tuple1(ts)).toDF("ts")
+        .select(explode(graft.functions.SortedPairs(col("ts"))).as("p"))
+        .select("p.a", "p.b").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def viaHof(ts: Seq[Option[String]]) =
+      Seq(Tuple1(ts)).toDF("ts")
+        .select(explode(flatten(transform(col("ts"), (x, i) =>
+          transform(slice(col("ts"), i + 2, size(col("ts"))), y =>
+            struct(x.as("a"), y.as("b")))))).as("p"))
+        .select("p.a", "p.b").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val shapes: Seq[Seq[Option[String]]] = Seq(
+      Seq(),                                  // empty -> no rows
+      Seq(Some("a")),                         // single -> no rows
+      Seq(Some("a"), Some("b"), Some("c")),   // 3 pairs, order preserved
+      Seq(Some("a"), None, Some("c")))        // null element copied through
+    shapes.foreach { ts => assert(viaNative(ts) === viaHof(ts), s"shape $ts") }
+  }
+
   test("q203 stutter fold: NULL tokens break runs (oracle lag(g)=g parity)") {
     import spark.implicits._
     // "a a NULL a a a b" — null-safe equality would see a 5-run across the

@@ -486,20 +486,24 @@ class PlanSpec extends SparkSpec {
       "shares must come from broadcast re-aggregation, not a global window")
   }
 
-  test("q115: one pair-stream exchange; counts and joins reuse hash(w1)") {
+  test("q115: uncached narrow spine; count tables collapse and broadcast") {
     spark.catalog.clearCache()
     val df = graft.queries.TextQueries.q115BigramLogprob(spark, sfDir)
     df.collect()
     val p = planString(df)
-    // the raw pair stream crosses the wire once (the explicit w1
-    // repartition, which the persist then serves to all three branches);
-    // the count joins run as shuffled-hash over that layout — a sort-merge
-    // here would re-sort tens of millions of token pairs per join
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      "pair stream is not served from the persisted partitioning")
-    assert(p.contains("ShuffledHashJoin"),
-      "count joins fell back to sort-merge on the pair stream")
-    assert(!p.contains("SortMergeJoin"), "sort-merge join crept in")
+    // r11 shape: no corpus-scale cache (the persisted pair spine measured
+    // 5.6x the lean shape at the 100x rung — columnar-encoding 2e8 token
+    // structs cost more than the recomputes it saved) and no pinned join
+    // strategy: partial aggregation collapses the vocab-bounded bi/uni
+    // tables map-side and AQE broadcasts them when they MEASURE small,
+    // which on the fixture they always do. The raw pair stream must
+    // never be sort-merged or cached.
+    assert(!p.contains("InMemoryTableScan") && !p.contains("TableCacheQueryStage"),
+      "the corpus-scale pair cache is back")
+    assert(p.contains("BroadcastHashJoin"),
+      "count tables no longer broadcast onto the pair stream")
+    assert(!p.contains("SortMergeJoin"),
+      "sort-merge join crept in on the pair stream")
     assert(p.contains("partial_"), "counts lost map-side combine")
     assert(walkWindows(df.queryExecution.executedPlan).isEmpty)
     spark.catalog.clearCache()
