@@ -67,34 +67,47 @@ object WebQueries {
     * table is computed among LAYER-2 SURVIVORS (dup evidence already
     * deduped away must not re-flag its keeper). Scale shape: two
     * partitioned windows (canonical_url, norm key) + the chunk-digest
-    * agg — every exchange is keyed, nothing quadratic; the stage
-    * aggregates recompute the narrow upstream maps per branch (at 100 TB
-    * you persist each survivor frame; at bench SF recompute of the
-    * narrow stages is cheaper than caching fat text rows — q20's
-    * measured posture). */
+    * agg — every exchange is keyed and NARROW (both dedup keys derive in
+    * the scan projection; text never rides a window — r11), nothing
+    * quadratic; the stage aggregates recompute the narrow upstream maps
+    * per branch (at 100 TB you persist each survivor frame; at bench SF
+    * recompute of the narrow stages is cheaper than caching fat rows —
+    * q20's measured posture). */
   def q199DedupFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NARROW window payloads (r11, guide §2.3): both dedup keys derive in
+    // the scan projection and `text` is dropped BEFORE the first window,
+    // so the funnel's exchanges (u-window, k-window, each recomputed per
+    // stage branch) carry ~60-byte keyed rows instead of full documents.
+    // The chunk layer re-reads tokens from the scan and semi-joins the
+    // layer-2 survivor ids instead of inheriting text through both
+    // windows — AQE broadcasts the id set at bench scales; at 100 TB it
+    // degrades to one keyed exchange of the token stream, still cheaper
+    // than shipping text through two windows per branch.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"),
+      .select(col("doc_id"), col("n_chars"),
         Urls.canonicalUrl(
-          Urls.syntheticRawUrl(col("doc_id"), col("source"))).as("u"))
+          Urls.syntheticRawUrl(col("doc_id"), col("source"))).as("u"),
+        graft.ops.Dedup.normKey(col("text")).as("k"))
     val urlKeep = docs
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("u"))))
       .filter(col("doc_id") === col("m")).drop("m", "u")
     val exactKeep = urlKeep
-      .withColumn("k", graft.ops.Dedup.normKey(col("text")))
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("k"))))
       .filter(col("doc_id") === col("m")).drop("m", "k")
-    // q82's chunk machinery over layer-2 survivors only
-    val keyed = exactKeep
+    // q82's chunk machinery over layer-2 survivors only; binary chunk
+    // digests (winDigest's r11 bijection argument: ck is an internal
+    // agg/join key, unhex halves its bytes)
+    val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
           floor((size(col("toks")) + 31) / 32).cast("int") - 1)).as("ci"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("ci") * 32 + 1, lit(32))))
+        unhex(md5(concat_ws(" ", slice(col("toks"), col("ci") * 32 + 1, lit(32)))))
           .as("ck"))
     val freq = keyed.groupBy(col("ck")).agg(count(lit(1)).as("nk"))
     val dropped = keyed.join(freq, Seq("ck"))
